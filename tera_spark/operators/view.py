@@ -1,0 +1,263 @@
+"""Current-view builder: op-log cells → visible cells.
+
+This is the Spark re-expression of the reference's merge-on-read scan
+path (`TabletIO::LowLevelScan` src/io/tablet_io.cc:939-1137 +
+`DefaultCompactStrategy::ScanDrop` src/io/default_compact_strategy.cc:275-402
++ `AtomicMergeStrategy` src/io/atomic_merge_strategy.cc:59-109).
+
+Semantics implemented, in order:
+
+1. Illegal-CF drop — cells whose cf is not in the table schema vanish
+   (ScanDrop → DropIllegalColumnFamily; row-delete marks exempt).
+2. TTL — data ops (PUT/atomics) older than now - cf.ttl vanish
+   (DropByLifeTime); delete marks never expire.
+3. Tombstone masking, hierarchical and ts-inclusive: DEL_ROW masks the
+   row, DEL_FAMILY masks (row, cf), DEL_QUALIFIERS masks
+   (row, cf, qualifier), each masking every entry with ts <= mark.ts
+   (the reference's `del_*_ts_ >= ts` checks). The mask of a masked
+   mark is subsumed by its masker, so `max(mark ts)` per granularity
+   is exact — no cascade needed.
+4. DEL_QUALIFIER (single-version delete): the mark deletes the next
+   surviving entry in (ts desc, op asc, seq desc) order. In the
+   reference this is `last_type_ == TKT_DEL_QUALIFIER → skip`; since
+   `last_type_` is updated for every surviving same-qualifier entry,
+   "previous surviving entry is a mark" (a pure lag) is exact,
+   including chained marks. A deleted PUT still counts against
+   max_versions (ScanDrop increments version_num_ on the skip).
+5. Atomic merge-on-read: only the *leading* run of atomic ops in a
+   qualifier merges (any atomic op older than a PUT is dropped —
+   "IsAtomicOP && has_put_"). The run plus the immediately following
+   PUT (merge base, `merge_put_flag`) folds into ONE cell at the
+   newest ts: ADD = big-endian int64 sum, ADDINT64 = little-endian
+   sum, APPEND = ts-ascending concat, PUT_IFABSENT = oldest wins.
+   Consecutive same-ts atomic entries dedupe (`ts != last_ts_atomic`);
+   ops of a different atomic kind inside the run are consumed but
+   ignored (AtomicMergeStrategy::MergeStep's type checks). The merged
+   cell is version 1.
+6. max_versions per cf: newest K visible versions survive.
+
+Documented divergence: when max_versions > 1 the reference can emit a
+*raw* atomic delta as an extra version (its merge only fires on the
+first entry of a qualifier and ScanDrop lets orphan atomics through
+when no newer PUT exists). We define the cleaner semantics — atomic
+ops below the head run are never visible raw — and pin it in tests.
+
+Plan shape: ONE hash shuffle on row_key serves the three tombstone
+windows and the final (row, cf, qualifier) aggregation (hash
+partitioning on a prefix satisfies ClusteredDistribution for all of
+them), so the whole view is a single-exchange pipeline — the property
+that keeps it viable at 100 TB. All sequential per-qualifier logic
+runs JVM-side over small collected arrays via higher-order functions;
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tera_spark.functions.codecs import (
+    be_i64_decode,
+    be_i64_encode,
+    le_i64_decode,
+    le_i64_encode,
+)
+from tera_spark.model import CellOp
+from tera_spark.registry import TableSchema
+
+_ENTRY_T = "array<struct<ts:bigint,value:binary>>"
+
+
+def _is_atomic(op: Column) -> Column:
+    return op.isin(*CellOp.ATOMIC)
+
+
+def _cf_prop_map(schema: TableSchema | None, prop: str, default: int) -> Column:
+    if schema is None or not schema.column_families:
+        return F.lit(None).cast("map<string,int>")
+    pairs = []
+    for cf in schema.column_families.values():
+        pairs += [F.lit(cf.name), F.lit(int(getattr(cf, prop)))]
+    return F.create_map(*pairs)
+
+
+def current_view(
+    cells: DataFrame,
+    schema: TableSchema | None = None,
+    *,
+    now_us: int | None = None,
+    default_max_versions: int = 1,
+    snapshot_seq: int | None = None,
+) -> DataFrame:
+    """Fold an op-log cell DataFrame into the visible-cell view.
+
+    Columns in: row_key, cf, qualifier, ts, op (int code), value
+    [, seq]. Columns out: row_key, cf, qualifier, ts, value.
+
+    ``snapshot_seq`` reads the table as of a write sequence (reference:
+    snapshot reads, SnapshotIDToSeq src/io/tablet_io.cc:698-706).
+    """
+    if now_us is None:
+        now_us = int(time.time() * 1_000_000)
+    df = cells
+    if "seq" not in df.columns:
+        df = df.withColumn("seq", F.lit(0).cast("long"))
+    if snapshot_seq is not None:
+        df = df.filter(F.col("seq") <= F.lit(snapshot_seq))
+
+    op, ts = F.col("op"), F.col("ts")
+
+    # --- phase A: cell-level masks (tombstones, TTL, illegal cf) -------
+    w_row = Window.partitionBy("row_key")
+    w_cf = Window.partitionBy("row_key", "cf")
+    w_qu = Window.partitionBy("row_key", "cf", "qualifier")
+    df = (
+        df.withColumn("_del_row", F.max(F.when(op == CellOp.DEL_ROW, ts)).over(w_row))
+        .withColumn("_del_cf", F.max(F.when(op == CellOp.DEL_FAMILY, ts)).over(w_cf))
+        .withColumn("_del_qu", F.max(F.when(op == CellOp.DEL_QUALIFIERS, ts)).over(w_qu))
+    )
+    masked = (
+        (ts <= F.coalesce(F.col("_del_row"), F.lit(-(1 << 62))))
+        | (ts <= F.coalesce(F.col("_del_cf"), F.lit(-(1 << 62))))
+        | (ts <= F.coalesce(F.col("_del_qu"), F.lit(-(1 << 62))))
+    )
+    survivors = df.filter(~op.isin(CellOp.DEL_ROW, CellOp.DEL_FAMILY, CellOp.DEL_QUALIFIERS)).filter(
+        ~masked
+    )
+    if schema is not None and schema.column_families:
+        legal = [cf.name for cf in schema.column_families.values()]
+        survivors = survivors.filter(F.col("cf").isin(legal))
+        ttl_map = _cf_prop_map(schema, "ttl", 0)
+        ttl_s = F.coalesce(ttl_map[F.col("cf")], F.lit(0))
+        expired = (op >= CellOp.PUT) & (ttl_s > 0) & (ts < F.lit(now_us) - ttl_s.cast("long") * 1_000_000)
+        survivors = survivors.filter(~expired)
+
+    maxv_map = _cf_prop_map(schema, "max_versions", default_max_versions)
+
+    # --- phase B: per-qualifier sequential semantics over sorted arrays
+    grouped = survivors.groupBy("row_key", "cf", "qualifier").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-ts).alias("nts"),
+                    op.alias("sop"),
+                    (-F.col("seq")).alias("nseq"),
+                    ts.alias("ts"),
+                    op.alias("op"),
+                    F.col("value").alias("value"),
+                )
+            )
+        ).alias("entries"),
+    ).withColumn("maxv", F.coalesce(maxv_map[F.col("cf")], F.lit(default_max_versions)))
+
+    e = F.col("entries")
+    maxv_c = F.col("maxv")
+
+    # head run of atomic ops (merge candidates)
+    run = F.aggregate(
+        e,
+        F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
+        lambda acc, x: F.struct(
+            F.when(~acc["stop"] & _is_atomic(x["op"]), acc["n"] + 1)
+            .otherwise(acc["n"])
+            .alias("n"),
+            (acc["stop"] | ~_is_atomic(x["op"])).alias("stop"),
+        ),
+    )["n"]
+    grouped = grouped.withColumn("run_len", run)
+    run_len = F.col("run_len")
+    base_is_put = (run_len > 0) & (F.size(e) > run_len) & (F.get(e, run_len)["op"] == CellOp.PUT)
+    group_len = run_len + F.when(base_is_put, 1).otherwise(0)
+    grouped = grouped.withColumn("group_len", group_len)
+    group_len = F.col("group_len")
+
+    grp = F.slice(e, 1, group_len)
+    rest = F.when(F.size(e) > group_len, F.slice(e, group_len + 1, F.size(e) - group_len)).otherwise(
+        F.expr(f"cast(array() as {_spark_entry_type()})")
+    )
+    grouped = grouped.withColumn("grp", grp).withColumn("rest", rest)
+    grp, rest = F.col("grp"), F.col("rest")
+
+    # same-ts dedup inside the merge group (ts != last_ts_atomic || VALUE)
+    kind = F.get(e, 0)["op"]
+    deduped = F.filter(
+        grp,
+        lambda x, i: (x["op"] == CellOp.PUT)
+        | (i == 0)
+        | (x["ts"] != F.get(grp, i - 1)["ts"]),
+    )
+    # entries the merge kind actually folds (matching atomic kind or PUT base)
+    mergeable = F.filter(deduped, lambda x: (x["op"] == kind) | (x["op"] == CellOp.PUT))
+
+    sum_be = be_i64_encode(
+        F.aggregate(mergeable, F.lit(0).cast("long"), lambda acc, x: acc + be_i64_decode(x["value"]))
+    )
+    # ADDINT64 decodes little-endian for deltas AND the PUT base alike
+    # (MergeStep: `int64_ += *(int64_t*)value.data()` for both types).
+    sum_le = le_i64_encode(
+        F.aggregate(mergeable, F.lit(0).cast("long"), lambda acc, x: acc + le_i64_decode(x["value"]))
+    )
+    concat_asc = F.aggregate(
+        F.reverse(mergeable), F.lit(b""), lambda acc, x: F.concat(acc, x["value"])
+    )
+    oldest_wins = F.element_at(mergeable, -1)["value"]
+
+    merged_value = (
+        F.when(kind == CellOp.ADD, sum_be)
+        .when(kind == CellOp.ADDINT64, sum_le)
+        .when(kind == CellOp.APPEND, concat_asc)
+        .otherwise(oldest_wins)
+    )
+    merged_cell = F.when(
+        (run_len > 0) & (maxv_c >= 1),
+        F.array(F.struct(F.get(e, 0)["ts"].alias("ts"), merged_value.alias("value"))),
+    ).otherwise(F.expr(f"cast(array() as {_ENTRY_T})"))
+
+    # sequential pass over the remainder: DEL_QUALIFIER arming + version cap
+    acc0 = F.struct(
+        F.expr(f"cast(array() as {_ENTRY_T})").alias("out"),
+        F.when(run_len > 0, 1).otherwise(0).alias("vnum"),
+        F.lit(0).alias("prev"),
+    )
+
+    def _step(acc, x):
+        consumed = acc["prev"] == CellOp.DEL_QUALIFIER
+        is_put = x["op"] == CellOp.PUT
+        vnum2 = acc["vnum"] + F.when(is_put, 1).otherwise(0)
+        emit = is_put & ~consumed & (vnum2 <= maxv_c)
+        out2 = F.when(
+            emit,
+            F.concat(acc["out"], F.array(F.struct(x["ts"].alias("ts"), x["value"].alias("value")))),
+        ).otherwise(acc["out"])
+        return F.struct(out2.alias("out"), vnum2.alias("vnum"), x["op"].alias("prev"))
+
+    rest_out = F.aggregate(rest, acc0, _step)["out"]
+
+    versions = F.concat(merged_cell, rest_out)
+    return (
+        grouped.select("row_key", "cf", "qualifier", F.explode(versions).alias("v"))
+        .select("row_key", "cf", "qualifier", F.col("v.ts").alias("ts"), F.col("v.value").alias("value"))
+    )
+
+
+def _spark_entry_type() -> str:
+    # sorted-entry struct type for empty-array casts (nts/sop/nseq sort key)
+    return "array<struct<nts:bigint,sop:int,nseq:bigint,ts:bigint,op:int,value:binary>>"
+
+
+def kv_view(kv: DataFrame, *, now_us: int | None = None) -> DataFrame:
+    """KV-mode visibility: drop expired keys (TTLKV, reference
+    src/io/ttlkv_compact_strategy.cc:43-70; expire_ts NULL/0 = eternal)."""
+    if now_us is None:
+        now_us = int(time.time() * 1_000_000)
+    keep = F.col("expire_ts").isNull() | (F.col("expire_ts") <= 0) | (F.col("expire_ts") > F.lit(now_us))
+    return kv.filter(keep)
+
+
+def latest_view(cells: DataFrame, schema: TableSchema | None = None, **kw) -> DataFrame:
+    """max_versions=1 convenience: one newest visible cell per column."""
+    v = current_view(cells, schema, **kw)
+    w = Window.partitionBy("row_key", "cf", "qualifier").orderBy(F.desc("ts"))
+    return v.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
