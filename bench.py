@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# the headline set: relational joins/aggs/windows + cell-engine ops +
+# streaming-batch analytics + LLM-pipeline ops
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "q_topk_per_group",
+    "cell_multiversion_trim",
+    "cell_counter_add_merge",
+    "cell_tombstone_mask",
+    "events_sessionize",
+    "events_tumbling_window",
+    "dedup_exact_hash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tera_spark.session import get_spark
+    import tera_spark.queries as Q
+
+    Q.load_all()
+    spark = get_spark("tera_spark_bench")
+
+    # warm the JVM/codegen path once on a trivial action
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in Q.QUERIES:
+            continue
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,348 @@
+"""Cell-model operator queries — each builds a deterministic op-log
+from the driver's TPC-H tables, runs the engine's operators (view,
+scan, merge, batch-get, KV/TTL, secondary index), and is checked
+against a DuckDB oracle that expresses the *semantics* in plain SQL.
+
+The Spark side exercises the real machinery (binary codecs, tombstone
+masking, merge-on-read); the oracle states what the result must be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tera_spark.functions.codecs import be_i64_decode, be_i64_encode
+from tera_spark.model import CellOp
+from tera_spark.operators.scan import ScanDescriptor, batch_get, scan
+from tera_spark.operators.view import current_view, kv_view
+from tera_spark.queries import query
+from tera_spark.registry import TableSchema
+from tera_spark.sources.tables import load
+
+NOW = 2_000_000_000_000_000  # fixed epoch-us so TTL results are deterministic
+
+
+def _schema(cf: str, maxv: int = 1) -> TableSchema:
+    t = TableSchema("q")
+    t.add_column_family(cf, max_versions=maxv)
+    return t
+
+
+def _customer_cells(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    base = cust.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.col("c_custkey").alias("seq"),
+        "c_name",
+        "c_mktsegment",
+    )
+    name_cells = base.select(
+        "row_key",
+        F.lit("profile").alias("cf"),
+        F.lit("name").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.col("c_name").cast("binary").alias("value"),
+        "seq",
+    )
+    seg_cells = base.select(
+        "row_key",
+        F.lit("profile").alias("cf"),
+        F.lit("segment").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.col("c_mktsegment").cast("binary").alias("value"),
+        "seq",
+    )
+    return name_cells.unionByName(seg_cells)
+
+
+@query(
+    "cell_scan_range_projection",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key,
+           'name' AS qualifier, c_name AS val
+    FROM customer
+    WHERE lpad(cast(c_custkey AS varchar), 10, '0') >= '0000000100'
+      AND lpad(cast(c_custkey AS varchar), 10, '0') <  '0000000500'
+    """,
+)
+def cell_scan_range(spark: SparkSession, sf: str) -> DataFrame:
+    cells = _customer_cells(spark, sf)
+    desc = ScanDescriptor(
+        start="0000000100", end="0000000500", columns={"profile": ["name"]}
+    )
+    v = scan(cells, _schema("profile"), desc, now_us=NOW)
+    return v.select("row_key", "qualifier", F.col("value").cast("string").alias("val"))
+
+
+@query(
+    "cell_multiversion_trim",
+    """
+    SELECT row_key, ts, val FROM (
+      SELECT lpad(cast(l_orderkey AS varchar), 10, '0') AS row_key,
+             cast(row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey)
+                  AS bigint) AS ts,
+             cast(cast(floor(l_quantity) AS bigint) AS varchar) AS val,
+             count(*) OVER (PARTITION BY l_orderkey) AS cnt
+      FROM lineitem
+    ) WHERE ts > cnt - 2
+    """,
+)
+def cell_multiversion(spark: SparkSession, sf: str) -> DataFrame:
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # version timestamps come from a deterministic row_number ordering
+    li = load(spark, sf, "lineitem")
+    wv = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+    )
+    cells = li.select(
+        F.lpad(F.col("l_orderkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("li").alias("cf"),
+        F.lit("qty").alias("qualifier"),
+        F.row_number().over(wv).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.floor("l_quantity").cast("long").cast("string").cast("binary").alias("value"),
+        F.row_number().over(wv).cast("long").alias("seq"),
+    )
+    v = current_view(cells, _schema("li", maxv=2), now_us=NOW)
+    return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
+
+
+@query(
+    "cell_tombstone_mask",
+    """
+    WITH puts AS (
+      SELECT lpad(cast(o_orderkey AS varchar), 10, '0') AS row_key, 10 AS ts,
+             o_orderpriority AS val, o_orderstatus, o_totalprice
+      FROM orders
+    ),
+    vip AS (
+      SELECT lpad(cast(o_orderkey AS varchar), 10, '0') AS row_key, 30 AS ts,
+             'vip' AS val, o_orderstatus, o_totalprice
+      FROM orders WHERE o_totalprice > 200000
+    )
+    SELECT row_key, cast(ts AS bigint) AS ts, val FROM puts WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT row_key, cast(ts AS bigint) AS ts, val FROM vip
+    """,
+)
+def cell_tombstone(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    rk = F.lpad(F.col("o_orderkey").cast("string"), 10, "0")
+    puts = orders.select(
+        rk.alias("row_key"),
+        F.lit("st").alias("cf"),
+        F.lit("prio").alias("qualifier"),
+        F.lit(10).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.col("o_orderpriority").cast("binary").alias("value"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    dels = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(
+            rk.alias("row_key"),
+            F.lit("").alias("cf"),
+            F.lit("").alias("qualifier"),
+            F.lit(20).cast("long").alias("ts"),
+            F.lit(CellOp.DEL_ROW).alias("op"),
+            F.lit(None).cast("binary").alias("value"),
+            (F.col("o_orderkey") + 10_000_000).alias("seq"),
+        )
+    )
+    vip = (
+        orders.filter(F.col("o_totalprice") > 200000)
+        .select(
+            rk.alias("row_key"),
+            F.lit("st").alias("cf"),
+            F.lit("vip_q").alias("qualifier"),
+            F.lit(30).cast("long").alias("ts"),
+            F.lit(CellOp.PUT).alias("op"),
+            F.lit("vip").cast("binary").alias("value"),
+            (F.col("o_orderkey") + 20_000_000).alias("seq"),
+        )
+    )
+    # vip qualifier named differently so the ts=10 put isn't a second version
+    schema = TableSchema("q").add_column_family("st", max_versions=1)
+    v = current_view(puts.unionByName(dels).unionByName(vip), schema, now_us=NOW)
+    return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
+
+
+@query(
+    "cell_counter_add_merge",
+    """
+    SELECT lpad(cast(l_suppkey AS varchar), 10, '0') AS row_key,
+           cast(sum(cast(floor(l_quantity) AS bigint)) AS bigint) AS total_qty,
+           cast(count(*) AS bigint) AS ts
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def cell_counter(spark: SparkSession, sf: str) -> DataFrame:
+    # unique per-group ts via row_number: the engine's same-ts dedup is
+    # reference behavior, so colliding timestamps would drop deltas
+    li = load(spark, sf, "lineitem")
+    wv = W.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    cells = li.select(
+        F.lpad(F.col("l_suppkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("c").alias("cf"),
+        F.lit("qty").alias("qualifier"),
+        F.row_number().over(wv).cast("long").alias("ts"),
+        F.lit(CellOp.ADD).alias("op"),
+        be_i64_encode(F.floor("l_quantity").cast("long")).alias("value"),
+        F.row_number().over(wv).cast("long").alias("seq"),
+    )
+    v = current_view(cells, _schema("c"), now_us=NOW)
+    return v.select("row_key", be_i64_decode(F.col("value")).alias("total_qty"), "ts")
+
+
+@query(
+    "cell_append_merge",
+    """
+    SELECT lpad(cast(l_orderkey AS varchar), 10, '0') AS row_key,
+           string_agg(l_returnflag, '' ORDER BY l_linenumber, l_returnflag,
+                      l_quantity, l_extendedprice) AS log
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def cell_append(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    wv = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    cells = li.select(
+        F.lpad(F.col("l_orderkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("l").alias("cf"),
+        F.lit("log").alias("qualifier"),
+        F.row_number().over(wv).cast("long").alias("ts"),
+        F.lit(CellOp.APPEND).alias("op"),
+        F.col("l_returnflag").cast("binary").alias("value"),
+        F.row_number().over(wv).cast("long").alias("seq"),
+    )
+    v = current_view(cells, _schema("l"), now_us=NOW)
+    return v.select("row_key", F.col("value").cast("string").alias("log"))
+
+
+@query(
+    "cell_put_ifabsent",
+    """
+    SELECT lpad(cast(l_partkey AS varchar), 10, '0') AS row_key,
+           (array_agg(cast(l_suppkey AS varchar)
+                      ORDER BY l_orderkey, l_linenumber, l_suppkey))[1] AS first_supp
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def cell_ifabsent(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    wv = W.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+    cells = li.select(
+        F.lpad(F.col("l_partkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("p").alias("cf"),
+        F.lit("supp").alias("qualifier"),
+        F.row_number().over(wv).cast("long").alias("ts"),
+        F.lit(CellOp.PUT_IFABSENT).alias("op"),
+        F.col("l_suppkey").cast("string").cast("binary").alias("value"),
+        F.row_number().over(wv).cast("long").alias("seq"),
+    )
+    v = current_view(cells, _schema("p"), now_us=NOW)
+    return v.select("row_key", F.col("value").cast("string").alias("first_supp"))
+
+
+@query(
+    "kv_ttl_scan",
+    """
+    SELECT lpad(cast(p_partkey AS varchar), 10, '0') AS key, p_brand AS brand
+    FROM part WHERE p_partkey % 5 <> 0
+    """,
+)
+def kv_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    part = load(spark, sf, "part")
+    kv = part.select(
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key"),
+        F.col("p_brand").cast("binary").alias("value"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(NOW - 1)).otherwise(F.lit(NOW + 10**9))
+        .cast("long")
+        .alias("expire_ts"),
+    )
+    return kv_view(kv, now_us=NOW).select("key", F.col("value").cast("string").alias("brand"))
+
+
+@query(
+    "cell_batch_get",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key,
+           'name' AS qualifier, c_name AS val
+    FROM customer WHERE c_custkey % 97 = 0
+    UNION ALL
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key,
+           'segment' AS qualifier, c_mktsegment AS val
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+)
+def cell_batch_get(spark: SparkSession, sf: str) -> DataFrame:
+    cells = _customer_cells(spark, sf)
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 97 == 0)
+    keys = cust.select(F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"))
+    v = batch_get(cells, _schema("profile"), keys, now_us=NOW)
+    return v.select("row_key", "qualifier", F.col("value").cast("string").alias("val"))
+
+
+@query(
+    "cell_row_map_shape",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key,
+           cast(1 AS bigint) AS n_cf, cast(2 AS bigint) AS n_quals
+    FROM customer WHERE c_custkey % 31 = 0
+    """,
+)
+def cell_row_map(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.scan import to_row_map
+
+    cells = _customer_cells(spark, sf)
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 31 == 0)
+    keys = cust.select(F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"))
+    v = batch_get(cells, _schema("profile"), keys, now_us=NOW)
+    m = to_row_map(v)
+    return m.select(
+        "row_key",
+        F.size(F.map_keys("row")).cast("long").alias("n_cf"),
+        F.size(F.map_keys(F.element_at(F.col("row"), "profile"))).cast("long").alias("n_quals"),
+    )
+
+
+@query(
+    "sec_index_lookup",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
+    """,
+)
+def sec_index(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-C-style materialized secondary index
+    (src/benchmark/tpcc/tpcc_schemas/t_customer_last_index): index
+    row_key = segment|nation, qualifier = primary key; a lookup scans
+    one index row then batch-gets the base rows."""
+    cust = load(spark, sf, "customer")
+    index = cust.select(
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.lpad(F.col("c_nationkey").cast("string"), 5, "0")
+        ).alias("row_key"),
+        F.lit("idx").alias("cf"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.lit(b"").alias("value"),
+        F.col("c_custkey").alias("seq"),
+    )
+    hits = scan(
+        index,
+        _schema("idx"),
+        ScanDescriptor(start="BUILDING|00005", end="BUILDING|00005\x00"),
+        now_us=NOW,
+    ).select(F.col("qualifier").cast("long").alias("c_custkey"))
+    return (
+        cust.join(F.broadcast(hits), "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )

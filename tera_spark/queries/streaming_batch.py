@@ -1,0 +1,113 @@
+"""Batch-checkable equivalents of the streaming layer's windowed
+semantics over the `events` table (the live Structured Streaming
+pipeline is in tera_spark/streaming/; these pin the same window math
+against the DuckDB oracle, since a running stream can't be oracled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tera_spark.queries import query
+from tera_spark.sources.tables import load
+
+
+@query(
+    "events_tumbling_window",
+    """
+    SELECT cast(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS bigint) AS win_start,
+           event_type,
+           cast(count(*) AS bigint) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY win_start, event_type
+    """,
+)
+def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    """
+    WITH g AS (
+      SELECT cast(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS bigint) AS slot,
+             count(*) AS n
+      FROM events WHERE event_type = 'click' GROUP BY slot
+    )
+    SELECT s.win_start, cast(sum(g.n) AS bigint) AS n
+    FROM (SELECT DISTINCT slot - 300 * x AS win_start
+          FROM g, (SELECT unnest([0,1]) AS x)) s
+    JOIN g ON g.slot BETWEEN s.win_start AND s.win_start + 300
+    GROUP BY s.win_start
+    """,
+)
+def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    # 10-minute windows sliding every 5 — each event lands in 2 windows
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("win_start"), "n")
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, cast(sum(new_sess) AS bigint) AS n_sessions, cast(count(*) AS bigint) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    # gap > 30 min starts a new session (lag + cumulative-flag pattern);
+    # microsecond arithmetic so the oracle comparison is exact
+    ev = load(spark, sf, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "events_dedup_latest_props",
+    """
+    SELECT user_id, event_type, cast(max(event_id) AS bigint) AS last_event,
+           round(arg_max(value, event_id), 2) AS last_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def events_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # "current view" of a keyed stream: newest record per key
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max("event_id").alias("last_event"),
+            F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
+        )
+    )

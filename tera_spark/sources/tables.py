@@ -1,0 +1,65 @@
+"""Source readers for the driver's TPC-H-ish testdata and for cell
+tables persisted as Parquet.
+
+The reference's sources are range scans over tablet-served LevelDB
+(`TabletIO::LowLevelScan`) plus a MySQL storage-engine frontend
+(`sql/src/ha_tera.cc`); here every source is a Parquet scan with
+Catalyst pushdown, and "tablet routing" is partition/file pruning on
+the sorted row_key (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet
+        # reader rejects; read nanos as long and truncate to micros
+        # (floor division — can't move an event across a window boundary).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in TPCH_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_cell_table(cells: DataFrame, path: str, *, buckets: int | None = None) -> None:
+    """Persist an op-log cell table range-sorted by row_key so point
+    gets and range scans prune files via Parquet min/max stats (the
+    Spark analog of tablet routing, table_impl.cc:1452)."""
+    n = buckets or max(cells.sparkSession.sparkContext.defaultParallelism, 4)
+    (
+        cells.repartitionByRange(n, "row_key")
+        .sortWithinPartitions("row_key", "cf", "qualifier", "ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_cell_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

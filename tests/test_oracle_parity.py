@@ -1,0 +1,73 @@
+"""Local replica of the driver's t2 correctness gate: run every
+queries() entry through Spark AND its oracle_sql() through DuckDB on
+the same parquet tables, then compare row count, column names, and
+order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df):
+    """pandas DataFrame → sorted list of value tuples, floats rounded."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return None
+            return round(v, 6)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return v
+
+    rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return cols, sorted(rows, key=repr)
+
+
+def test_every_query_has_oracle_or_is_declared():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops may omit oracles, but must be deliberate
+    allowed_weak = set()
+    assert missing <= allowed_weak, f"queries without oracles: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = ddb.execute(ORACLES[name]).df()
+    scols, srows = _normalize(sdf)
+    ocols, orows = _normalize(odf)
+    assert scols == ocols, f"{name}: column mismatch {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    for i, (a, b) in enumerate(zip(srows, orows)):
+        assert a == b, f"{name}: row {i} differs:\n spark={a}\n duck ={b}"
