@@ -346,3 +346,128 @@ def sec_index(spark: SparkSession, sf: str) -> DataFrame:
         cust.join(F.broadcast(hits), "c_custkey", "left_semi")
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@query(
+    "cell_value_filter",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key, qualifier, val
+    FROM (
+      SELECT c_custkey, 'bal' AS qualifier,
+             cast(cast(round(c_acctbal * 100) AS bigint) AS varchar) AS val
+      FROM customer WHERE round(c_acctbal * 100) >= 500000
+      UNION ALL
+      SELECT c_custkey, 'seg' AS qualifier, c_mktsegment AS val
+      FROM customer WHERE round(c_acctbal * 100) >= 500000
+    )
+    """,
+)
+def cell_value_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """ValueFilter over an int64-LE-encoded balance column with
+    whole-row semantics: passing rows keep ALL their cells."""
+    from tera_spark.operators.filters import ValueFilter, apply_row_filter, encode_typed_col
+
+    cust = load(spark, sf, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    cells_bal = cust.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("f").alias("cf"),
+        F.lit("bal").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        encode_typed_col(bal, "int64").alias("value"),
+        bal.cast("string").alias("_sval"),
+    )
+    cells_seg = cust.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("f").alias("cf"),
+        F.lit("seg").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.col("c_mktsegment").cast("binary").alias("value"),
+        F.col("c_mktsegment").alias("_sval"),
+    )
+    v = cells_bal.unionByName(cells_seg)
+    out = apply_row_filter(v, ValueFilter(">=", "f", "bal", 500000, "int64"))
+    return out.select("row_key", "qualifier", F.col("_sval").alias("val"))
+
+
+@query(
+    "cell_filter_list_and_or",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key
+    FROM customer
+    WHERE round(c_acctbal * 100) > 300000
+      AND (c_mktsegment = 'BUILDING' OR c_nationkey < 5)
+    """,
+)
+def cell_filter_list(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.filters import (
+        FilterList,
+        ValueFilter,
+        apply_row_filter,
+        encode_typed_col,
+    )
+
+    cust = load(spark, sf, "customer")
+    rk = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+
+    def col_cells(qualifier, value_col):
+        return cust.select(
+            rk.alias("row_key"),
+            F.lit("f").alias("cf"),
+            F.lit(qualifier).alias("qualifier"),
+            F.lit(1).cast("long").alias("ts"),
+            value_col.alias("value"),
+        )
+
+    v = (
+        col_cells("bal", encode_typed_col(F.round(F.col("c_acctbal") * 100).cast("long"), "int64"))
+        .unionByName(col_cells("seg", F.col("c_mktsegment").cast("binary")))
+        .unionByName(col_cells("nat", encode_typed_col(F.col("c_nationkey").cast("long"), "int32")))
+    )
+    flt = FilterList(
+        "and",
+        [
+            ValueFilter(">", "f", "bal", 300000, "int64"),
+            FilterList(
+                "or",
+                [
+                    ValueFilter("==", "f", "seg", b"BUILDING", "binary"),
+                    ValueFilter("<", "f", "nat", 5, "int32"),
+                ],
+            ),
+        ],
+    )
+    return apply_row_filter(v, flt).select("row_key").distinct()
+
+
+@query(
+    "cell_max_qualifiers",
+    """
+    SELECT row_key, qualifier FROM (
+      SELECT lpad(cast(l_suppkey AS varchar), 10, '0') AS row_key,
+             lpad(cast(l_partkey AS varchar), 10, '0') AS qualifier,
+             dense_rank() OVER (PARTITION BY l_suppkey
+                                ORDER BY lpad(cast(l_partkey AS varchar), 10, '0')) AS qr
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ) WHERE qr <= 5
+    """,
+)
+def cell_max_qualifiers(spark: SparkSession, sf: str) -> DataFrame:
+    """SetMaxQualifiers (scan.h:91-94): cap distinct qualifiers per
+    (row, cf), counted in qualifier order."""
+    li = load(spark, sf, "lineitem")
+    cells = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lpad(F.col("l_suppkey").cast("string"), 10, "0").alias("row_key"),
+            F.lit("q").alias("cf"),
+            F.lpad(F.col("l_partkey").cast("string"), 10, "0").alias("qualifier"),
+            F.lit(1).cast("long").alias("ts"),
+            F.lit(CellOp.PUT).alias("op"),
+            F.col("n").cast("string").cast("binary").alias("value"),
+            F.col("l_partkey").alias("seq"),
+        )
+    )
+    v = scan(cells, _schema("q"), ScanDescriptor(max_qualifiers=5), now_us=NOW)
+    return v.select("row_key", "qualifier")
