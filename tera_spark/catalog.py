@@ -1,0 +1,117 @@
+"""Catalog / DDL surface: create, drop, list, alter, snapshot.
+
+Re-expresses the reference's admin operators (SURVEY.md §2.6 —
+`Client::CreateTable/DisableTable/DropTable/ListTables/
+UpdateTableSchema`, include/tera/client.h:40-69, and snapshots,
+include/tera/table_descriptor.h:212-214) over a directory layout:
+
+    <root>/<table>/schema.json       — TableSchema registry entry
+    <root>/<table>/oplog/            — append-only op-log parquet
+    <root>/<table>/snapshots/<id>/   — immutable compacted snapshots
+
+Pre-split delimiters / hash-bucket counts from the reference's
+CreateTable map to range/hash partition counts used when writing.
+A snapshot is a compacted, range-sorted, immutable copy — the Spark
+analog of GetSnapshot's seq-pinned reads (tablet_io.cc:698-706).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tera_spark.model import CELL_SCHEMA
+from tera_spark.registry import TableSchema, parse_schema_string
+from tera_spark.sources.tables import write_cell_table
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # --- DDL ----------------------------------------------------------
+    def create_table(self, schema: TableSchema | str) -> TableSchema:
+        if isinstance(schema, str):
+            schema = parse_schema_string(schema)
+        tdir = self.root / schema.name
+        if tdir.exists():
+            raise ValueError(f"table exists: {schema.name}")
+        (tdir / "snapshots").mkdir(parents=True)
+        (tdir / "schema.json").write_text(schema.to_json())
+        # seed an empty op-log so readers never hit PATH_NOT_FOUND
+        empty = self.spark.createDataFrame([], CELL_SCHEMA)
+        empty.write.mode("overwrite").parquet(str(tdir / "oplog"))
+        return schema
+
+    def drop_table(self, name: str) -> None:
+        tdir = self.root / name
+        if not tdir.exists():
+            raise ValueError(f"no such table: {name}")
+        shutil.rmtree(tdir)
+
+    def list_tables(self) -> list[str]:
+        return sorted(p.name for p in self.root.iterdir() if (p / "schema.json").exists())
+
+    def is_table_exist(self, name: str) -> bool:
+        return (self.root / name / "schema.json").exists()
+
+    def get_schema(self, name: str) -> TableSchema:
+        return TableSchema.from_json((self.root / name / "schema.json").read_text())
+
+    def update_schema(self, schema: TableSchema) -> None:
+        """Online schema change (client.h:49-50): properties apply to
+        the next read — the view builder consumes the registry lazily."""
+        tdir = self.root / schema.name
+        if not tdir.exists():
+            raise ValueError(f"no such table: {schema.name}")
+        (tdir / "schema.json").write_text(schema.to_json())
+
+    # --- data paths ---------------------------------------------------
+    def oplog_path(self, name: str) -> str:
+        return str(self.root / name / "oplog")
+
+    def read_oplog(self, name: str) -> DataFrame:
+        return self.spark.read.schema(CELL_SCHEMA).parquet(self.oplog_path(name))
+
+    def append(self, name: str, cells: DataFrame) -> None:
+        cells.write.mode("append").parquet(self.oplog_path(name))
+
+    def view(self, name: str, **kw) -> DataFrame:
+        from tera_spark.operators.view import current_view
+
+        return current_view(self.read_oplog(name), self.get_schema(name), **kw)
+
+    # --- snapshots / compaction --------------------------------------
+    def snapshot(self, name: str, *, now_us: int | None = None) -> str:
+        """Materialize a compacted immutable snapshot; returns its id."""
+        from tera_spark.operators.compact import compact
+
+        sid = time.strftime("%Y%m%d%H%M%S") + f"-{int(time.time_ns() % 1_000_000)}"
+        out = self.root / name / "snapshots" / sid
+        folded = compact(self.read_oplog(name), self.get_schema(name), now_us=now_us)
+        write_cell_table(folded, str(out))
+        return sid
+
+    def read_snapshot(self, name: str, snapshot_id: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.root / name / "snapshots" / snapshot_id))
+
+    def list_snapshots(self, name: str) -> list[str]:
+        d = self.root / name / "snapshots"
+        return sorted(p.name for p in d.iterdir()) if d.exists() else []
+
+    def compact_inplace(self, name: str, *, now_us: int | None = None) -> None:
+        """Fold the op-log (tera `compact`): snapshot, then swap it in
+        as the new base op-log."""
+        sid = self.snapshot(name, now_us=now_us)
+        snap = self.root / name / "snapshots" / sid
+        oplog = self.root / name / "oplog"
+        bak = self.root / name / f"oplog.pre-{sid}"
+        oplog.rename(bak)
+        shutil.copytree(snap, oplog)
+        shutil.rmtree(bak)

@@ -1,0 +1,79 @@
+"""teracli-shaped thin CLI (doc/en/teracli.md surface).
+
+    python -m tera_spark.cli create 'mytable {cf0 <maxversions=2>}' --root /tmp/tera
+    python -m tera_spark.cli put mytable r1 cf0:q hello --root /tmp/tera
+    python -m tera_spark.cli get mytable r1 --root /tmp/tera
+    python -m tera_spark.cli scan mytable --start a --end z --root /tmp/tera
+    python -m tera_spark.cli show --root /tmp/tera
+    python -m tera_spark.cli compact mytable --root /tmp/tera
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="teracli", description=__doc__)
+    ap.add_argument("--root", default="/tmp/tera_spark_tables")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("create"); sp.add_argument("schema")
+    sp = sub.add_parser("drop"); sp.add_argument("table")
+    sub.add_parser("show")
+    sp = sub.add_parser("put")
+    for a in ("table", "row", "column", "value"):
+        sp.add_argument(a)
+    sp.add_argument("--ts", type=int)
+    sp = sub.add_parser("get"); sp.add_argument("table"); sp.add_argument("row")
+    sp = sub.add_parser("scan")
+    sp.add_argument("table"); sp.add_argument("--start"); sp.add_argument("--end")
+    sp.add_argument("--limit", type=int, default=100)
+    sp = sub.add_parser("compact"); sp.add_argument("table")
+    sp = sub.add_parser("snapshot"); sp.add_argument("table")
+
+    args = ap.parse_args(argv)
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.session import get_spark
+
+    spark = get_spark("teracli")
+    cat = Catalog(spark, args.root)
+
+    if args.cmd == "create":
+        s = cat.create_table(args.schema)
+        print(f"created {s.name} ({len(s.column_families)} cf)")
+    elif args.cmd == "drop":
+        cat.drop_table(args.table); print("dropped")
+    elif args.cmd == "show":
+        for t in cat.list_tables():
+            print(t)
+    elif args.cmd == "put":
+        from tera_spark.operators.mutation import MutationBatch
+
+        cf, _, qu = args.column.partition(":")
+        b = MutationBatch().put(args.row, cf, qu, args.value, ts=args.ts)
+        cat.append(args.table, b.to_df(spark))
+        print("ok")
+    elif args.cmd == "get":
+        from tera_spark.operators.scan import get as tget
+
+        rows = tget(cat.read_oplog(args.table), cat.get_schema(args.table), args.row).collect()
+        for r in rows:
+            print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
+    elif args.cmd == "scan":
+        from tera_spark.operators.scan import ScanDescriptor, scan
+
+        desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)
+        for r in scan(cat.read_oplog(args.table), cat.get_schema(args.table), desc).collect():
+            print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
+    elif args.cmd == "compact":
+        cat.compact_inplace(args.table); print("compacted")
+    elif args.cmd == "snapshot":
+        print(cat.snapshot(args.table))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

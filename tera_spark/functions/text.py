@@ -1,0 +1,197 @@
+"""Text primitives shared by the dedup / text-analysis operators.
+
+Every primitive exists twice from the SAME constants: a Spark Column
+expression (JVM-side, codegen'd) and a DuckDB SQL fragment generator,
+so operators built on them are oracle-checkable bit-for-bit. The
+shared hash H(s) is the first 15 hex chars (60 bits) of md5 — both
+engines parse it into an exact int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps (a*x+b) products inside int64
+P31 = 2_147_483_647
+
+# deterministic MinHash coefficient families (shared by both engines)
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+MINHASH_A = [((2 * j + 1) * 1_000_003 + 12_345) % P31 for j in range(N_MINHASH)]
+MINHASH_B = [((j * j + 7) * 998_244_353 + 7) % P31 for j in range(N_MINHASH)]
+
+SIMHASH_BITS = 60
+
+
+# --- Spark side -----------------------------------------------------------
+
+def h60(col: Column) -> Column:
+    """60-bit md5-prefix hash → exact int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-grams; documents shorter than n words collapse to one
+    whole-text shingle (both engines implement the same guard)."""
+    toks = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(F.array(F.trim(text)))
+
+
+def minhash_signature(text: Column) -> Column:
+    """Array of N_MINHASH min-hash values over 3-gram shingles."""
+    sh = shingles(text)
+    hs = F.transform(sh, lambda s: h60(s) % P31)
+    sigs = [
+        F.array_min(F.transform(hs, lambda x: (F.lit(a) * x + F.lit(b)) % P31))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return F.array(*sigs)
+
+
+def band_keys(sig: Column) -> Column:
+    """LSH band buckets: md5 of ':'-joined slice per band, prefixed by
+    the band index so buckets from different bands never collide."""
+    keys = []
+    for b in range(N_BANDS):
+        part = F.slice(sig, b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+        joined = F.concat_ws(":", F.lit(str(b)), *[part[i] for i in range(ROWS_PER_BAND)])
+        keys.append(F.md5(joined))
+    return F.array(*keys)
+
+
+def simhash(text: Column) -> Column:
+    """60-bit SimHash over whitespace tokens (count-weighted)."""
+    toks = tokens(text)
+    hs = F.transform(toks, lambda t: h60(t))
+
+    def vote_fn(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), vote_fn(b))
+        bit_terms.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive positional fingerprint:
+    sum((pos+1) * (H(token) % P31)) mod 2^61-1."""
+    toks = tokens(text)
+    terms = F.transform(toks, lambda t, i: (i + 1) * (h60(t) % P31))
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % F.lit((1 << 61) - 1)
+
+
+# --- Staged DataFrame builders -------------------------------------------
+#
+# The pure-Column composers above are convenient but, composed nested
+# (e.g. band_keys(minhash_signature(c))), every outer reference copies
+# the inner expression tree — 16 band references × 16 sig mins inline
+# the md5/shingle subtree ~256×, blowing up codegen and re-evaluating
+# the hashes per copy (observed 200s for 500 rows). The staged
+# builders below put each intermediate behind a real projection;
+# CollapseProject keeps multiply-referenced non-cheap expressions in
+# their own stage, so each hash is computed exactly once per row.
+
+
+def with_minhash_signature(df, text_col: str = "text", out: str = "sig"):
+    """Add an N_MINHASH-wide signature column, hashing each shingle once."""
+    hs = F.transform(shingles(F.col(text_col)), lambda s: h60(s) % P31)
+    staged = df.withColumn("__mh_hs", hs)
+    sigs = [
+        F.array_min(F.transform(F.col("__mh_hs"), lambda x: (F.lit(a) * x + F.lit(b)) % P31))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return staged.withColumn(out, F.array(*sigs)).drop("__mh_hs")
+
+
+def with_simhash(df, text_col: str = "text", out: str = "simhash"):
+    """Add a 60-bit SimHash column, hashing each token once."""
+    hs = F.transform(tokens(F.col(text_col)), lambda t: h60(t))
+    staged = df.withColumn("__sh_hs", hs)
+
+    def vote_fn(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(F.col("__sh_hs"), F.lit(0).cast("long"), vote_fn(b))
+        bit_terms.append(
+            F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return staged.withColumn(out, total).drop("__sh_hs")
+
+
+# --- DuckDB side (SQL fragment generators from the same constants) --------
+
+def sql_h60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::bigint)"
+
+
+def sql_tokens(expr: str) -> str:
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def sql_shingles(expr: str, n: int = 3) -> str:
+    toks = sql_tokens(expr)
+    parts = " || ' ' || ".join(f"__t[i+{k}]" for k in range(n))
+    return (
+        f"(CASE WHEN len({toks}) >= {n} THEN "
+        f"(SELECT list_transform(range(1, len(__t) - {n - 2}), i -> {parts}) FROM (SELECT {toks} AS __t)) "
+        f"ELSE [trim({expr})] END)"
+    )
+
+
+def sql_minhash_signature(expr: str) -> str:
+    sh = sql_shingles(expr)
+    hs = f"list_transform({sh}, s -> {sql_h60('s')} % {P31})"
+    sigs = ", ".join(
+        f"list_aggregate(list_transform(__h, x -> ({a}::bigint * x + {b}) % {P31}), 'min')"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"(SELECT [{sigs}] FROM (SELECT {hs} AS __h))"
+
+
+def sql_band_keys(sig_expr: str) -> str:
+    keys = []
+    for b in range(N_BANDS):
+        cols = " || ':' || ".join(
+            f"__s[{b * ROWS_PER_BAND + i + 1}]" for i in range(ROWS_PER_BAND)
+        )
+        keys.append(f"md5('{b}' || ':' || {cols})")
+    return f"(SELECT [{', '.join(keys)}] FROM (SELECT {sig_expr} AS __s))"
+
+
+def sql_simhash(expr: str) -> str:
+    hs = f"list_transform({sql_tokens(expr)}, t -> {sql_h60('t')})"
+    bits = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(__h, h -> ((h >> {b}) % 2) * 2 - 1), (a, b) -> a + b) > 0 "
+        f"THEN {1 << b}::bigint ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"(SELECT {bits} FROM (SELECT {hs} AS __h))"
+
+
+def sql_fingerprint(expr: str) -> str:
+    toks = sql_tokens(expr)
+    return (
+        f"(SELECT list_reduce(list_transform(range(1, len(__t) + 1), i -> "
+        f"i * ({sql_h60('__t[i]')} % {P31})), (a, b) -> a + b) % {(1 << 61) - 1} "
+        f"FROM (SELECT {toks} AS __t))"
+    )

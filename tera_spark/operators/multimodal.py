@@ -1,0 +1,88 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed via Arrow-batched Pandas UDFs over mapInPandas.
+
+The decode step itself is STUBBED (the image/audio codec libraries are
+not in this container): `decode_image`/`decode_audio` raise
+NotImplementedError unless ``fake=True``, in which case a deterministic
+fake derived from the raw bytes stands in. Everything around the stub —
+schema, batch iteration, partition-size control, UDF signatures — is
+the real Spark plumbing a production pipeline needs, and the fake path
+is deterministic so it is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media asset table schema: opaque payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, head_byte int, "
+    "byte_sum long, width int, height int"
+)
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> dict:
+    """Stub decode: a real deployment plugs PIL/libvips here."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this container")
+    # deterministic fake: derive pseudo-dimensions from the bytes
+    n = len(payload)
+    return {
+        "width": 16 + (payload[0] if n else 0) % 64,
+        "height": 16 + (payload[-1] if n else 0) % 64,
+    }
+
+
+def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, one feature
+    row per asset out. Partition count is preserved, so upstream
+    repartitioning controls decode parallelism and batch memory."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].apply(lambda b: bytes(b) if b is not None else b"")
+            dims = payloads.apply(lambda b: decode_image(b, fake=fake_decode))
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.apply(len).astype("int64"),
+                    "head_byte": payloads.apply(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "byte_sum": payloads.apply(lambda b: sum(b) % (1 << 31)).astype("int64"),
+                    "width": dims.apply(lambda d: d["width"]).astype("int32"),
+                    "height": dims.apply(lambda d: d["height"]).astype("int32"),
+                }
+            )
+            yield out
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: one row per frame index to decode,
+    computed from metadata (n_frames) without touching payloads — the
+    shuffle-free fan-out a distributed decoder consumes."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("asset_id", F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"))
+    )

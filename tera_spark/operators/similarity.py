@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; IVF (inverted
+file) is the scale path: assign vectors to their nearest centroid once
+(map-only against a broadcast centroid table), then restrict search /
+pair generation to within-cluster candidates — at 100 TB that turns an
+O(N²) pair scan into O(N²/k) with a single shuffle on cluster id.
+
+All arithmetic is double-precision left-fold in index order so results
+are bit-identical with the DuckDB oracle's list_reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tera_spark.sources.tables import ensure_parallelism
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k neighbours for each query vector.
+    The query side broadcasts (it is small by construction); ranking
+    uses (rounded sim DESC, id) so ties are deterministic."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
+    )
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("v_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "v_id",
+            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "v_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "v_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (L2). Centroids
+    broadcast; assignment is a map-only argmin."""
+    c = centroids.select(F.col(cid_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    v = ensure_parallelism(vectors).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    diff = F.zip_with(
+        F.col("vec"), F.col("c_vec"), lambda x, y: (x.cast("double") - y.cast("double"))
+    )
+    dist2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p
+    )
+    scored = v.crossJoin(F.broadcast(c)).select("id", "vec", "cid", dist2.alias("d2"))
+    return (
+        scored.groupBy("id")
+        .agg(F.min_by("cid", "d2").alias("cluster"), F.first("vec").alias("vec"))
+    )
+
+
+def ivf_near_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs restricted to IVF
+    clusters — the scale-path variant of all-pairs cosine dedup."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("cluster"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

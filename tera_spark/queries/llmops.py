@@ -1,7 +1,11 @@
 """LLM-training-pipeline operators over documents/embeddings —
-deduplication, similarity search, text analysis. Initial slice; the
-operator implementations live in tera_spark/operators/{dedup,
-similarity,textops}.py and grow in M4.
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force cosine top-k, IVF), text analysis
+(language-ID, quality, tokens, fingerprint) and multimodal plumbing.
+
+Oracle SQL strings are *generated from the same constants* as the
+Spark expressions (tera_spark/functions/text.py), so MinHash/SimHash
+signatures compare bit-for-bit.
 """
 
 from __future__ import annotations
@@ -9,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tera_spark.functions import text as X
 from tera_spark.queries import query
 from tera_spark.sources.tables import load
 
@@ -23,11 +28,270 @@ from tera_spark.sources.tables import load
     """,
 )
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.dedup import exact_duplicates
+
     docs = load(spark, sf, "documents")
+    return exact_duplicates(docs).select("text_hash", "n_copies", "keeper")
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    )
+    SELECT DISTINCT cast(a.doc_id AS bigint) AS id_a, cast(b.doc_id AS bigint) AS id_b
+    FROM sigs a JOIN sigs b USING (bucket)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf, "documents")
+    return minhash_lsh_pairs(docs).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    SELECT cast(doc_id AS bigint) AS doc_id, {X.sql_simhash('text')} AS simhash
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.dedup import simhash_fingerprints
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash_fingerprints(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH base AS (
+      SELECT doc_id, length(text) // 50 AS bkt,
+             list_distinct({X.sql_shingles('text')}) AS sh
+      FROM documents
+    )
+    SELECT cast(a.doc_id AS bigint) AS id_a, cast(b.doc_id AS bigint) AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::double /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM base a JOIN base b USING (bkt)
+    WHERE a.doc_id < b.doc_id
+      AND round(len(list_intersect(a.sh, b.sh))::double /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.dedup import jaccard_pairs
+
+    docs = load(spark, sf, "documents")
+    return jaccard_pairs(
+        docs,
+        bucket_expr=F.floor(F.length("text") / 50),
+        threshold=0.2,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "{a}[i]::double * {b}[i]::double), (x, y) -> x + y)"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, v.vec_id AS v_id,
+             round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS sim
+      FROM embeddings v, q WHERE v.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, v_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, v_id) AS rank
+      FROM sims
+    )
+    SELECT cast(q_id AS bigint) AS q_id, cast(v_id AS bigint) AS v_id, sim,
+           cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_ivf_near_pairs",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT v.vec_id AS id, v.embedding AS vec,
+             arg_min(c.cid, list_reduce(list_transform(range(1, 65), i ->
+               (v.embedding[i]::double - c.c_vec[i]::double) *
+               (v.embedding[i]::double - c.c_vec[i]::double)), (x, y) -> x + y)) AS cluster
+      FROM embeddings v, c GROUP BY v.vec_id, v.embedding
+    )
+    SELECT cast(a.cluster AS bigint) AS cluster,
+           cast(a.id AS bigint) AS id_a, cast(b.id AS bigint) AS id_b,
+           round({_sql_cos('a.vec', 'b.vec')}, 6) AS sim
+    FROM assigned a JOIN assigned b USING (cluster)
+    WHERE a.id < b.id AND round({_sql_cos('a.vec', 'b.vec')}, 6) >= 0.3
+    """,
+)
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.similarity import ivf_near_pairs
+
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_near_pairs(emb, cents, threshold=0.3, cid_col="centroid_id").select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "sim",
+    )
+
+
+def _sql_marker_hits(words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
     return (
-        docs.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
-        .filter(F.col("n_copies") > 1)
+        f"len(list_filter({X.sql_tokens('text')}, t -> lower(t) IN ({quoted})))"
+    )
+
+
+def _sql_lang_case() -> str:
+    from tera_spark.operators.textops import LANG_MARKERS
+
+    hits = {code: _sql_marker_hits(ws) for code, ws in sorted(LANG_MARKERS.items())}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {best} > 0 AND {hits[code]} = {best} THEN '{code}'" for code in sorted(hits)
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+@query(
+    "text_language_id",
+    f"""
+    SELECT cast(doc_id AS bigint) AS doc_id, {_sql_lang_case()} AS lang_guess
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.textops import language_id
+    from tera_spark.sources.tables import ensure_parallelism
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    return ensure_parallelism(docs).select(
+        "doc_id", language_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def _t6(expr: str) -> str:
+    """floor-truncation to 6 decimals — bit-stable vs Spark (see
+    textops.quality_features)."""
+    return f"(floor(({expr}) * 1000000)::double / 1000000)"
+
+
+_SQL_STOPS = "'the','and','of','to','a','in','is','for','on','with'"
+_SQL_NTOK = f"len({X.sql_tokens('text')})"
+_SQL_ALPHA = _t6(
+    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::double / greatest(length(text), 1)"
+)
+_SQL_STOPR = _t6(
+    f"len(list_filter({X.sql_tokens('text')}, x -> lower(x) IN ({_SQL_STOPS})))::double"
+    f" / greatest({_SQL_NTOK}, 1)"
+)
+
+
+@query(
+    "text_quality_score",
+    f"""
+    SELECT cast(doc_id AS bigint) AS doc_id,
+      cast({_SQL_NTOK} AS bigint) AS n_tokens,
+      {_SQL_ALPHA} AS alpha_ratio,
+      {_SQL_STOPR} AS stop_ratio,
+      {_t6("length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::double / greatest(length(text), 1)")} AS punct_ratio,
+      {_t6(f"(length(text) - {_SQL_NTOK} + 1)::double / greatest({_SQL_NTOK}, 1)")} AS mean_tok_len,
+      {_t6(f"least({_SQL_NTOK}::double / 100.0, 1.0) * 0.4 + {_SQL_STOPR} * 0.3 + {_SQL_ALPHA} * 0.3")} AS quality_score
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.textops import quality_features
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 4 == 0)
+    return quality_features(docs)
+
+
+@query(
+    "doc_fingerprint_rolling",
+    f"""
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           {X.sql_fingerprint('text')} AS fp,
+           md5(text) AS exact_hash
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from tera_spark.operators.textops import doc_fingerprints
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return doc_fingerprints(docs)
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT cast(doc_id AS bigint) AS asset_id,
+           cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS head_byte,
+           16 + ascii(substr(text, 1, 1)) % 64 AS width,
+           16 + ascii(substr(text, length(text), 1)) % 64 AS height
+    FROM documents WHERE doc_id % 6 = 0
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: documents.text cast to an opaque payload,
+    features extracted through the real mapInPandas path with the
+    deterministic fake decoder (codec libs are stubbed, SURVEY §north-star)."""
+    from tera_spark.operators.multimodal import extract_features
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    feats = extract_features(media, fake_decode=True)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.col("head_byte").cast("int").alias("head_byte"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
     )
 
 

@@ -42,6 +42,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition narrow inputs up to default parallelism.
+
+    Heavy per-row expression pipelines (MinHash, SimHash, embedding
+    math, Pandas-UDF decode) are CPU-bound map work; when the source
+    parquet arrives as a handful of row-group splits, the whole stage
+    runs on that handful of cores. One repartition of the raw input
+    unlocks full-cluster parallelism. No-op when the input already has
+    enough partitions — the 100 TB case, where inputs arrive as
+    thousands of file splits and an extra shuffle would be harmful.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for t in TPCH_TABLES:

@@ -1,0 +1,128 @@
+"""Observer / notify incremental-processing pipeline on Structured
+Streaming.
+
+Reference model (SURVEY.md §2.5): a CF flagged ``notify=on`` makes
+transactions write a dirty-marker cell into the ``_N_`` column family
+(`Transaction::Notify`, include/tera/transaction.h:69-72;
+kNotifyColumnFamily src/types.h:53); a polling scanner executor
+(`ScannerImpl::ScanTable`, src/observer/executor/scanner_impl.cc:189-293)
+reads markers, row-locks, invokes user observers
+(`Observer::OnNotify`, include/observer/observer.h:24-46) and acks by
+deleting the marker (`NotificationImpl::Ack`,
+src/observer/executor/notification_impl.cc:42-65).
+
+Spark-native re-expression: the op-log parquet directory IS the
+notification channel. A file-source stream tails appended cell
+batches; ``foreachBatch`` dispatches each micro-batch to registered
+observers (exactly the new-cell set — no polling, no row locks: the
+micro-batch scheduler serializes batches); the streaming checkpoint
+is the ack (a marker is "deleted" by the offset moving past it).
+Exactly-once = checkpoint + idempotent sink, replacing the reference's
+lock/ack-version dance (scanner_impl.cc:550,683).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tera_spark.model import CELL_SCHEMA, CellOp
+
+NOTIFY_CF = "_N_"   # kNotifyColumnFamily (src/types.h:53)
+
+
+@dataclass
+class Observer:
+    """OnNotify callback bound to an observed column
+    (include/observer/observer.h:24-46). ``fn(batch_df, epoch_id)``
+    receives exactly the dirty cells of its column for the batch."""
+
+    name: str
+    cf: str
+    qualifier: str
+    fn: Callable[[DataFrame, int], None]
+
+
+def notify_cells(cf: str, qualifier: str, marked: DataFrame) -> DataFrame:
+    """Build ``_N_`` marker cells for rows of an observed column —
+    what Transaction::Notify writes. Qualifier is the packed
+    'cf+qualifier' name (global_txn_internal.h notify naming)."""
+    return marked.select(
+        F.col("row_key"),
+        F.lit(NOTIFY_CF).alias("cf"),
+        F.concat_ws("+", F.lit(cf), F.lit(qualifier)).alias("qualifier"),
+        F.col("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.lit(b"1").alias("value"),
+        F.coalesce(F.col("seq"), F.lit(0)).alias("seq"),
+    )
+
+
+class ObserverPipeline:
+    """Streaming dispatcher: tails an op-log directory, routes dirty
+    cells to observers, acks via checkpoint."""
+
+    def __init__(self, spark: SparkSession, oplog_path: str, checkpoint_path: str):
+        self.spark = spark
+        self.oplog_path = oplog_path
+        self.checkpoint_path = checkpoint_path
+        self.observers: list[Observer] = []
+
+    def observe(self, name: str, cf: str, qualifier: str, fn) -> "ObserverPipeline":
+        self.observers.append(Observer(name, cf, qualifier, fn))
+        return self
+
+    def _dispatch(self, batch: DataFrame, epoch_id: int) -> None:
+        if not self.observers:
+            return
+        # late/duplicate protection: one invocation per cell version
+        # (dropDuplicates ≙ the scanner's ack-version conflict check)
+        batch = batch.dropDuplicates(["row_key", "cf", "qualifier", "ts"]).cache()
+        try:
+            for ob in self.observers:
+                marks = batch.filter(
+                    (F.col("cf") == NOTIFY_CF)
+                    & (F.col("qualifier") == f"{ob.cf}+{ob.qualifier}")
+                )
+                if marks.isEmpty():
+                    continue
+                ob.fn(marks, epoch_id)
+        finally:
+            batch.unpersist()
+
+    def start(self, *, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(CELL_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(self.oplog_path)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._dispatch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_event_stream(
+    events: DataFrame,
+    *,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation for event
+    streams — the stream analog of queries/streaming_batch.py (the
+    reference has no window operators; cell-level triggers only)."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )

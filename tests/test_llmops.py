@@ -1,0 +1,119 @@
+"""Operator-level tests for dedup / similarity / text / multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tera_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    verified_near_duplicates,
+)
+from tera_spark.operators.multimodal import decode_image, extract_features
+from tera_spark.operators.similarity import cosine_topk, ivf_assign
+from tera_spark.operators.textops import language_id, quality_features
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),   # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+    (3, "completely different words about spark engines and cell stores here"),
+    (4, "el la de que los hola mundo bueno dias"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 2 and out[0].keeper == 0 and out[0].members == [0, 1]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs            # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares a band
+    assert not any(3 in p for p in pairs)      # unrelated doc stays out
+
+
+def test_verified_near_duplicates(docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in verified_near_duplicates(docs, threshold=0.5).collect()}
+    assert out[(0, 1)] == 1.0
+    assert any(k in out for k in [(0, 2), (1, 2)])
+
+
+def test_simhash_similarity(docs):
+    fps = {r.id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]  # identical text, identical fingerprint
+    ham_near = bin(fps[0] ^ fps[2]).count("1")
+    ham_far = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_jaccard_pairs_threshold(docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(
+        docs, bucket_expr=F.lit(0), threshold=0.5
+    ).collect()}
+    assert out[(0, 1)] == 1.0
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(vecs, vecs.filter("vec_id = 0"), k=2).collect()
+    assert [r.v_id for r in sorted(out, key=lambda r: r.rank)] == [1, 3]
+
+
+def test_ivf_assign(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2), float(1 - i % 2)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, embedding array<float>"
+    )
+    got = {r.id: r.cluster for r in ivf_assign(vecs, cents, cid_col="centroid_id").collect()}
+    for i in range(10):
+        assert got[i] == (0 if i % 2 == 1 else 1)
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.lang for r in docs.select("doc_id", language_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en" and out[4] == "es"
+
+
+def test_quality_features(docs):
+    out = {r.doc_id: r for r in quality_features(docs).collect()}
+    assert out[0].n_tokens == 13
+    assert 0 < out[0].quality_score <= 1
+
+
+def test_multimodal_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_multimodal_extract_features(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"abcdef", {"src": "t"}), (2, "image", b"Z", {"src": "t"})],
+        "asset_id long, media_type string, payload binary, meta map<string,string>",
+    )
+    out = {r.asset_id: r for r in extract_features(media, fake_decode=True).collect()}
+    assert out[1].n_bytes == 6 and out[1].head_byte == ord("a")
+    assert out[1].width == 16 + ord("a") % 64 and out[1].height == 16 + ord("f") % 64
+    assert out[2].n_bytes == 1

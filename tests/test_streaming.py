@@ -1,0 +1,107 @@
+"""Observer/notify pipeline and windowed streaming tests (memory sink
++ availableNow triggers drive the stream synchronously)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tera_spark.model import CELL_SCHEMA, CellOp
+from tera_spark.operators.mutation import MutationBatch
+from tera_spark.sources.tables import load
+from tera_spark.streaming.observer import NOTIFY_CF, ObserverPipeline, notify_cells, windowed_event_stream
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="tera_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch_with_notify(spark, path, batch: MutationBatch, cf, qu):
+    df = batch.to_df(spark)
+    data = df.filter(F.col("cf") == cf)
+    marks = notify_cells(cf, qu, data)
+    df.unionByName(marks).write.mode("append").parquet(path)
+
+
+def test_observer_fires_once_per_dirty_cell(spark, tmpdir):
+    oplog = f"{tmpdir}/oplog"
+    ckpt = f"{tmpdir}/ckpt"
+    seen: list[tuple] = []
+
+    b1 = MutationBatch()
+    b1.put("r1", "Data", "qu0", "v1", ts=100)
+    b1.put("r2", "Data", "qu0", "v2", ts=101)
+    _write_batch_with_notify(spark, oplog, b1, "Data", "qu0")
+
+    pipe = ObserverPipeline(spark, oplog, ckpt)
+    pipe.observe(
+        "collector", "Data", "qu0",
+        lambda df, epoch: seen.extend((r.row_key, r.ts) for r in df.collect()),
+    )
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(120)
+    assert sorted(seen) == [("r1", 100), ("r2", 101)]
+
+    # second batch: only NEW marks fire (ack = checkpoint offset)
+    seen.clear()
+    b2 = MutationBatch(base_seq=10)
+    b2.put("r3", "Data", "qu0", "v3", ts=200)
+    _write_batch_with_notify(spark, oplog, b2, "Data", "qu0")
+    q2 = pipe.start(trigger_once=True)
+    q2.awaitTermination(120)
+    assert sorted(seen) == [("r3", 200)]
+
+
+def test_observer_dedups_duplicate_marks(spark, tmpdir):
+    oplog = f"{tmpdir}/oplog"
+    ckpt = f"{tmpdir}/ckpt"
+    seen: list[tuple] = []
+
+    b = MutationBatch()
+    b.put("r1", "Data", "qu0", "v1", ts=100)
+    df = b.to_df(spark)
+    marks = notify_cells("Data", "qu0", df)
+    # duplicate marker rows in one batch (retry simulation)
+    df.unionByName(marks).unionByName(marks).write.mode("append").parquet(oplog)
+
+    pipe = ObserverPipeline(spark, oplog, ckpt).observe(
+        "c", "Data", "qu0", lambda d, e: seen.extend(r.row_key for r in d.collect())
+    )
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(120)
+    assert seen == ["r1"]  # exactly once despite duplicate marks
+
+
+def test_windowed_event_stream_matches_batch(spark, tmpdir):
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("ts", "event_type", "value")
+    # batch ground truth
+    expect = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    exp = {(r.win_start, r.event_type): r.n for r in expect.collect()}
+
+    src = f"{tmpdir}/events"
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = windowed_event_stream(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.win_start, r.event_type): r.n
+        for r in spark.sql("select * from win_out").collect()
+    }
+    assert got == exp
