@@ -471,3 +471,96 @@ def cell_max_qualifiers(spark: SparkSession, sf: str) -> DataFrame:
     )
     v = scan(cells, _schema("q"), ScanDescriptor(max_qualifiers=5), now_us=NOW)
     return v.select("row_key", "qualifier")
+
+
+@query(
+    "cell_check_and_apply",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key,
+           CASE WHEN c_custkey = 1 THEN 'CAS_OK' ELSE c_mktsegment END AS val
+    FROM customer WHERE c_custkey <= 5
+    """,
+)
+def cell_check_and_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CheckAndApply (table.h:140-142): CAS succeeds only when the
+    current visible value equals the expected value. Row 1 is CAS'd
+    with its true current value (applies), row 2 with a wrong expected
+    value (must not apply)."""
+    from tera_spark.operators.mutation import MutationBatch, check_and_apply
+    from tera_spark.operators.scan import get
+
+    cust = load(spark, sf, "customer")
+    cells = cust.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("acct").alias("cf"),
+        F.lit("segment").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.col("c_mktsegment").cast("binary").alias("value"),
+        F.col("c_custkey").alias("seq"),
+    )
+    schema = _schema("acct")
+    # read-modify-write round 1: expected matches → mutation applies
+    cur = get(cells, schema, "0000000001", columns={"acct": ["segment"]}, now_us=NOW).collect()
+    ok = check_and_apply(
+        cells, schema, "0000000001", "acct", "segment",
+        bytes(cur[0].value),
+        MutationBatch(base_seq=10_000_000).put("0000000001", "acct", "segment", "CAS_OK", ts=2),
+        now_us=NOW,
+    )
+    assert ok is not None
+    # round 2: wrong expected value → no mutation
+    no = check_and_apply(
+        cells, schema, "0000000002", "acct", "segment",
+        b"__not_the_value__",
+        MutationBatch(base_seq=20_000_000).put("0000000002", "acct", "segment", "CAS_BAD", ts=2),
+        now_us=NOW,
+    )
+    assert no is None
+    v = current_view(cells.unionByName(ok), schema, now_us=NOW)
+    return v.filter(F.col("row_key") <= "0000000005").select(
+        "row_key", F.col("value").cast("string").alias("val")
+    )
+
+
+@query(
+    "cell_compact_fold",
+    """
+    SELECT row_key, ts, val, 'PUT' AS op FROM (
+      SELECT lpad(cast(l_orderkey AS varchar), 10, '0') AS row_key,
+             cast(row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey)
+                  AS bigint) AS ts,
+             cast(cast(floor(l_quantity) AS bigint) AS varchar) AS val,
+             count(*) OVER (PARTITION BY l_orderkey) AS cnt
+      FROM lineitem
+    ) WHERE ts > cnt - 2
+    """,
+)
+def cell_compact_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """Compaction (tablet_io.cc:605-632): fold the op-log into a
+    materialized base of plain PUTs. Must equal the current view —
+    compact-then-read ≡ read (default_compact_strategy.cc Drop vs
+    ScanDrop share logic)."""
+    from tera_spark.operators.compact import compact
+
+    li = load(spark, sf, "lineitem")
+    wv = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+    )
+    cells = li.select(
+        F.lpad(F.col("l_orderkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("li").alias("cf"),
+        F.lit("qty").alias("qualifier"),
+        F.row_number().over(wv).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.floor("l_quantity").cast("long").cast("string").cast("binary").alias("value"),
+        F.row_number().over(wv).cast("long").alias("seq"),
+    )
+    folded = compact(cells, _schema("li", maxv=2), now_us=NOW)
+    return folded.select(
+        "row_key",
+        "ts",
+        F.col("value").cast("string").alias("val"),
+        F.when(F.col("op") == CellOp.PUT, "PUT").alias("op"),
+    )

@@ -453,3 +453,213 @@ def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.coalesce("O", F.lit(0.0)), 2).alias("spend_o"),
         F.round(F.coalesce("P", F.lit(0.0)), 2).alias("spend_p"),
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+    FROM orders
+    WHERE o_orderdate >= timestamp '1997-01-01 00:00:00'
+      AND o_orderdate <  timestamp '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS → left-semi join (tera has no subqueries; MySQL executes
+    them above ha_tera full scans, sql/src/ha_tera.cc:781-880)."""
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH pr AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM pr WHERE value > (SELECT avg(value) * 1.5 FROM pr)
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    # fraction-of-total: scalar subquery → cross-join of a 1-row aggregate
+    li = load(spark, sf, "lineitem")
+    pr = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("value"))
+    total = pr.agg((F.avg("value") * 1.5).alias("cut"))
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q13_cust_order_distribution",
+    """
+    SELECT c_count, cast(count(*) AS bigint) AS custdist FROM (
+      SELECT c_custkey, cast(count(o_orderkey) AS bigint) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+        AND l_shipdate <  timestamp '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    # correlated scalar subquery → per-key aggregate then equi-join
+    li = load(spark, sf, "lineitem")
+    part = F.broadcast(load(spark, sf, "part").filter(F.col("p_brand") == "Brand#1"))
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    part = F.broadcast(load(spark, sf, "part"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey, cast(count(*) AS bigint) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= timestamp '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("cut"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q_cube_agg",
+    """
+    SELECT coalesce(o_orderstatus, '@ALL') AS status,
+           coalesce(o_orderpriority, '@ALL') AS priority,
+           cast(count(*) AS bigint) AS n,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("@ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("@ALL")).alias("priority"),
+            "n",
+            "spend",
+        )
+    )
