@@ -1,0 +1,196 @@
+"""Differential property test: an independent pure-Python model of the
+cell-visibility semantics (the documented contract of
+operators/view.py, i.e. the reference's ScanDrop + AtomicMergeStrategy
+behavior — src/io/default_compact_strategy.cc:275-402,
+src/io/atomic_merge_strategy.cc:59-109) is run against randomized
+op-logs and must agree cell-for-cell with `current_view`.
+
+Unlike tests/test_compact.py (internal consistency: compact≡view),
+this checks the *semantics themselves* against a second
+implementation, transliterating the reference's scan-loop state
+machine into plain Python.
+
+The generator keeps each qualifier "typed" (counter / append / text),
+mirroring real tera usage — merging an ADD into a 3-byte text PUT is
+codec-undefined in both implementations and not a behavior we pin.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+import pytest
+
+from tera_spark.functions.codecs import (
+    py_decode_be_i64,
+    py_decode_le_i64,
+    py_encode_be_i64,
+    py_encode_le_i64,
+)
+from tera_spark.model import CELL_SCHEMA, CellOp
+from tera_spark.operators.view import current_view
+from tera_spark.registry import TableSchema
+
+NOW = 2_000_000_000_000_000
+
+# qualifier → allowed data ops (PUT values typed to match the merge kind)
+QUAL_KINDS = {
+    "cnt": (CellOp.ADD,),
+    "cn2": (CellOp.ADDINT64,),
+    "log": (CellOp.APPEND,),
+    "txt": (CellOp.PUT_IFABSENT,),
+}
+
+
+def _schema() -> TableSchema:
+    t = TableSchema("t")
+    t.add_column_family("cf0", max_versions=1)
+    t.add_column_family("cf1", max_versions=3)
+    t.add_column_family("cfttl", max_versions=2, ttl=1000)  # seconds
+    return t
+
+
+def _gen_oplog(seed: int, n: int = 500) -> list[tuple]:
+    rng = random.Random(seed)
+    rows = []
+    cfs = ["cf0", "cf1", "cfttl", "zz_illegal"]
+    quals = list(QUAL_KINDS)
+    for seq in range(n):
+        r = rng.random()
+        rk = f"row{rng.randrange(10):02d}"
+        cf = rng.choice(cfs)
+        qu = rng.choice(quals)
+        # cfttl: half the cells land beyond the 1000 s TTL horizon
+        if cf == "cfttl" and rng.random() < 0.5:
+            ts = rng.randrange(1, 60)
+        else:
+            ts = NOW - rng.randrange(1, 60)
+        if r < 0.03:
+            rows.append((rk, "", "", ts, CellOp.DEL_ROW, None, seq))
+        elif r < 0.08:
+            rows.append((rk, cf, "", ts, CellOp.DEL_FAMILY, None, seq))
+        elif r < 0.14:
+            rows.append((rk, cf, qu, ts, CellOp.DEL_QUALIFIERS, None, seq))
+        elif r < 0.22:
+            rows.append((rk, cf, qu, ts, CellOp.DEL_QUALIFIER, None, seq))
+        else:
+            kind = QUAL_KINDS[qu][0]
+            if rng.random() < 0.45:  # a PUT (typed for the column)
+                if kind == CellOp.ADD:
+                    val = py_encode_be_i64(rng.randrange(0, 1000))
+                elif kind == CellOp.ADDINT64:
+                    val = py_encode_le_i64(rng.randrange(0, 1000))
+                else:
+                    val = f"v{seq % 13}".encode()
+                rows.append((rk, cf, qu, ts, CellOp.PUT, val, seq))
+            else:
+                if kind == CellOp.ADD:
+                    val = py_encode_be_i64(rng.randrange(-5, 10))
+                elif kind == CellOp.ADDINT64:
+                    val = py_encode_le_i64(rng.randrange(-5, 10))
+                else:
+                    val = f"x{seq % 7}".encode()
+                rows.append((rk, cf, qu, ts, kind, val, seq))
+    return rows
+
+
+# --- the model ------------------------------------------------------------
+
+ATOMIC = {CellOp.ADD, CellOp.ADDINT64, CellOp.APPEND, CellOp.PUT_IFABSENT}
+
+
+def model_view(rows: list[tuple], schema: TableSchema, now_us: int) -> set[tuple]:
+    cf_props = {c.name: c for c in schema.column_families.values()}
+
+    neg_inf = -(1 << 62)
+    del_row = defaultdict(lambda: neg_inf)
+    del_cf = defaultdict(lambda: neg_inf)
+    del_qu = defaultdict(lambda: neg_inf)
+    for rk, cf, qu, ts, op, val, seq in rows:
+        if op == CellOp.DEL_ROW:
+            del_row[rk] = max(del_row[rk], ts)
+        elif op == CellOp.DEL_FAMILY:
+            del_cf[(rk, cf)] = max(del_cf[(rk, cf)], ts)
+        elif op == CellOp.DEL_QUALIFIERS:
+            del_qu[(rk, cf, qu)] = max(del_qu[(rk, cf, qu)], ts)
+
+    cols = defaultdict(list)
+    for rk, cf, qu, ts, op, val, seq in rows:
+        if op in (CellOp.DEL_ROW, CellOp.DEL_FAMILY, CellOp.DEL_QUALIFIERS):
+            continue
+        if ts <= max(del_row[rk], del_cf[(rk, cf)], del_qu[(rk, cf, qu)]):
+            continue
+        if cf not in cf_props:
+            continue
+        ttl = cf_props[cf].ttl
+        if op >= CellOp.PUT and ttl > 0 and ts < now_us - ttl * 1_000_000:
+            continue
+        cols[(rk, cf, qu)].append((ts, op, val, seq))
+
+    out = set()
+    for (rk, cf, qu), entries in cols.items():
+        maxv = cf_props[cf].max_versions
+        # scan order: ts desc, op asc (delete marks before values), seq desc
+        entries.sort(key=lambda x: (-x[0], x[1], -x[3]))
+        # leading run of atomic ops
+        run = 0
+        while run < len(entries) and entries[run][1] in ATOMIC:
+            run += 1
+        glen = run + (
+            1 if run > 0 and run < len(entries) and entries[run][1] == CellOp.PUT else 0
+        )
+        grp, rest = entries[:glen], entries[glen:]
+        if run > 0 and maxv >= 1:
+            kind = grp[0][1]
+            # same-ts dedup for atomic entries (vs the raw previous entry)
+            deduped = [
+                x
+                for i, x in enumerate(grp)
+                if x[1] == CellOp.PUT or i == 0 or x[0] != grp[i - 1][0]
+            ]
+            mergeable = [x for x in deduped if x[1] in (kind, CellOp.PUT)]
+            if kind == CellOp.ADD:
+                val = py_encode_be_i64(
+                    _wrap(sum(py_decode_be_i64(x[2]) for x in mergeable))
+                )
+            elif kind == CellOp.ADDINT64:
+                val = py_encode_le_i64(
+                    _wrap(sum(py_decode_le_i64(x[2]) for x in mergeable))
+                )
+            elif kind == CellOp.APPEND:
+                val = b"".join(x[2] for x in reversed(mergeable))
+            else:  # PUT_IFABSENT: oldest wins
+                val = mergeable[-1][2]
+            out.add((rk, cf, qu, grp[0][0], val))
+        # remainder: DEL_QUALIFIER arming + version cap
+        vnum = 1 if run > 0 else 0
+        prev = 0
+        for ts, op, val, seq in rest:
+            consumed = prev == CellOp.DEL_QUALIFIER
+            if op == CellOp.PUT:
+                vnum += 1
+                if not consumed and vnum <= maxv:
+                    out.add((rk, cf, qu, ts, val))
+            prev = op
+    return out
+
+
+def _wrap(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91, 2024])
+def test_view_matches_independent_model(spark, seed):
+    rows = _gen_oplog(seed)
+    schema = _schema()
+    got = {
+        (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value) if r.value is not None else None)
+        for r in current_view(
+            spark.createDataFrame(rows, CELL_SCHEMA), schema, now_us=NOW
+        ).collect()
+    }
+    want = model_view(rows, schema, NOW)
+    missing, extra = want - got, got - want
+    assert got == want, f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]}"
