@@ -188,25 +188,34 @@ def current_view(
         | (i == 0)
         | (x["ts"] != F.get(grp, i - 1)["ts"]),
     )
-    # entries the merge kind actually folds (matching atomic kind or PUT base)
-    mergeable = F.filter(deduped, lambda x: (x["op"] == kind) | (x["op"] == CellOp.PUT))
-
-    sum_be = be_i64_encode(
-        F.aggregate(mergeable, F.lit(0).cast("long"), lambda acc, x: acc + be_i64_decode(x["value"]))
+    # entries the merge kind actually folds (matching atomic kind or PUT
+    # base) — staged as a column so the fold below runs once per group,
+    # not once per reference (the little-endian encoder alone references
+    # its input 8×, one per byte pair; inlined, each re-ran the fold)
+    grouped = grouped.withColumn(
+        "mergeable", F.filter(deduped, lambda x: (x["op"] == kind) | (x["op"] == CellOp.PUT))
     )
+    mergeable = F.col("mergeable")
+
     # ADDINT64 decodes little-endian for deltas AND the PUT base alike
     # (MergeStep: `int64_ += *(int64_t*)value.data()` for both types).
-    sum_le = le_i64_encode(
-        F.aggregate(mergeable, F.lit(0).cast("long"), lambda acc, x: acc + le_i64_decode(x["value"]))
+    sum_long = F.when(
+        kind == CellOp.ADD,
+        F.aggregate(mergeable, F.lit(0).cast("long"), lambda acc, x: acc + be_i64_decode(x["value"])),
+    ).when(
+        kind == CellOp.ADDINT64,
+        F.aggregate(mergeable, F.lit(0).cast("long"), lambda acc, x: acc + le_i64_decode(x["value"])),
     )
+    grouped = grouped.withColumn("sum_long", sum_long)
+
     concat_asc = F.aggregate(
         F.reverse(mergeable), F.lit(b""), lambda acc, x: F.concat(acc, x["value"])
     )
     oldest_wins = F.element_at(mergeable, -1)["value"]
 
     merged_value = (
-        F.when(kind == CellOp.ADD, sum_be)
-        .when(kind == CellOp.ADDINT64, sum_le)
+        F.when(kind == CellOp.ADD, be_i64_encode(F.col("sum_long")))
+        .when(kind == CellOp.ADDINT64, le_i64_encode(F.col("sum_long")))
         .when(kind == CellOp.APPEND, concat_asc)
         .otherwise(oldest_wins)
     )
