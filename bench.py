@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q13_cust_order_distribution",
     "q18_large_volume_customer",
     "q_topk_per_group",
     "cell_multiversion_trim",
@@ -32,6 +33,9 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_tumbling_window",
     "dedup_exact_hash",
+    "dedup_lsh_verified",
+    "ann_cosine_topk",
+    "text_quality_score",
 ]
 
 

@@ -564,3 +564,75 @@ def cell_compact_fold(spark: SparkSession, sf: str) -> DataFrame:
         F.col("value").cast("string").alias("val"),
         F.when(F.col("op") == CellOp.PUT, "PUT").alias("op"),
     )
+
+
+@query(
+    "cell_snapshot_read",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS row_key,
+           CASE WHEN c_custkey < 100 THEN 'UPDATED' ELSE c_mktsegment END AS val
+    FROM customer
+    """,
+)
+def cell_snapshot_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot reads (SetSnapshot scan.h:121, SnapshotIDToSeq
+    tablet_io.cc:698-706): the view folded only over cells with
+    seq <= snapshot. Updates for custkey < 100 are inside the
+    snapshot; later updates (seq > snapshot) are invisible."""
+    cust = load(spark, sf, "customer")
+
+    def upd(pred, newval, seq_base):
+        return cust.filter(pred).select(
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+            F.lit("acct").alias("cf"),
+            F.lit("segment").alias("qualifier"),
+            F.lit(2).cast("long").alias("ts"),
+            F.lit(CellOp.PUT).alias("op"),
+            F.lit(newval).cast("binary").alias("value"),
+            (F.col("c_custkey") + seq_base).alias("seq"),
+        )
+
+    base = cust.select(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("acct").alias("cf"),
+        F.lit("segment").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.col("c_mktsegment").cast("binary").alias("value"),
+        F.col("c_custkey").alias("seq"),
+    )
+    in_snap = upd(F.col("c_custkey") < 100, "UPDATED", F.lit(1_000_000))
+    after_snap = upd(F.col("c_custkey") >= 100, "TOO_LATE", F.lit(9_000_000))
+    cells = base.unionByName(in_snap).unionByName(after_snap)
+    v = scan(cells, _schema("acct"), now_us=NOW, snapshot_seq=2_000_000)
+    return v.select("row_key", F.col("value").cast("string").alias("val"))
+
+
+@query(
+    "cell_time_range_scan",
+    """
+    SELECT lpad(cast(o_orderkey AS varchar), 10, '0') AS row_key,
+           cast(epoch_us(o_orderdate) AS bigint) AS ts,
+           o_orderpriority AS val
+    FROM orders
+    WHERE epoch_us(o_orderdate) >= epoch_us(timestamp '1996-01-01 00:00:00')
+      AND epoch_us(o_orderdate) <= epoch_us(timestamp '1996-12-31 23:59:59')
+    """,
+)
+def cell_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """SetTimeRange (scan.h:96-99): ts-interval predicate applied after
+    version logic; here each order is one version stamped with its
+    order date in epoch-microseconds."""
+    orders = load(spark, sf, "orders")
+    cells = orders.select(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
+        F.lit("o").alias("cf"),
+        F.lit("prio").alias("qualifier"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.col("o_orderpriority").cast("binary").alias("value"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    desc = ScanDescriptor(ts_start=820_454_400_000_000, ts_end=852_076_799_000_000)
+    v = scan(cells, _schema("o"), desc, now_us=NOW)
+    return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))

@@ -311,3 +311,36 @@ def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "dedup_lsh_verified",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS s FROM documents)
+    SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b,
+           round(len(list_intersect(sa.s, sb.s))::double /
+                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.s, sb.s))::double /
+                (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) >= 0.5
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """The production dedup composition: LSH candidate generation →
+    exact-Jaccard verification over candidates only (never all pairs)."""
+    from tera_spark.operators.dedup import verified_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    return verified_near_duplicates(docs, threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
