@@ -111,3 +111,33 @@ def events_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
         )
     )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           cast(sum(json_extract(props, '$.k')::bigint) AS bigint) AS k_sum,
+           cast(max(json_extract(props, '$.k')::bigint) AS bigint) AS k_max,
+           cast(count(*) AS bigint) AS n
+    FROM events
+    WHERE json_extract(props, '$.k')::bigint % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def events_json(spark: SparkSession, sf: str) -> DataFrame:
+    # semi-structured props column: JSON-path extraction feeding
+    # predicate + aggregation (the scalar-function surface the
+    # reference delegates to MySQL)
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

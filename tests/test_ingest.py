@@ -1,0 +1,65 @@
+"""Bulk import/export round-trips: CSV/JSON/parquet → cell table →
+rows again."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tera_spark.operators.view import current_view
+from tera_spark.registry import TableSchema
+from tera_spark.sources.ingest import export_rows, import_table, rows_to_cells
+
+NOW = 2_000_000_000_000_000
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="tera_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_import_round_trip(spark, tmpdir):
+    src = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", None), (3, "carol", 7.25)],
+        "id int, name string, score double",
+    )
+    src.coalesce(1).write.options(header=True).csv(f"{tmpdir}/src")
+    n = import_table(
+        spark, f"{tmpdir}/src", f"{tmpdir}/cells", key_col="id", fmt="csv", cf="d"
+    )
+    assert n == 5  # 3 names + 2 non-null scores
+    schema = TableSchema("t").add_column_family("d")
+    v = current_view(spark.read.parquet(f"{tmpdir}/cells"), schema, now_us=NOW)
+    back = export_rows(v, key_col="id")
+    got = {r.id: (r.name, r.score) for r in back.collect()}
+    assert got["1"] == ("alice", "10.5")
+    assert got["2"] == ("bob", None)  # NULL stayed NULL (no cell)
+
+
+def test_parquet_import_prunes_on_key(spark, tmpdir):
+    src = spark.createDataFrame(
+        [(f"k{i:04d}", i) for i in range(1000)], "rk string, v int"
+    )
+    src.write.parquet(f"{tmpdir}/src")
+    import_table(spark, f"{tmpdir}/src", f"{tmpdir}/cells", key_col="rk")
+    cells = spark.read.parquet(f"{tmpdir}/cells")
+    one = cells.filter(F.col("row_key") == "k0042")
+    assert one.count() == 1
+    assert bytes(one.collect()[0].value) == b"42"
+
+
+def test_json_import(spark, tmpdir):
+    src = spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2)], "k string, s string, n bigint"
+    )
+    src.coalesce(1).write.json(f"{tmpdir}/src")
+    n = import_table(spark, f"{tmpdir}/src", f"{tmpdir}/cells", key_col="k", fmt="json")
+    assert n == 4
+    cells = spark.read.parquet(f"{tmpdir}/cells")
+    quals = {r.qualifier for r in cells.select("qualifier").distinct().collect()}
+    assert quals == {"s", "n"}
