@@ -115,3 +115,18 @@ class Catalog:
         oplog.rename(bak)
         shutil.copytree(snap, oplog)
         shutil.rmtree(bak)
+
+    def optimize(self, name: str, *, buckets: int | None = None) -> int:
+        """Re-shard the op-log into ``buckets`` range partitions sorted
+        by row_key — the split/merge-tablet analog (TabletIO::Split
+        tablet_io.cc:550-604, merge_tablet_procedure.cc): tera re-shards
+        when tablets grow/shrink; here one job rewrites the layout and
+        every later scan prunes against the new file ranges. Returns
+        the file count written."""
+        df = self.read_oplog(name)
+        oplog = self.root / name / "oplog"
+        tmp = self.root / name / "oplog.opt"
+        write_cell_table(df, str(tmp), buckets=buckets)
+        shutil.rmtree(oplog)
+        tmp.rename(oplog)
+        return len(list(oplog.glob("part-*")))

@@ -32,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=100)
     sp = sub.add_parser("compact"); sp.add_argument("table")
     sp = sub.add_parser("snapshot"); sp.add_argument("table")
+    sp = sub.add_parser("optimize"); sp.add_argument("table")
+    sp.add_argument("--buckets", type=int)
+    sp = sub.add_parser("import")
+    for a in ("table", "src", "key_col"):
+        sp.add_argument(a)
+    sp.add_argument("--fmt", default="csv")
+    sp.add_argument("--cf", default="data")
+    sp = sub.add_parser("export"); sp.add_argument("table"); sp.add_argument("dest")
 
     args = ap.parse_args(argv)
 
@@ -72,6 +80,23 @@ def main(argv: list[str] | None = None) -> int:
         cat.compact_inplace(args.table); print("compacted")
     elif args.cmd == "snapshot":
         print(cat.snapshot(args.table))
+    elif args.cmd == "optimize":
+        print(f"{cat.optimize(args.table, buckets=args.buckets)} files")
+    elif args.cmd == "import":
+        from tera_spark.sources.ingest import rows_to_cells, read_input
+
+        cells = rows_to_cells(
+            read_input(spark, args.src, args.fmt), args.key_col, args.cf
+        )
+        cat.append(args.table, cells)
+        print(f"imported {cells.count()} cells")
+    elif args.cmd == "export":
+        from tera_spark.sources.ingest import export_rows
+
+        export_rows(cat.view(args.table)).write.mode("overwrite").options(
+            header=True
+        ).csv(args.dest)
+        print("exported")
     return 0
 
 

@@ -1,0 +1,80 @@
+"""Catalog DDL/admin and CLI surface (create/put/import/scan/compact/
+optimize/export round-trips on a temp table root)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from tera_spark.catalog import Catalog
+from tera_spark.operators.mutation import MutationBatch
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tera_cat_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def cat(spark, root):
+    return Catalog(spark, root)
+
+
+def test_ddl_lifecycle(cat):
+    s = cat.create_table("tbl1 {cf0 <maxversions=2>}")
+    assert s.name == "tbl1" and cat.is_table_exist("tbl1")
+    assert cat.list_tables() == ["tbl1"]
+    assert cat.get_schema("tbl1").cf("cf0").max_versions == 2
+    with pytest.raises(ValueError):
+        cat.create_table("tbl1 {cf0}")
+    cat.drop_table("tbl1")
+    assert not cat.is_table_exist("tbl1")
+
+
+def test_write_view_compact_optimize(cat, spark):
+    cat.create_table("t2 {d <maxversions=1>}")
+    b = MutationBatch()
+    for i in range(100):
+        b.put(f"k{i:03d}", "d", "v", f"val{i}", ts=1)
+    b.put("k000", "d", "v", "updated", ts=2)
+    cat.append("t2", b.to_df(spark))
+    v = {r.row_key: bytes(r.value) for r in cat.view("t2").collect()}
+    assert v["k000"] == b"updated" and len(v) == 100
+    cat.compact_inplace("t2")
+    v2 = {r.row_key: bytes(r.value) for r in cat.view("t2").collect()}
+    assert v2 == v
+    nfiles = cat.optimize("t2", buckets=4)
+    assert nfiles >= 1
+    v3 = {r.row_key: bytes(r.value) for r in cat.view("t2").collect()}
+    assert v3 == v
+
+
+def test_snapshot_isolation(cat, spark):
+    cat.create_table("t3 {d}")
+    cat.append("t3", MutationBatch().put("r", "d", "q", "v1", ts=1).to_df(spark))
+    sid = cat.snapshot("t3")
+    cat.append("t3", MutationBatch(base_seq=10).put("r", "d", "q", "v2", ts=2).to_df(spark))
+    snap = {bytes(r.value) for r in cat.read_snapshot("t3", sid).collect()}
+    live = {bytes(r.value) for r in cat.view("t3").collect()}
+    assert snap == {b"v1"} and live == {b"v2"}
+    assert cat.list_snapshots("t3") == [sid]
+
+
+def test_cli_end_to_end(spark, root, tmp_path, monkeypatch, capsys):
+    from tera_spark.cli import main
+
+    assert main(["--root", root, "create", "clitab {cf0}"]) == 0
+    assert main(["--root", root, "put", "clitab", "row1", "cf0:greeting", "hello", "--ts", "5"]) == 0
+    assert main(["--root", root, "get", "clitab", "row1"]) == 0
+    out = capsys.readouterr().out
+    assert "hello" in out
+    assert main(["--root", root, "scan", "clitab", "--start", "row0", "--end", "row2"]) == 0
+    assert "greeting" in capsys.readouterr().out
+    assert main(["--root", root, "compact", "clitab"]) == 0
+    assert main(["--root", root, "optimize", "clitab"]) == 0
+    assert main(["--root", root, "show"]) == 0
+    assert "clitab" in capsys.readouterr().out
