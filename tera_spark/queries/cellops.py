@@ -94,12 +94,17 @@ def cell_scan_range(spark: SparkSession, sf: str) -> DataFrame:
 def cell_multiversion(spark: SparkSession, sf: str) -> DataFrame:
     # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
     # version timestamps come from a deterministic row_number ordering
-    li = load(spark, sf, "lineitem")
-    wv = W.partitionBy("l_orderkey").orderBy(
+    li = load(spark, sf, "lineitem").withColumn(
+        "row_key", F.lpad(F.col("l_orderkey").cast("string"), 10, "0")
+    )
+    # window on the derived row_key (bijective with the raw key): the
+    # fixture's exchange then satisfies the view's row_key distribution,
+    # so current_view adds no second shuffle
+    wv = W.partitionBy("row_key").orderBy(
         "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
     )
     cells = li.select(
-        F.lpad(F.col("l_orderkey").cast("string"), 10, "0").alias("row_key"),
+        "row_key",
         F.lit("li").alias("cf"),
         F.lit("qty").alias("qualifier"),
         F.row_number().over(wv).cast("long").alias("ts"),
@@ -183,10 +188,15 @@ def cell_tombstone(spark: SparkSession, sf: str) -> DataFrame:
 def cell_counter(spark: SparkSession, sf: str) -> DataFrame:
     # unique per-group ts via row_number: the engine's same-ts dedup is
     # reference behavior, so colliding timestamps would drop deltas
-    li = load(spark, sf, "lineitem")
-    wv = W.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    li = load(spark, sf, "lineitem").withColumn(
+        "row_key", F.lpad(F.col("l_suppkey").cast("string"), 10, "0")
+    )
+    # window on the derived row_key (bijective with the raw key): the
+    # fixture's exchange then satisfies the view's row_key distribution,
+    # so current_view adds no second shuffle
+    wv = W.partitionBy("row_key").orderBy("l_orderkey", "l_linenumber", "l_quantity")
     cells = li.select(
-        F.lpad(F.col("l_suppkey").cast("string"), 10, "0").alias("row_key"),
+        "row_key",
         F.lit("c").alias("cf"),
         F.lit("qty").alias("qualifier"),
         F.row_number().over(wv).cast("long").alias("ts"),
@@ -208,12 +218,17 @@ def cell_counter(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def cell_append(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
-    wv = W.partitionBy("l_orderkey").orderBy(
+    li = load(spark, sf, "lineitem").withColumn(
+        "row_key", F.lpad(F.col("l_orderkey").cast("string"), 10, "0")
+    )
+    # window on the derived row_key (bijective with the raw key): the
+    # fixture's exchange then satisfies the view's row_key distribution,
+    # so current_view adds no second shuffle
+    wv = W.partitionBy("row_key").orderBy(
         "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
     )
     cells = li.select(
-        F.lpad(F.col("l_orderkey").cast("string"), 10, "0").alias("row_key"),
+        "row_key",
         F.lit("l").alias("cf"),
         F.lit("log").alias("qualifier"),
         F.row_number().over(wv).cast("long").alias("ts"),
@@ -235,10 +250,15 @@ def cell_append(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def cell_ifabsent(spark: SparkSession, sf: str) -> DataFrame:
-    li = load(spark, sf, "lineitem")
-    wv = W.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+    li = load(spark, sf, "lineitem").withColumn(
+        "row_key", F.lpad(F.col("l_partkey").cast("string"), 10, "0")
+    )
+    # window on the derived row_key (bijective with the raw key): the
+    # fixture's exchange then satisfies the view's row_key distribution,
+    # so current_view adds no second shuffle
+    wv = W.partitionBy("row_key").orderBy("l_orderkey", "l_linenumber", "l_suppkey")
     cells = li.select(
-        F.lpad(F.col("l_partkey").cast("string"), 10, "0").alias("row_key"),
+        "row_key",
         F.lit("p").alias("cf"),
         F.lit("supp").alias("qualifier"),
         F.row_number().over(wv).cast("long").alias("ts"),
@@ -460,7 +480,7 @@ def cell_max_qualifiers(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_suppkey", "l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.lpad(F.col("l_suppkey").cast("string"), 10, "0").alias("row_key"),
+            "row_key",
             F.lit("q").alias("cf"),
             F.lpad(F.col("l_partkey").cast("string"), 10, "0").alias("qualifier"),
             F.lit(1).cast("long").alias("ts"),
@@ -544,12 +564,17 @@ def cell_compact_fold(spark: SparkSession, sf: str) -> DataFrame:
     ScanDrop share logic)."""
     from tera_spark.operators.compact import compact
 
-    li = load(spark, sf, "lineitem")
-    wv = W.partitionBy("l_orderkey").orderBy(
+    li = load(spark, sf, "lineitem").withColumn(
+        "row_key", F.lpad(F.col("l_orderkey").cast("string"), 10, "0")
+    )
+    # window on the derived row_key (bijective with the raw key): the
+    # fixture's exchange then satisfies the view's row_key distribution,
+    # so current_view adds no second shuffle
+    wv = W.partitionBy("row_key").orderBy(
         "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
     )
     cells = li.select(
-        F.lpad(F.col("l_orderkey").cast("string"), 10, "0").alias("row_key"),
+        "row_key",
         F.lit("li").alias("cf"),
         F.lit("qty").alias("qualifier"),
         F.row_number().over(wv).cast("long").alias("ts"),
