@@ -116,6 +116,30 @@ class Catalog:
         shutil.copytree(snap, oplog)
         shutil.rmtree(bak)
 
+    def tablet_info(self, name: str) -> list[dict]:
+        """Partition introspection — the GetTabletLocation /
+        GetStartEndKeys debug surface (include/tera/table.h:131-133):
+        one entry per op-log file with its row_key bounds from Parquet
+        footer stats (files are range-sorted, so bounds are tablet
+        start/end keys)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted((self.root / name / "oplog").glob("part-*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            lo, hi, rows = None, None, 0
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                rows += g.num_rows
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == "row_key" and col.statistics:
+                        st = col.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            out.append({"file": f.name, "start_key": lo, "end_key": hi, "rows": rows})
+        return out
+
     def optimize(self, name: str, *, buckets: int | None = None) -> int:
         """Re-shard the op-log into ``buckets`` range partitions sorted
         by row_key — the split/merge-tablet analog (TabletIO::Split

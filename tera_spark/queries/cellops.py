@@ -480,7 +480,7 @@ def cell_max_qualifiers(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_suppkey", "l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            "row_key",
+            F.lpad(F.col("l_suppkey").cast("string"), 10, "0").alias("row_key"),
             F.lit("q").alias("cf"),
             F.lpad(F.col("l_partkey").cast("string"), 10, "0").alias("qualifier"),
             F.lit(1).cast("long").alias("ts"),

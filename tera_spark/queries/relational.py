@@ -663,3 +663,37 @@ def q_cube(spark: SparkSession, sf: str) -> DataFrame:
             "spend",
         )
     )
+
+
+@query(
+    "q_sql_surface",
+    """
+    SELECT n_name, o_orderstatus,
+           cast(count(*) AS bigint) AS n_orders,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
+    GROUP BY n_name, o_orderstatus
+    """,
+)
+def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL entry point itself (the reference's MySQL frontend,
+    sql/src/ha_tera.cc): tables registered as views, query typed as
+    SQL, planned by Catalyst."""
+    from tera_spark.sources.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
+        GROUP BY n_name, o_orderstatus
+        """
+    )

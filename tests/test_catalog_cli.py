@@ -78,3 +78,34 @@ def test_cli_end_to_end(spark, root, tmp_path, monkeypatch, capsys):
     assert main(["--root", root, "optimize", "clitab"]) == 0
     assert main(["--root", root, "show"]) == 0
     assert "clitab" in capsys.readouterr().out
+
+
+def test_online_schema_change(cat, spark):
+    # UpdateTableSchema (client.h:49-50): properties apply to the NEXT
+    # read — the view builder consumes the registry lazily
+    cat.create_table("t4 {d <maxversions=1>}")
+    b = MutationBatch()
+    for ts in (1, 2, 3):
+        b.put("r", "d", "q", f"v{ts}", ts=ts)
+    cat.append("t4", b.to_df(spark))
+    assert {r.ts for r in cat.view("t4").collect()} == {3}
+    s = cat.get_schema("t4")
+    s.cf("d").max_versions = 2
+    cat.update_schema(s)
+    assert {r.ts for r in cat.view("t4").collect()} == {2, 3}
+
+
+def test_tablet_info_bounds(cat, spark):
+    cat.create_table("t5 {d}")
+    b = MutationBatch()
+    for i in range(200):
+        b.put(f"k{i:04d}", "d", "q", f"v{i}", ts=1)
+    cat.append("t5", b.to_df(spark))
+    cat.optimize("t5", buckets=4)
+    info = cat.tablet_info("t5")
+    assert sum(t["rows"] for t in info) == 200
+    nonempty = [t for t in info if t["rows"]]
+    assert nonempty[0]["start_key"] == "k0000"
+    # files form an ordered, non-overlapping range partition
+    for a, b2 in zip(nonempty, nonempty[1:]):
+        assert a["end_key"] <= b2["start_key"]
