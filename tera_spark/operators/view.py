@@ -42,13 +42,16 @@ first entry of a qualifier and ScanDrop lets orphan atomics through
 when no newer PUT exists). We define the cleaner semantics — atomic
 ops below the head run are never visible raw — and pin it in tests.
 
-Plan shape: ONE hash shuffle on row_key serves the three tombstone
-windows and the final (row, cf, qualifier) aggregation (hash
-partitioning on a prefix satisfies ClusteredDistribution for all of
-them), so the whole view is a single-exchange pipeline — the property
-that keeps it viable at 100 TB. All sequential per-qualifier logic
-runs JVM-side over small collected arrays via higher-order functions;
-no Python UDFs.
+Plan shape: ONE hash shuffle total, and NO cell-level sort. A single
+hash aggregation on (row_key, cf, qualifier) collects each column's
+ops and, in the same pass, the per-granularity delete-mark maxima;
+row/cf-level masks then spread via windows over the aggregated rows
+(one row per qualifier — orders of magnitude fewer than cells, and
+hash partitioning on the row_key prefix satisfies their clustering,
+so no second exchange). Masking filters the collected arrays. All
+sequential per-qualifier logic runs JVM-side over those arrays via
+higher-order functions; no Python UDFs. This is the property that
+keeps the view viable at 100 TB.
 """
 
 from __future__ import annotations
@@ -109,48 +112,67 @@ def current_view(
 
     op, ts = F.col("op"), F.col("ts")
 
-    # --- phase A: cell-level masks (tombstones, TTL, illegal cf) -------
-    w_row = Window.partitionBy("row_key")
-    w_cf = Window.partitionBy("row_key", "cf")
-    w_qu = Window.partitionBy("row_key", "cf", "qualifier")
-    df = (
-        df.withColumn("_del_row", F.max(F.when(op == CellOp.DEL_ROW, ts)).over(w_row))
-        .withColumn("_del_cf", F.max(F.when(op == CellOp.DEL_FAMILY, ts)).over(w_cf))
-        .withColumn("_del_qu", F.max(F.when(op == CellOp.DEL_QUALIFIERS, ts)).over(w_qu))
-    )
-    masked = (
-        (ts <= F.coalesce(F.col("_del_row"), F.lit(-(1 << 62))))
-        | (ts <= F.coalesce(F.col("_del_cf"), F.lit(-(1 << 62))))
-        | (ts <= F.coalesce(F.col("_del_qu"), F.lit(-(1 << 62))))
-    )
-    survivors = df.filter(~op.isin(CellOp.DEL_ROW, CellOp.DEL_FAMILY, CellOp.DEL_QUALIFIERS)).filter(
-        ~masked
-    )
+    # --- phase A: cheap row-local pre-filters (TTL, illegal cf) --------
+    # Delete *marks* must survive to the aggregation: row-delete marks
+    # carry cf="" (exempt from cf legality), family/qualifiers marks for
+    # legal cfs pass the filter, and TTL only applies to data ops.
     if schema is not None and schema.column_families:
         legal = [cf.name for cf in schema.column_families.values()]
-        survivors = survivors.filter(F.col("cf").isin(legal))
+        df = df.filter(F.col("cf").isin(legal) | (op == CellOp.DEL_ROW))
         ttl_map = _cf_prop_map(schema, "ttl", 0)
         ttl_s = F.coalesce(ttl_map[F.col("cf")], F.lit(0))
         expired = (op >= CellOp.PUT) & (ttl_s > 0) & (ts < F.lit(now_us) - ttl_s.cast("long") * 1_000_000)
-        survivors = survivors.filter(~expired)
+        df = df.filter(~expired)
 
     maxv_map = _cf_prop_map(schema, "max_versions", default_max_versions)
 
-    # --- phase B: per-qualifier sequential semantics over sorted arrays
-    grouped = survivors.groupBy("row_key", "cf", "qualifier").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    (-ts).alias("nts"),
-                    op.alias("sop"),
-                    (-F.col("seq")).alias("nseq"),
-                    ts.alias("ts"),
-                    op.alias("op"),
-                    F.col("value").alias("value"),
+    # --- phase B: one hash aggregation collects each qualifier's ops
+    # AND its delete-mark maxima; row/cf-granularity masks then spread
+    # via windows over the *aggregated* rows (one per qualifier — orders
+    # of magnitude smaller than the cell count, and clustered by the
+    # same hash partitioning, so no extra exchange and no cell-level
+    # sort). Masking happens on the collected arrays.
+    grouped = (
+        df.groupBy("row_key", "cf", "qualifier")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-ts).alias("nts"),
+                        op.alias("sop"),
+                        (-F.col("seq")).alias("nseq"),
+                        ts.alias("ts"),
+                        op.alias("op"),
+                        F.col("value").alias("value"),
+                    )
                 )
+            ).alias("entries_raw"),
+            F.max(F.when(op == CellOp.DEL_QUALIFIERS, ts)).alias("_del_qu"),
+            F.max(F.when(op == CellOp.DEL_ROW, ts)).alias("_row_mark"),
+            F.max(F.when(op == CellOp.DEL_FAMILY, ts)).alias("_cf_mark"),
+        )
+        .withColumn("maxv", F.coalesce(maxv_map[F.col("cf")], F.lit(default_max_versions)))
+    )
+    w_row = Window.partitionBy("row_key")
+    w_cf = Window.partitionBy("row_key", "cf")
+    grouped = grouped.withColumn("_del_row", F.max("_row_mark").over(w_row)).withColumn(
+        "_del_cf", F.max("_cf_mark").over(w_cf)
+    )
+    mask = F.greatest(
+        F.coalesce(F.col("_del_row"), F.lit(-(1 << 62))),
+        F.coalesce(F.col("_del_cf"), F.lit(-(1 << 62))),
+        F.coalesce(F.col("_del_qu"), F.lit(-(1 << 62))),
+    )
+    grouped = grouped.withColumn(
+        "entries",
+        F.filter(
+            "entries_raw",
+            lambda x: ~x["op"].isin(
+                CellOp.DEL_ROW, CellOp.DEL_FAMILY, CellOp.DEL_QUALIFIERS
             )
-        ).alias("entries"),
-    ).withColumn("maxv", F.coalesce(maxv_map[F.col("cf")], F.lit(default_max_versions)))
+            & (x["ts"] > mask),
+        ),
+    ).drop("entries_raw", "_del_qu", "_row_mark", "_cf_mark", "_del_row", "_del_cf")
 
     e = F.col("entries")
     maxv_c = F.col("maxv")
