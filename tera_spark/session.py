@@ -13,7 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "tera_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "tera_spark",
+    shuffle_partitions: int | None = None,
+    *,
+    rocksdb_state: bool = False,
+) -> SparkSession:
+    """``rocksdb_state=True`` switches Structured Streaming state to the
+    RocksDB provider — the scale choice when stateful-operator state
+    (sessionizer keys, dedup windows) exceeds executor heap; the default
+    in-memory provider is faster for the local test volumes."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
@@ -30,6 +39,11 @@ def get_spark(app_name: str = "tera_spark", shuffle_partitions: int | None = Non
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
