@@ -115,3 +115,36 @@ def ivf_near_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def blocked_cosine_pairs(
+    vectors: DataFrame,
+    *,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    The block key (a cluster id, shard, or IVF assignment from
+    ``ivf_assign``) bounds the quadratic pair expansion: the self-join
+    shuffles once on ``block_col`` and compares only within-block pairs,
+    so cost is sum(block²) instead of N². Cosine is computed once per
+    pair behind a projection boundary (Catalyst would otherwise inline
+    the 64-element fold into both the filter and the output)."""
+    v = ensure_parallelism(vectors).select(
+        F.col(block_col).alias("block"), F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.id").cast("long").alias("id_a"),
+            F.col("b.id").cast("long").alias("id_b"),
+            "sim",
+        )
+    )

@@ -344,3 +344,35 @@ def dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "jaccard",
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH pairs AS (
+      SELECT cast(a.vec_id AS bigint) AS id_a, cast(b.vec_id AS bigint) AS id_b,
+             round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim, id_a AS keeper
+    FROM pairs WHERE sim >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — the semantic-dedup
+    member of the dedup family (exact / MinHash-LSH / SimHash / n-gram
+    Jaccard / embedding-cosine). Pairs block on `label` (the coarse
+    partition an upstream clusterer provides — at 100 TB the IVF
+    assignment in operators/similarity.py produces it), so the
+    all-pairs comparison is confined within blocks: one shuffle on the
+    block key, never a global cross-join. Keeper policy: min id wins,
+    mirroring exact_duplicates."""
+    from tera_spark.operators.similarity import blocked_cosine_pairs
+
+    emb = load(spark, sf, "embeddings")
+    pairs = blocked_cosine_pairs(
+        emb, block_col="label", threshold=0.35, id_col="vec_id", vec_col="embedding"
+    )
+    return pairs.select(
+        "id_a", "id_b", "sim", F.col("id_a").alias("keeper")
+    )

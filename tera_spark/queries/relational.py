@@ -697,3 +697,306 @@ def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY n_name, o_orderstatus
         """
     )
+
+
+# --- Remaining TPC-H shapes, adapted to the driver schema ------------------
+# The testdata has no partsupp table and lineitem carries no
+# shipmode/commitdate/receiptdate, so q2/q9/q12/q16/q20/q21 keep their
+# *plan shape* (correlated min, profit rollup, conditional counts,
+# NOT-IN anti-join, nested semi-joins, exists/not-exists self-join) with
+# supply-cost/ship-delay stand-ins derived from lineitem/part columns.
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, s_name, n_name, round(unit_cost, 4) AS unit_cost
+    FROM cost
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 10
+      AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                       WHERE c2.l_partkey = cost.l_partkey)
+    """,
+)
+def q2(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-min subquery (TPC-H Q2 shape): cheapest supplier per
+    part. The correlated scalar subquery becomes a window-min over the
+    aggregated cost table — one shuffle on l_partkey serves both the
+    aggregation and the window, so the correlation adds no exchange."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = W.partitionBy("l_partkey")
+    best = cost.withColumn("best_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best_cost")
+    )
+    part = load(spark, sf, "part").filter(F.col("p_size") <= 10)
+    supp = F.broadcast(load(spark, sf, "supplier"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "s_name", "n_name", F.round("unit_cost", 4).alias("unit_cost"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT cast(extract(year FROM o_orderdate) AS int) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-share (TPC-H Q8 shape): one nation's fraction of regional
+    revenue per year — conditional-sum ratio over a 6-way join; both
+    nation sides broadcast."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = F.broadcast(load(spark, sf, "supplier"))
+    n1 = F.broadcast(
+        load(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+        )
+    )
+    n2 = F.broadcast(
+        load(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    region = F.broadcast(load(spark, sf, "region").filter(F.col("r_name") == "ASIA"))
+    rev = _rev()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("c_nk"))
+        .join(region, F.col("c_rk") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, cast(extract(year FROM l_shipdate) AS int) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity), 2) AS profit
+    FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type IN ('PROMO', 'ECONOMY')
+    GROUP BY n_name, o_year
+    """,
+)
+def q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-profit rollup (TPC-H Q9 shape) by supplier nation and
+    year; supply cost stands in as 0.4 * p_retailprice (no partsupp in
+    the driver schema)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_type").isin("PROMO", "ECONOMY"))
+    supp = F.broadcast(load(spark, sf, "supplier"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    profit = _rev() - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS bigint) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+      AND l_shipdate <  timestamp '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional-count join (TPC-H Q12 shape); the driver lineitem has
+    no l_shipmode, so lines group by l_linestatus instead."""
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT-IN exclusion + distinct count (TPC-H Q16 shape); lineitem is
+    the part-supplier bridge (no partsupp). The NOT IN becomes a
+    broadcast anti-join on the tiny exclusion list."""
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad_supp = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    """
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= timestamp '1997-01-01 00:00:00'
+        AND l_shipdate <  timestamp '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 300
+    )
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested semi-join chain (TPC-H Q20 shape): suppliers who moved
+    excess volume of PROMO parts in a year. The aggregated HAVING
+    subquery is computed once and semi-joined (broadcast: supplier-count
+    sized)."""
+    part = load(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    supp = load(spark, sf, "supplier")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT s_name, cast(count(*) AS bigint) AS numwait
+    FROM l1
+      JOIN orders   ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS + NOT-EXISTS self-join (TPC-H Q21 shape): the supplier
+    solely responsible for returns on a multi-supplier finished order.
+    Both correlated subqueries become self-joins of lineitem keyed on
+    l_orderkey — the same shuffle partitioning serves the join pair."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        "l_returnflag",
+    )
+    has_other = others.select("o_key", "o_supp").alias("l2")
+    other_returned = others.filter(F.col("l_returnflag") == "R").select("o_key", "o_supp").alias("l3")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    supp = F.broadcast(load(spark, sf, "supplier").select("s_suppkey", "s_name"))
+    waiting = (
+        l1.join(
+            has_other,
+            (l1.l_orderkey == F.col("l2.o_key")) & (l1.l_suppkey != F.col("l2.o_supp")),
+            "left_semi",
+        )
+        .join(
+            other_returned,
+            (l1.l_orderkey == F.col("l3.o_key")) & (l1.l_suppkey != F.col("l3.o_supp")),
+            "left_anti",
+        )
+        .join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
