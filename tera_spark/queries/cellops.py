@@ -661,3 +661,96 @@ def cell_time_range(spark: SparkSession, sf: str) -> DataFrame:
     desc = ScanDescriptor(ts_start=820_454_400_000_000, ts_end=852_076_799_000_000)
     v = scan(cells, _schema("o"), desc, now_us=NOW)
     return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
+
+
+@query(
+    "cell_addint64_merge",
+    """
+    WITH seq AS (
+      SELECT l_suppkey, cast(floor(l_quantity) AS bigint) AS qty,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
+      FROM lineitem
+    )
+    SELECT lpad(cast(l_suppkey AS varchar), 10, '0') AS row_key,
+           cast(CASE WHEN max(rn) >= 2
+                     THEN 1000 + sum(CASE WHEN rn > 2 THEN qty ELSE 0 END)
+                     ELSE sum(qty) END AS bigint) AS counter
+    FROM seq GROUP BY l_suppkey
+    """,
+)
+def cell_addint64(spark: SparkSession, sf: str) -> DataFrame:
+    """AddInt64 (little-endian native counter, TKT_ADDINT64,
+    atomic_merge_strategy.cc:43) with a PUT landing mid-stream: the
+    later PUT resets the merge base (default_compact_strategy.cc:182-185),
+    so deltas older than the PUT are discarded. Delta at ts=1, PUT(1000)
+    at ts=2, deltas from ts=3 on."""
+    from tera_spark.functions.codecs import le_i64_decode, le_i64_encode
+
+    li = load(spark, sf, "lineitem").withColumn(
+        "row_key", F.lpad(F.col("l_suppkey").cast("string"), 10, "0")
+    )
+    wv = W.partitionBy("row_key").orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    rn = F.row_number().over(wv).cast("long")
+    qty = F.floor("l_quantity").cast("long")
+    cells = li.select(
+        "row_key",
+        F.lit("c").alias("cf"),
+        F.lit("cnt").alias("qualifier"),
+        rn.alias("ts"),
+        F.when(rn == 2, F.lit(CellOp.PUT)).otherwise(F.lit(CellOp.ADDINT64)).alias("op"),
+        F.when(rn == 2, le_i64_encode(F.lit(1000).cast("long")))
+        .otherwise(le_i64_encode(qty))
+        .alias("value"),
+        rn.alias("seq"),
+    )
+    v = current_view(cells, _schema("c"), now_us=NOW)
+    return v.select("row_key", le_i64_decode(F.col("value")).alias("counter"))
+
+
+@query(
+    "cell_filter_if_missing",
+    """
+    SELECT 'drop_missing' AS mode, lpad(cast(c_custkey AS varchar), 10, '0') AS row_key
+    FROM customer
+    WHERE c_acctbal >= 0 AND round(c_acctbal * 100) >= 200000
+    UNION ALL
+    SELECT 'keep_missing' AS mode, lpad(cast(c_custkey AS varchar), 10, '0') AS row_key
+    FROM customer
+    WHERE c_acctbal < 0 OR round(c_acctbal * 100) >= 200000
+    """,
+)
+def cell_filter_missing(spark: SparkSession, sf: str) -> DataFrame:
+    """filter_if_missing (value_filter.h:51-58): rows lacking the
+    filtered column are dropped when the flag is set, kept when not.
+    Only non-negative balances materialize a 'bal' cell, so negative-
+    balance customers exercise the missing-column branch both ways."""
+    from tera_spark.operators.filters import ValueFilter, encode_typed_col, matching_row_keys
+
+    cust = load(spark, sf, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    rk = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+    seg_cells = cust.select(
+        rk.alias("row_key"),
+        F.lit("f").alias("cf"),
+        F.lit("seg").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.col("c_mktsegment").cast("binary").alias("value"),
+    )
+    bal_cells = cust.filter(F.col("c_acctbal") >= 0).select(
+        rk.alias("row_key"),
+        F.lit("f").alias("cf"),
+        F.lit("bal").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        encode_typed_col(bal, "int64").alias("value"),
+    )
+    visible = seg_cells.unionByName(bal_cells)
+    strict = ValueFilter(">=", "f", "bal", 200000, "int64", filter_if_missing=True)
+    lax = ValueFilter(">=", "f", "bal", 200000, "int64", filter_if_missing=False)
+    return (
+        matching_row_keys(visible, strict)
+        .select(F.lit("drop_missing").alias("mode"), "row_key")
+        .unionByName(
+            matching_row_keys(visible, lax).select(F.lit("keep_missing").alias("mode"), "row_key")
+        )
+    )
