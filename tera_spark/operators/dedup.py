@@ -102,11 +102,35 @@ def verified_near_duplicates(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
     """The production composition: LSH candidates → exact-Jaccard
-    verification (candidates only, never all pairs)."""
-    cand = minhash_lsh_pairs(docs, text_col, id_col)
-    sh = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    verification (candidates only, never all pairs).
+
+    The per-doc fingerprint row (id, shingle set, minhash signature) is
+    derived once behind an explicit repartition on id: the candidate
+    join's two band-exploded sides and the verification's two
+    shingle-lookup sides all hang off that same Exchange, which Spark
+    deduplicates into ONE computation + three ReusedExchange reads.
+    Without the boundary each consumer re-derives the whole text
+    pipeline from the parquet scan. This is the single-node stand-in
+    for the 100 TB deployment shape — a materialized fingerprint table
+    read by both phases."""
+    base = (
+        with_minhash_signature(ensure_parallelism(docs), text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(F.col(text_col))).alias("sh"),
+            F.col("sig"),
+        )
+        .repartition("id")
     )
+    sigs = base.select("id", F.explode(band_keys(F.col("sig"))).alias("bucket"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select("id", "sh")
     j = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
