@@ -79,8 +79,10 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame index to decode,
     computed from metadata (n_frames) without touching payloads — the
     shuffle-free fan-out a distributed decoder consumes."""
+    # try_element_at: ANSI mode makes plain element_at throw on maps
+    # lacking the key; assets without frame metadata plan zero frames
     n_frames = F.coalesce(
-        F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
+        F.try_element_at(F.col("meta"), F.lit("n_frames")).cast("int"), F.lit(0)
     )
     return (
         media.filter(F.col("media_type") == "video")

@@ -376,3 +376,32 @@ def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", "sim", F.col("id_a").alias("keeper")
     )
+
+
+@query(
+    "multimodal_frame_plan",
+    """
+    SELECT cast(doc_id AS bigint) AS asset_id,
+           cast(unnest(range(0, (n_chars % 300) + 1, 30)) AS int) AS frame_idx
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plan: the per-frame fan-out a distributed video
+    decoder consumes, derived from typed metadata only — payload bytes
+    are never read, so the plan stage is shuffle-free and prunes the
+    binary column at the scan."""
+    from tera_spark.operators.multimodal import frame_sample_plan
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(
+            F.lit("n_frames"), ((F.col("n_chars") % 300) + 1).cast("string")
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_n=30).select(
+        "asset_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
