@@ -50,10 +50,32 @@ class Catalog:
         return schema
 
     def drop_table(self, name: str) -> None:
+        """Reference rule: a table must be disabled before drop
+        (doc/en/teracli.md Drop Table)."""
         tdir = self.root / name
         if not tdir.exists():
             raise ValueError(f"no such table: {name}")
+        if self.is_table_enabled(name):
+            raise ValueError(f"table enabled, disable first: {name}")
         shutil.rmtree(tdir)
+
+    # --- enable / disable (client.h:52-58) ----------------------------
+    def disable_table(self, name: str) -> None:
+        if not self.is_table_exist(name):
+            raise ValueError(f"no such table: {name}")
+        (self.root / name / "DISABLED").touch()
+
+    def enable_table(self, name: str) -> None:
+        if not self.is_table_exist(name):
+            raise ValueError(f"no such table: {name}")
+        (self.root / name / "DISABLED").unlink(missing_ok=True)
+
+    def is_table_enabled(self, name: str) -> bool:
+        return not (self.root / name / "DISABLED").exists()
+
+    def _check_enabled(self, name: str) -> None:
+        if not self.is_table_enabled(name):
+            raise ValueError(f"table disabled: {name}")
 
     def list_tables(self) -> list[str]:
         return sorted(p.name for p in self.root.iterdir() if (p / "schema.json").exists())
@@ -80,11 +102,13 @@ class Catalog:
         return self.spark.read.schema(CELL_SCHEMA).parquet(self.oplog_path(name))
 
     def append(self, name: str, cells: DataFrame) -> None:
+        self._check_enabled(name)
         cells.write.mode("append").parquet(self.oplog_path(name))
 
     def view(self, name: str, **kw) -> DataFrame:
         from tera_spark.operators.view import current_view
 
+        self._check_enabled(name)
         return current_view(self.read_oplog(name), self.get_schema(name), **kw)
 
     # --- snapshots / compaction --------------------------------------

@@ -20,11 +20,26 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("create"); sp.add_argument("schema")
+    sp = sub.add_parser("update"); sp.add_argument("schema")
+    sp = sub.add_parser("enable"); sp.add_argument("table")
+    sp = sub.add_parser("disable"); sp.add_argument("table")
     sp = sub.add_parser("drop"); sp.add_argument("table")
     sub.add_parser("show")
-    sp = sub.add_parser("put")
-    for a in ("table", "row", "column", "value"):
+    sp = sub.add_parser("showschema"); sp.add_argument("table")
+    for verb in ("put", "putif", "append"):
+        sp = sub.add_parser(verb)
+        for a in ("table", "row", "column", "value"):
+            sp.add_argument(a)
+        sp.add_argument("--ts", type=int)
+    sp = sub.add_parser("add")
+    for a in ("table", "row", "column", "delta"):
         sp.add_argument(a)
+    sp.add_argument("--ts", type=int)
+    sp = sub.add_parser("delete")
+    sp.add_argument("table"); sp.add_argument("row")
+    sp.add_argument("column", nargs="?", default=None)  # cf | cf:qu
+    sp.add_argument("--version", action="store_true",
+                    help="delete only the newest version of cf:qu")
     sp.add_argument("--ts", type=int)
     sp = sub.add_parser("get"); sp.add_argument("table"); sp.add_argument("row")
     sp = sub.add_parser("scan")
@@ -52,16 +67,51 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "create":
         s = cat.create_table(args.schema)
         print(f"created {s.name} ({len(s.column_families)} cf)")
+    elif args.cmd == "update":
+        from tera_spark.registry import parse_schema_string
+
+        cat.update_schema(parse_schema_string(args.schema)); print("updated")
+    elif args.cmd == "enable":
+        cat.enable_table(args.table); print("enabled")
+    elif args.cmd == "disable":
+        cat.disable_table(args.table); print("disabled")
     elif args.cmd == "drop":
         cat.drop_table(args.table); print("dropped")
     elif args.cmd == "show":
         for t in cat.list_tables():
             print(t)
-    elif args.cmd == "put":
+    elif args.cmd == "showschema":
+        print(cat.get_schema(args.table).to_json())
+    elif args.cmd in ("put", "putif", "append"):
         from tera_spark.operators.mutation import MutationBatch
 
         cf, _, qu = args.column.partition(":")
-        b = MutationBatch().put(args.row, cf, qu, args.value, ts=args.ts)
+        b = MutationBatch()
+        fn = {"put": b.put, "putif": b.put_if_absent, "append": b.append}[args.cmd]
+        fn(args.row, cf, qu, args.value, ts=args.ts)
+        cat.append(args.table, b.to_df(spark))
+        print("ok")
+    elif args.cmd == "add":
+        from tera_spark.operators.mutation import MutationBatch
+
+        cf, _, qu = args.column.partition(":")
+        b = MutationBatch().add(args.row, cf, qu, int(args.delta), ts=args.ts)
+        cat.append(args.table, b.to_df(spark))
+        print("ok")
+    elif args.cmd == "delete":
+        from tera_spark.operators.mutation import MutationBatch
+
+        b = MutationBatch()
+        if args.column is None:
+            b.delete_row(args.row, ts=args.ts)
+        else:
+            cf, has_qu, qu = args.column.partition(":")
+            if not has_qu:
+                b.delete_family(args.row, cf, ts=args.ts)
+            elif args.version:
+                b.delete_version(args.row, cf, qu, ts=args.ts)
+            else:
+                b.delete_column(args.row, cf, qu, ts=args.ts)
         cat.append(args.table, b.to_df(spark))
         print("ok")
     elif args.cmd == "get":

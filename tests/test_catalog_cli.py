@@ -31,8 +31,25 @@ def test_ddl_lifecycle(cat):
     assert cat.get_schema("tbl1").cf("cf0").max_versions == 2
     with pytest.raises(ValueError):
         cat.create_table("tbl1 {cf0}")
+    # reference rule: drop refuses while enabled (doc/en/teracli.md)
+    with pytest.raises(ValueError):
+        cat.drop_table("tbl1")
+    cat.disable_table("tbl1")
     cat.drop_table("tbl1")
     assert not cat.is_table_exist("tbl1")
+
+
+def test_disable_blocks_reads_and_writes(cat, spark):
+    cat.create_table("tbl_d {cf0}")
+    cat.append("tbl_d", MutationBatch().put("r1", "cf0", "q", "v", ts=1).to_df(spark))
+    cat.disable_table("tbl_d")
+    assert not cat.is_table_enabled("tbl_d")
+    with pytest.raises(ValueError):
+        cat.view("tbl_d")
+    with pytest.raises(ValueError):
+        cat.append("tbl_d", MutationBatch().put("r2", "cf0", "q", "v", ts=1).to_df(spark))
+    cat.enable_table("tbl_d")
+    assert [r.row_key for r in cat.view("tbl_d").collect()] == ["r1"]
 
 
 def test_write_view_compact_optimize(cat, spark):
@@ -78,6 +95,41 @@ def test_cli_end_to_end(spark, root, tmp_path, monkeypatch, capsys):
     assert main(["--root", root, "optimize", "clitab"]) == 0
     assert main(["--root", root, "show"]) == 0
     assert "clitab" in capsys.readouterr().out
+
+
+def test_cli_mutation_and_admin_verbs(spark, root, capsys):
+    from tera_spark.cli import main
+
+    assert main(["--root", root, "create", "cliops {c <maxversions=1>}"]) == 0
+    # atomic verbs: counter add x2, append x2, putif (second sticks... first)
+    assert main(["--root", root, "add", "cliops", "r1", "c:n", "5", "--ts", "1"]) == 0
+    assert main(["--root", root, "add", "cliops", "r1", "c:n", "7", "--ts", "2"]) == 0
+    assert main(["--root", root, "append", "cliops", "r1", "c:log", "a", "--ts", "1"]) == 0
+    assert main(["--root", root, "append", "cliops", "r1", "c:log", "b", "--ts", "2"]) == 0
+    assert main(["--root", root, "putif", "cliops", "r1", "c:first", "one", "--ts", "1"]) == 0
+    assert main(["--root", root, "putif", "cliops", "r1", "c:first", "two", "--ts", "2"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "get", "cliops", "r1"]) == 0
+    out = capsys.readouterr().out
+    assert "ab" in out and "one" in out and "two" not in out
+    from tera_spark.functions.codecs import py_encode_be_i64
+
+    assert repr(py_encode_be_i64(12)) in out
+    # delete one column, row stays
+    assert main(["--root", root, "delete", "cliops", "r1", "c:log", "--ts", "9"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "get", "cliops", "r1"]) == 0
+    assert "log" not in capsys.readouterr().out
+    # schema update + showschema
+    assert main(["--root", root, "update", "cliops {c <maxversions=3>}"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "showschema", "cliops"]) == 0
+    assert '"max_versions": 3' in capsys.readouterr().out
+    # disable blocks, enable restores, disabled drop succeeds
+    assert main(["--root", root, "disable", "cliops"]) == 0
+    assert main(["--root", root, "enable", "cliops"]) == 0
+    assert main(["--root", root, "disable", "cliops"]) == 0
+    assert main(["--root", root, "drop", "cliops"]) == 0
 
 
 def test_online_schema_change(cat, spark):
