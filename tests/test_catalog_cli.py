@@ -161,3 +161,31 @@ def test_tablet_info_bounds(cat, spark):
     # files form an ordered, non-overlapping range partition
     for a, b2 in zip(nonempty, nonempty[1:]):
         assert a["end_key"] <= b2["start_key"]
+
+
+def test_replication_fanout_sync_fallback(spark, tmp_path):
+    from tera_spark.sources.replication import ReplicatedWriter, read_any, sync_replica
+
+    a = Catalog(spark, str(tmp_path / "dc_a"))
+    b = Catalog(spark, str(tmp_path / "dc_b"))
+    a.create_table("r {d}")
+    b.create_table("r {d}")
+    # fan-out write lands in both replicas
+    w = ReplicatedWriter([a, b], "r")
+    w.apply(MutationBatch().put("k1", "d", "q", "v1", ts=1).to_df(spark))
+    assert {r.row_key for r in a.view("r").collect()} == {"k1"}
+    assert {r.row_key for r in b.view("r").collect()} == {"k1"}
+    # secondary down: need_all_success=False records the failure
+    b.disable_table("r")
+    w_lax = ReplicatedWriter([a, b], "r", need_all_success=False)
+    failed = w_lax.apply(MutationBatch(base_seq=10).put("k2", "d", "q", "v2", ts=2).to_df(spark))
+    assert failed == [1]
+    b.enable_table("r")
+    assert {r.row_key for r in b.view("r").collect()} == {"k1"}  # lagging
+    # catch-up copies exactly the missing files; re-sync is a no-op
+    n = sync_replica(a, b, "r")
+    assert n > 0 and sync_replica(a, b, "r") == 0
+    assert {r.row_key for r in b.view("r").collect()} == {"k1", "k2"}
+    # read fallback skips a disabled primary
+    a.disable_table("r")
+    assert {r.row_key for r in read_any([a, b], "r").collect()} == {"k1", "k2"}
