@@ -189,3 +189,28 @@ def test_replication_fanout_sync_fallback(spark, tmp_path):
     # read fallback skips a disabled primary
     a.disable_table("r")
     assert {r.row_key for r in read_any([a, b], "r").collect()} == {"k1", "k2"}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from tera_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    b = MutationBatch()
+    for i in range(500):
+        b.put(f"k{i:04d}", "d", "q", f"v{i}", ts=1)
+    cells = b.to_df(spark)
+    keys = spark.range(0, 500, 5).selectExpr("format_string('k%04d', id) AS row_key")
+    write_bucketed(cells, "bk_cells", str(tmp_path / "bk_cells"), buckets=8)
+    write_bucketed(keys, "bk_keys", str(tmp_path / "bk_keys"), buckets=8)
+    try:
+        left = read_bucketed(spark, "bk_cells")
+        right = read_bucketed(spark, "bk_keys")
+        # merge hint: at test volume the planner would broadcast (which
+        # disables bucketed scans); at scale SMJ is the natural choice
+        joined = left.join(right.hint("merge"), "row_key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the whole point: co-located join, shuffle paid at write time
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_cells")
+        spark.sql("DROP TABLE IF EXISTS bk_keys")
