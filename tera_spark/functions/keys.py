@@ -52,3 +52,55 @@ def with_hashed_row_key(cells: DataFrame, key_col: str = "row_key") -> DataFrame
 def with_plain_row_key(cells: DataFrame, key_col: str = "row_key") -> DataFrame:
     """Recover user keys from a hash-distributed cell table."""
     return cells.withColumn(key_col, strip_hash_prefix(F.col(key_col)))
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple],
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys with large per-key
+    state.
+
+    Plain algebraic aggregates (sum/count/min/max) don't need this —
+    map-side partial aggregation already collapses a hot key to one row
+    per map task before the shuffle. The skew killer is per-key state
+    that partials can't compress: ``count_distinct`` keeps every
+    distinct value of a hot key in ONE reducer's hash set. Salting by
+    the *value* hash splits that state correctly: each distinct value
+    maps to exactly one (key, salt) bucket, so phase 1 counts distinct
+    per bucket and phase 2 just sums the bucket counts — no double
+    counting, and a hot key's state spreads over ``salt_buckets``
+    reducers. The phase-2 shuffle moves ≤ groups × salt_buckets rows —
+    noise at 100 TB next to the fact shuffle it fixes. (AQE's skew
+    mitigation only splits sort-merge-join sides; it never splits an
+    aggregation key.)
+
+    ``aggs`` maps output column → (kind, input column) with kind in
+    {"count_distinct", "sum", "count", "min", "max"}; the algebraic
+    kinds are allowed so one pass can compute them alongside.
+    """
+    cd_cols = [col for kind, col in aggs.values() if kind == "count_distinct"]
+    if cd_cols:
+        # value-hash salt: a given value always lands in one bucket
+        salt = F.pmod(F.xxhash64(*cd_cols), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial_aggs, final_aggs = [], []
+    for out, (kind, col) in aggs.items():
+        if kind == "count_distinct":
+            partial_aggs.append(F.countDistinct(col).alias(out))
+            final_aggs.append(F.sum(out).alias(out))
+        elif kind == "count":
+            partial_aggs.append(F.count(F.lit(1)).alias(out))
+            final_aggs.append(F.sum(out).alias(out))
+        elif kind in ("sum", "min", "max"):
+            fn = getattr(F, kind)
+            partial_aggs.append(fn(col).alias(out))
+            final_aggs.append(fn(out).alias(out))
+        else:
+            raise ValueError(f"unsupported agg kind: {kind}")
+    partial = df.withColumn("_salt", salt).groupBy(*group_cols, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*group_cols).agg(*final_aggs)

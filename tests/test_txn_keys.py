@@ -91,3 +91,35 @@ def test_strip_is_inverse_expression(spark):
     ).collect()
     for r in out:
         assert r.k2 == r.k
+
+
+def test_salted_agg_matches_direct(spark):
+    from pyspark.sql import functions as F
+
+    from tera_spark.functions.keys import salted_agg
+
+    # one hot key holding ~90% of rows, many distinct values
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 1777).alias("v"),
+    )
+    got = salted_agg(
+        df,
+        ["k"],
+        {
+            "n_distinct": ("count_distinct", "v"),
+            "total": ("sum", "v"),
+            "n": ("count", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+        },
+        salt_buckets=8,
+    )
+    want = df.groupBy("k").agg(
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum("v").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
