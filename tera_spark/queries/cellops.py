@@ -754,3 +754,43 @@ def cell_filter_missing(spark: SparkSession, sf: str) -> DataFrame:
             matching_row_keys(visible, lax).select(F.lit("keep_missing").alias("mode"), "row_key")
         )
     )
+
+
+@query(
+    "cell_hash_key_batch_get",
+    """
+    SELECT lpad(cast(c_custkey AS varchar), 10, '0') AS user_key,
+           c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 50 = 7
+    """,
+)
+def cell_hash_batch_get(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-distributed table read path (hash tables,
+    table_impl.cc:98): row keys stored as xxhash-prefix + user key so
+    monotonic writers scatter, point reads compute the prefix before
+    the lookup, and outputs strip it back off. The batch get is a
+    broadcast semi-join on the *hashed* key — same file-pruning story
+    as the plain layout because the table is range-sorted by hashed
+    key."""
+    from tera_spark.functions.keys import hash_prefix_key, strip_hash_prefix
+    from tera_spark.operators.scan import batch_get
+
+    cust = load(spark, sf, "customer")
+    user_key = F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+    cells = cust.select(
+        hash_prefix_key(user_key).alias("row_key"),
+        F.lit("p").alias("cf"),
+        F.lit("seg").alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.col("c_mktsegment").cast("binary").alias("value"),
+        F.col("c_custkey").alias("seq"),
+    )
+    wanted = cust.filter(F.col("c_custkey") % 50 == 7).select(
+        hash_prefix_key(user_key).alias("row_key")
+    )
+    got = batch_get(cells, _schema("p"), wanted)
+    return got.select(
+        strip_hash_prefix(F.col("row_key")).alias("user_key"),
+        F.col("value").cast("string").alias("segment"),
+    )
