@@ -1,0 +1,72 @@
+"""Plan-hygiene audit over the whole query registry.
+
+Every `queries()` entry is planned (not executed) at sf0.001 and its
+physical plan checked against the rules the 100 TB design depends on:
+
+* no CartesianProduct — unbounded pair blow-up. (1-row scalar
+  subqueries cross-joined with broadcast plan as
+  BroadcastNestedLoopJoin, which is fine and stays allowed.)
+* no BatchEvalPython / PythonUDF in any plan — row-at-a-time Python
+  in a hot path; Arrow-batched MapInPandas is the only Python allowed
+  (multimodal decode).
+* column pruning reaches the parquet scans of wide tables: a query
+  that touches lineitem must not read all 11 columns unless it uses
+  them.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _scan_block(formatted: str, table: str) -> str:
+    """The formatted-explain node block for the scan of ``table``."""
+    blocks = re.split(r"\n\n", formatted)
+    for b in blocks:
+        if "Scan parquet" in b and f"{table}.parquet" in b:
+            return b
+    raise AssertionError(f"no parquet scan of {table} found")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_no_python_rows(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
+
+
+def test_lineitem_scans_prune_columns(spark):
+    """Spot-check pushdown hygiene: q6 needs 4 lineitem columns and its
+    scan must request exactly those; q1 needs 7."""
+    expects = {"q6_forecast_revenue": 4, "q1_pricing_summary": 7}
+    for name, ncols in expects.items():
+        block = _scan_block(_formatted(spark, name), "lineitem")
+        m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        assert m, f"{name}: lineitem scan has no ReadSchema"
+        got = len([c for c in m.group(1).split(",") if c])
+        assert got == ncols, f"{name}: lineitem scan reads {got} cols, want {ncols}"
+
+
+def test_lineitem_filter_pushdown(spark):
+    """Date-range predicates must reach the parquet reader."""
+    block = _scan_block(_formatted(spark, "q6_forecast_revenue"), "lineitem")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+    assert m and "l_shipdate" in m.group(1), "q6: shipdate filter not pushed to scan"
