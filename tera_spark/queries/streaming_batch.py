@@ -141,3 +141,21 @@ def events_json(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query("events_sketch_profile")  # no oracle: sketch outputs are engine-specific
+def events_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based profiling — the 100 TB path for cardinality and
+    quantiles: HLL++ (approx_count_distinct) and the GK quantile sketch
+    (approx_percentile) both merge associatively, so partial aggregation
+    stays map-side and reducer state is O(sketch), not O(distinct
+    values). Approximate answers are engine-specific by nature, so this
+    entry registers without a DuckDB oracle and the driver's weaker
+    rows-only check applies; the EXACT versions of both statistics are
+    oracled elsewhere (q_distinct_agg, events_* windows)."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
