@@ -59,10 +59,12 @@ def main() -> None:
             continue
         fn = Q.QUERIES[name]
         fn(spark, sf_dir).count()  # warm: compile plan + populate caches
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize the full plan
-        times[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):  # min of two: shields the record from GC/noise spikes
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()  # materialize the full plan
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
