@@ -1,0 +1,69 @@
+"""Locality-group physical layout: column-family pruning at the store.
+
+The reference shards each tablet's data into one LevelDB per locality
+group and opens only the LGs that hold requested column families
+(multi-LG DB src/leveldb/db/db_table.cc; LG pruning
+src/io/tablet_io.cc:2222-2237). The Spark-native equivalent is a
+directory-partitioned op-log: cells land under ``lg=<name>/`` derived
+from the schema's cf→LG map, and a scan that asks for specific column
+families turns into a *partition filter* — directories of other LGs
+are never listed or read. Parquet's column pruning already handles
+the within-row case; this adds the reference's storage-level skip,
+which at 100 TB means a scan of one small LG ignores the petabytes in
+the others entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tera_spark.model import CellOp
+from tera_spark.registry import TableSchema
+
+# a row-delete mark masks every cf, so it must be visible to scans of
+# any LG — stored in its own always-read partition (the reference
+# equivalently replays DEL marks from the shared WAL/compact pass)
+ROW_DELETE_LG = "__row_del"
+
+
+def lg_of(schema: TableSchema, cf: Column) -> Column:
+    """cf → locality-group name as a Column expression."""
+    mapping = {name: c.locality_group for name, c in schema.column_families.items()}
+    expr: Column = F.lit("lg0")
+    for cf_name, lg_name in mapping.items():
+        expr = F.when(cf == cf_name, F.lit(lg_name)).otherwise(expr)
+    return expr
+
+
+def write_lg_partitioned(cells: DataFrame, schema: TableSchema, path: str) -> None:
+    """Write an op-log partitioned by locality group."""
+    lg = F.when(F.col("op") == CellOp.DEL_ROW, F.lit(ROW_DELETE_LG)).otherwise(
+        lg_of(schema, F.col("cf"))
+    )
+    (
+        cells.withColumn("lg", lg)
+        .repartition("lg", "row_key")
+        .sortWithinPartitions("row_key", "cf", "qualifier")
+        .write.mode("overwrite")
+        .partitionBy("lg")
+        .parquet(path)
+    )
+
+
+def read_lg_pruned(
+    spark: SparkSession,
+    path: str,
+    schema: TableSchema,
+    column_families: list[str] | None = None,
+) -> DataFrame:
+    """Op-log reader that prunes whole locality-group directories when
+    only some column families are requested (plus the row-delete
+    partition, which masks rows in every LG)."""
+    df = spark.read.parquet(path)
+    if column_families is not None:
+        lgs = sorted(
+            {schema.column_families[c].locality_group for c in column_families}
+        ) + [ROW_DELETE_LG]
+        df = df.filter(F.col("lg").isin(lgs))
+    return df.drop("lg")

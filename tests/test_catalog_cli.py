@@ -214,3 +214,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_cells")
         spark.sql("DROP TABLE IF EXISTS bk_keys")
+
+
+def test_lg_partitioned_layout_prunes_directories(spark, tmp_path):
+    from tera_spark.operators.view import current_view
+    from tera_spark.registry import parse_schema_string
+    from tera_spark.sources.lg_layout import read_lg_pruned, write_lg_partitioned
+
+    schema = parse_schema_string(
+        "t { lg_hot <storage=flash> { cf_a, cf_b }, lg_cold { cf_c } }"
+    )
+    b = MutationBatch()
+    for i in range(50):
+        b.put(f"k{i:03d}", "cf_a", "q", f"a{i}", ts=1)
+        b.put(f"k{i:03d}", "cf_b", "q", f"b{i}", ts=1)
+        b.put(f"k{i:03d}", "cf_c", "q", f"c{i}", ts=1)
+    b.delete_row("k001", ts=5)
+    path = str(tmp_path / "lg_table")
+    write_lg_partitioned(b.to_df(spark), schema, path)
+    # physical layout: one directory per LG + the row-delete partition
+    dirs = sorted(p.name for p in (tmp_path / "lg_table").glob("lg=*"))
+    assert dirs == ["lg=__row_del", "lg=lg_cold", "lg=lg_hot"]
+    # scan of cf_c: lg_hot is pruned at the partition level
+    pruned = read_lg_pruned(spark, path, schema, column_families=["cf_c"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lg#" in plan.split("PartitionFilters")[1][:200]
+    got = {r.row_key for r in current_view(pruned, schema).collect()}
+    # row-delete mark from the shared partition still masks k001
+    assert "k001" not in got and len(got) == 49
+    # unrestricted read sees every cf
+    all_cells = read_lg_pruned(spark, path, schema)
+    assert current_view(all_cells, schema).count() == 49 * 3
