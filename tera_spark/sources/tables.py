@@ -65,17 +65,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def write_cell_table(cells: DataFrame, path: str, *, buckets: int | None = None) -> None:
+def write_cell_table(
+    cells: DataFrame,
+    path: str,
+    *,
+    buckets: int | None = None,
+    row_bloom_filter: bool = False,
+) -> None:
     """Persist an op-log cell table range-sorted by row_key so point
     gets and range scans prune files via Parquet min/max stats (the
-    Spark analog of tablet routing, table_impl.cc:1452)."""
+    Spark analog of tablet routing, table_impl.cc:1452).
+
+    ``row_bloom_filter`` additionally writes a Parquet bloom filter on
+    row_key — the reference's per-LG RowBloomFilter
+    (table_schema.proto:24, tablet_io_test.cc RowBloomFilter): min/max
+    stats prune files for *range* predicates, the bloom filter also
+    skips row groups for point gets on keys the file doesn't hold."""
     n = buckets or max(cells.sparkSession.sparkContext.defaultParallelism, 4)
-    (
+    w = (
         cells.repartitionByRange(n, "row_key")
         .sortWithinPartitions("row_key", "cf", "qualifier", "ts")
         .write.mode("overwrite")
-        .parquet(path)
     )
+    if row_bloom_filter:
+        w = w.option("parquet.bloom.filter.enabled#row_key", "true")
+    w.parquet(path)
 
 
 def read_cell_table(spark: SparkSession, path: str) -> DataFrame:

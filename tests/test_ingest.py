@@ -63,3 +63,26 @@ def test_json_import(spark, tmpdir):
     cells = spark.read.parquet(f"{tmpdir}/cells")
     quals = {r.qualifier for r in cells.select("qualifier").distinct().collect()}
     assert quals == {"s", "n"}
+
+
+def test_row_bloom_filter_written(spark, tmp_path):
+    from tera_spark.operators.mutation import MutationBatch
+    from tera_spark.sources.tables import read_cell_table, write_cell_table
+
+    b = MutationBatch()
+    for i in range(300):
+        b.put(f"k{i:04d}", "d", "q", f"v{i}", ts=1)
+    cells = b.to_df(spark)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    write_cell_table(cells, plain, buckets=2)
+    write_cell_table(cells, bloomed, buckets=2, row_bloom_filter=True)
+
+    def total(p):
+        return sum(f.stat().st_size for f in (tmp_path / p).glob("part-*.parquet"))
+
+    # the bloom filter is extra bytes in otherwise-identical files
+    # (this pyarrow build doesn't expose bloom offsets in metadata)
+    assert total("bloomed") > total("plain"), "bloom option added no filter bytes"
+    # and the bloomed table still reads identically
+    got = {r.row_key for r in read_cell_table(spark, bloomed).collect()}
+    assert len(got) == 300
