@@ -57,7 +57,11 @@ def _normalize(df):
 def test_every_query_has_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may omit oracles, but must be deliberate
-    allowed_weak = set()
+    allowed_weak = {
+        # sketch outputs (HLL++, GK quantiles) are engine-specific by
+        # construction; exact twins are oracled (q_distinct_agg, events_*)
+        "events_sketch_profile",
+    }
     assert missing <= allowed_weak, f"queries without oracles: {missing}"
 
 
