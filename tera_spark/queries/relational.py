@@ -80,16 +80,23 @@ def q1(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q3(spark: SparkSession, sf: str) -> DataFrame:
+    # aggregate-before-join: per-order revenue folds on the fact alone
+    # (map-side partials on one long key), then order/customer predicates
+    # apply to the order-cardinality result — correct because revenue
+    # depends only on lineitem rows of the order.
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = li.groupBy("l_orderkey").agg(F.sum(_rev()).alias("_rev"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "orderdate")
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev"), 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -284,24 +291,30 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
+    # aggregate-before-join: the fact shuffles only (l_orderkey, qty)
+    # with map-side partials, the HAVING filter runs before any join,
+    # and the surviving handful of orders joins order/customer attrs.
+    # Equivalent because the grouped order attributes are constant per
+    # o_orderkey; at 100 TB this removes the fact×orders×customer
+    # pre-aggregation join entirely.
     cust = load(spark, sf, "customer")
     orders = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_raw_qty"))
+        .filter(F.col("_raw_qty") > 150)
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        heavy.join(orders, heavy.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
+        .select(
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
+            F.round(F.col("_raw_qty"), 2).alias("sum_qty"),
         )
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.sum("l_quantity").alias("_raw_qty"),
-        )
-        .filter(F.col("_raw_qty") > 150)
-        .drop("_raw_qty")
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(20)
     )
