@@ -36,19 +36,37 @@ def lg_of(schema: TableSchema, cf: Column) -> Column:
     return expr
 
 
+_CODEC = {"none": "uncompressed", "snappy": "snappy", "lz4": "lz4", "zstd": "zstd"}
+
+
 def write_lg_partitioned(cells: DataFrame, schema: TableSchema, path: str) -> None:
-    """Write an op-log partitioned by locality group."""
+    """Write an op-log partitioned by locality group, honoring each
+    LG's compression property (table_schema.proto:21 `compress` —
+    memory/flash LGs typically run uncompressed for latency, disk LGs
+    compressed for capacity). Parquet compression is a per-write
+    option, so each LG directory is its own write job filtering the
+    staged layout (a layout rewrite is already a full-pass job; the
+    per-LG passes parallelize within themselves)."""
     lg = F.when(F.col("op") == CellOp.DEL_ROW, F.lit(ROW_DELETE_LG)).otherwise(
         lg_of(schema, F.col("cf"))
     )
-    (
+    staged = (
         cells.withColumn("lg", lg)
         .repartition("lg", "row_key")
         .sortWithinPartitions("row_key", "cf", "qualifier")
-        .write.mode("overwrite")
-        .partitionBy("lg")
-        .parquet(path)
     )
+    codecs = {
+        name: _CODEC.get(g.compress, "snappy") for name, g in schema.locality_groups.items()
+    }
+    codecs[ROW_DELETE_LG] = "snappy"
+    for lg_name, codec in codecs.items():
+        (
+            staged.filter(F.col("lg") == lg_name)
+            .drop("lg")
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(f"{path}/lg={lg_name}")
+        )
 
 
 def read_lg_pruned(

@@ -245,3 +245,25 @@ def test_lg_partitioned_layout_prunes_directories(spark, tmp_path):
     # unrestricted read sees every cf
     all_cells = read_lg_pruned(spark, path, schema)
     assert current_view(all_cells, schema).count() == 49 * 3
+
+
+def test_lg_compression_per_group(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tera_spark.registry import parse_schema_string
+    from tera_spark.sources.lg_layout import write_lg_partitioned
+
+    schema = parse_schema_string("t { lgm <compress=none> { a }, lgd <compress=zstd> { b } }")
+    b = MutationBatch()
+    for i in range(50):
+        b.put(f"k{i}", "a", "q", "x" * 50, ts=1)
+        b.put(f"k{i}", "b", "q", "y" * 50, ts=1)
+    d = str(tmp_path / "lgc")
+    write_lg_partitioned(b.to_df(spark), schema, d)
+    codec = {}
+    for lg in ("lgm", "lgd"):
+        f = glob.glob(f"{d}/lg={lg}/part-*.parquet")[0]
+        codec[lg] = pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+    assert codec == {"lgm": "UNCOMPRESSED", "lgd": "ZSTD"}
