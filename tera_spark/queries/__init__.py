@@ -26,4 +26,4 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    from tera_spark.queries import relational, cellops, llmops, streaming_batch  # noqa: F401
+    from tera_spark.queries import relational, cellops, llmops, streaming_batch, temporal  # noqa: F401
