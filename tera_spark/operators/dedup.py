@@ -142,3 +142,60 @@ def verified_near_duplicates(
             "id_a", "id_b", F.round(inter.cast("double") / union, 6).alias("jaccard")
         ).filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-pair edges -> dedup clusters: ``(id, component)`` where
+    ``component`` is the smallest id transitively reachable (the
+    canonical "keeper" of the cluster; a doc survives dedup iff
+    ``id == component``).
+
+    The reference has no graph layer — this is the step a training
+    pipeline needs AFTER pair generation (LSH/cosine), since duplicate
+    pairs are transitive in practice (A~B, B~C => keep one of A,B,C).
+
+    Min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; converges in O(graph
+    diameter) rounds. Near-dup clusters are shallow (dozens of docs,
+    diameter a handful), so rounds stay single-digit at any corpus
+    size. Each round is two key-shuffles (edge join + groupBy) — all
+    hash-partitioned equi-ops Catalyst/AQE handle; labels are
+    ``localCheckpoint``-ed per round so the plan doesn't grow with
+    iterations and the convergence action re-reads materialized
+    partitions. The sum-of-labels is strictly decreasing, so fixpoint
+    detection is one scalar action per round. For adversarial
+    (long-chain) graphs swap in large-star/small-star (Kiveris et al.,
+    MapReduce & Beyond 2014) — same DataFrame shape, fewer rounds.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if nodes is None:
+        nodes = sym.select(F.col("u").alias("id")).distinct()
+    lab = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    prev_sum = lab.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(lab, sym["v"] == lab["id"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        lab = (
+            lab.join(nbr, lab["id"] == nbr["u"], "left")
+            .select(
+                lab["id"].alias("id"),
+                F.least(lab["comp"], F.coalesce("nbr_min", lab["comp"])).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = lab.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab.select("id", F.col("comp").alias("component"))

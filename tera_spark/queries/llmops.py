@@ -405,3 +405,51 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     return frame_sample_plan(media, every_n=30).select(
         "asset_id", F.col("frame_idx").cast("int").alias("frame_idx")
     )
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS s FROM documents),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.s, sb.s))::double /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON w.id = e.v
+    )
+    SELECT cast(id AS bigint) AS doc_id, cast(min(comp) AS bigint) AS component
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs -> clusters: the step after LSH that makes dedup actually
+    drop documents. Every doc gets the min doc_id of its transitive
+    near-duplicate cluster as `component`; keep rows where
+    doc_id == component. Oracle is DuckDB's recursive transitive
+    closure over the same verified pairs."""
+    from tera_spark.operators.dedup import connected_components, verified_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    pairs = verified_near_duplicates(docs, threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    cc = connected_components(pairs, nodes=nodes)
+    return cc.select(F.col("id").alias("doc_id"), "component")

@@ -117,3 +117,21 @@ def test_multimodal_extract_features(spark):
     assert out[1].n_bytes == 6 and out[1].head_byte == ord("a")
     assert out[1].width == 16 + ord("a") % 64 and out[1].height == 16 + ord("f") % 64
     assert out[2].n_bytes == 1
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from tera_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # explicit node universe: singletons keep their own label
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 99]], "id long")
+    sub = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(sub, nodes=nodes).collect()}
+    assert got[99] == 99 and all(got[i] == 1 for i in (1, 2, 3, 4, 5))
