@@ -83,3 +83,71 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(F.col(text_col)).alias("fp"),
         F.md5(text_col).alias("exact_hash"),
     )
+
+
+def tfidf_bm25_top_terms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Corpus-statistics term scoring: TF-IDF and BM25 per (doc, term),
+    keeping the ``top_k`` highest-signal terms per document.
+
+    Plan shape (all built-in exprs, zero UDFs): tokenize+explode is
+    map-only; (doc,term) tf and per-term df are two partial+final
+    hash aggregations; corpus scalars (N, total token count) ride in
+    via a broadcast of two 1-row aggregates, never a driver collect;
+    the per-doc top-k is one window. At 100 TB the only wide ops are
+    the two aggregations and the term-keyed df join — the df side is
+    vocabulary-sized (sublinear in corpus), so it broadcasts or
+    hash-joins cheaply; skewed terms are aggregate keys, not join-row
+    multipliers.
+
+    Ranking is on integer keys (tf desc, df asc, term asc) — monotone
+    with tf*idf at fixed tf but exactly reproducible across engines,
+    so an oracle can replay it without float-ordering hazards.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = F.broadcast(
+        docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+            toks.agg(F.count(F.lit(1)).alias("n_toks"))
+        )
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(scalars)
+        .withColumn("avgdl", F.col("n_toks") / F.col("n_docs"))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+        .withColumn(
+            "bm25",
+            F.round(
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "bm25")
+    )

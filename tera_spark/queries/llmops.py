@@ -453,3 +453,40 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
     cc = connected_components(pairs, nodes=nodes)
     return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+@query(
+    "text_tfidf_bm25",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                        t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, cast(sum(tf) AS bigint) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY term),
+    scalars AS (
+      SELECT (SELECT cast(count(*) AS bigint) FROM documents) AS n_docs,
+             (SELECT cast(count(*) AS bigint) FROM toks) AS n_toks
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(n_docs / dfreq.df), 6) AS tfidf,
+             round(ln((n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (n_toks / n_docs))), 6) AS bm25,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scalars
+    )
+    SELECT doc_id, term, tf, df, tfidf, bm25 FROM scored WHERE rk <= 3
+    """,
+)
+def text_tfidf_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 highest-signal terms per document with TF-IDF and BM25
+    (k1=1.2, b=0.75) scores from full-corpus statistics."""
+    from tera_spark.operators.textops import tfidf_bm25_top_terms
+
+    docs = load(spark, sf, "documents")
+    return tfidf_bm25_top_terms(docs, top_k=3)
