@@ -126,3 +126,67 @@ def windowed_event_stream(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
     )
+
+
+def attribution_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to the
+    same user's clicks in the preceding ``horizon``.
+
+    Beyond the reference (observers fire per-cell; correlating two
+    streams is client code there). Spark keeps both sides in state
+    bounded by watermark + the time-interval condition — state eviction
+    needs BOTH an event-time bound on each side and the range
+    predicate, otherwise the join buffers forever; that is the shape
+    this helper pins. Keys shuffle-partition the state, so a 100 TB/day
+    stream distributes like any keyed aggregation.
+    """
+    c = clicks.select(
+        F.col(key).alias("c_user"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col(key).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )
+
+
+def deduped_event_stream(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once ingestion -> exactly-once rows:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes, so state is bounded by (keys arriving within
+    the watermark window), not by stream history — the difference
+    between a dedup that survives a week-long 100 TB replay and one
+    that OOMs. Duplicates with *different* event times within the
+    watermark window still collapse (retry semantics), which plain
+    dropDuplicates on (key, ts) cannot do."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
