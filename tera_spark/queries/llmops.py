@@ -490,3 +490,45 @@ def text_tfidf_bm25(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return tfidf_bm25_top_terms(docs, top_k=3)
+
+
+@query(
+    "sample_stratified_deterministic",
+    """
+    WITH h AS (
+      SELECT event_id, event_type,
+             ((event_id % 1000000) * 2654435761) % 4294967296 AS hkey
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_id, event_type, hkey,
+             row_number() OVER (PARTITION BY event_type ORDER BY hkey, event_id) AS rk
+      FROM h WHERE hkey < 0.2 * 4294967296
+    )
+    SELECT event_id, event_type, cast(rk AS bigint) AS rk
+    FROM ranked WHERE rk <= 100
+    """,
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible stratified sampling for training subsets: a
+    Knuth-multiplicative hash of the id gates ~20% per stratum, then a
+    per-stratum cap of 100 keeps the output bounded regardless of
+    stratum skew. Pure integer arithmetic — the same subset falls out
+    on ANY engine or re-run (seeded sample() cannot be replayed
+    cross-engine), which is what makes a 100 TB training-data draw
+    auditable. Map + one window per stratum; no shuffle beyond the
+    stratum partition."""
+    ev = load(spark, sf, "events")
+    h = ev.select(
+        "event_id",
+        "event_type",
+        (((F.col("event_id") % 1_000_000) * F.lit(2654435761)) % F.lit(4294967296)).alias("hkey"),
+    ).filter(F.col("hkey") < 0.2 * 4294967296)
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("event_type").orderBy("hkey", "event_id"))
+    return (
+        h.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 100)
+        .select("event_id", "event_type", "rk")
+    )

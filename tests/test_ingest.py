@@ -86,3 +86,18 @@ def test_row_bloom_filter_written(spark, tmp_path):
     # and the bloomed table still reads identically
     got = {r.row_key for r in read_cell_table(spark, bloomed).collect()}
     assert len(got) == 300
+
+
+def test_orc_import_round_trip(spark, tmpdir):
+    src = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", None)], "id int, name string, score double"
+    )
+    src.coalesce(1).write.orc(f"{tmpdir}/orcsrc")
+    n = import_table(
+        spark, f"{tmpdir}/orcsrc", f"{tmpdir}/orccells", key_col="id", fmt="orc", cf="d"
+    )
+    assert n == 3  # 2 names + 1 non-null score
+    schema = TableSchema("t").add_column_family("d")
+    v = current_view(spark.read.parquet(f"{tmpdir}/orccells"), schema, now_us=NOW)
+    got = {r.id: (r.name, r.score) for r in export_rows(v, key_col="id").collect()}
+    assert got["1"] == ("alice", "10.5") and got["2"] == ("bob", None)
