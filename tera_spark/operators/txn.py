@@ -94,3 +94,129 @@ def start_row_transaction(
 ) -> SingleRowTransaction:
     """Table::StartRowTransaction analog."""
     return SingleRowTransaction(cells, schema, row_key, **kw)
+
+
+class GlobalTxnConflict(Exception):
+    """A written row gained ops after the transaction's snapshot."""
+
+
+class GlobalTransaction:
+    """Cross-row, cross-table snapshot-isolated read-modify-write —
+    the capability of tera's Percolator transactions
+    (``Client::NewGlobalTransaction``, include/tera/client.h:98;
+    src/sdk/global_txn.cc) without the 2-phase lock protocol.
+
+    Percolator needs prewrite locks (`!L`), a write shadow column
+    (`!W`), lock cleanup and roll-forward (global_txn.cc:337-720)
+    because thousands of independent clients race on shared tablets.
+    In this engine the committer is a Spark driver and a commit is one
+    atomic append job per table, so optimistic validation suffices:
+
+    * snapshot   — per touched table, the max op ``seq`` at first
+      touch; all txn reads are bounded by it (``snapshot_seq`` in the
+      view builder), giving a consistent cut across tables.
+    * validate   — at commit, any op on a *written* row with
+      ``seq > snapshot`` aborts (write-write conflict; same granularity
+      as ``CheckSingleRowTxnConflict`` but across rows and tables).
+    * apply      — one append per table with fresh tail seqs; per-table
+      atomicity is the storage commit. A cross-table commit manifest
+      (gating readers on a txn-complete marker) is the upgrade path if
+      multi-table readers must never observe a torn commit mid-failure;
+      with a single driver the window is a crashed job, and re-running
+      the idempotent txn closes it.
+
+    Timestamps: the reference stamps from a timeoracle
+    (src/timeoracle/timeoracle.h:27-41); monotone op ``seq`` plays that
+    role here.
+    """
+
+    def __init__(self, catalog, *, now_us: int | None = None):
+        from tera_spark.operators.mutation import MutationBatch
+
+        self._cat = catalog
+        self._now_us = now_us
+        self._snap: dict[str, int] = {}
+        self._batches: dict[str, "MutationBatch"] = {}
+        self._write_rows: dict[str, set[str]] = {}
+
+    # --- snapshot machinery -------------------------------------------
+    def _snapshot(self, table: str) -> int:
+        if table not in self._snap:
+            mx = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
+            self._snap[table] = mx if mx is not None else 0
+        return self._snap[table]
+
+    def _batch(self, table: str):
+        from tera_spark.operators.mutation import MutationBatch
+
+        self._snapshot(table)  # pin the snapshot before the first write too
+        if table not in self._batches:
+            self._batches[table] = MutationBatch()
+            self._write_rows[table] = set()
+        return self._batches[table]
+
+    # --- reads (snapshot-bounded, consistent across tables) -----------
+    def read(self, table: str, row_key: str, cf: str, qualifier: str) -> bytes | None:
+        from tera_spark.operators.scan import ScanDescriptor, scan
+
+        rows = scan(
+            self._cat.read_oplog(table),
+            self._cat.get_schema(table),
+            ScanDescriptor(start=row_key, end=row_key + "\x00", columns={cf: [qualifier]}),
+            now_us=self._now_us,
+            snapshot_seq=self._snapshot(table),
+        ).collect()
+        return bytes(rows[0].value) if rows and rows[0].value is not None else None
+
+    # --- writes -------------------------------------------------------
+    def put(self, table: str, row_key: str, cf: str, qualifier: str, value, ts=None):
+        self._batch(table).put(row_key, cf, qualifier, value, ts=ts)
+        self._write_rows[table].add(row_key)
+        return self
+
+    def delete_column(self, table: str, row_key: str, cf: str, qualifier: str, ts=None):
+        self._batch(table).delete_column(row_key, cf, qualifier, ts=ts)
+        self._write_rows[table].add(row_key)
+        return self
+
+    def notify(self, table: str, row_key: str, cf: str, qualifier: str, ts: int = 0):
+        """Transaction::Notify analog (include/tera/transaction.h:69-72):
+        mark the observed column dirty in the same commit."""
+        from tera_spark.streaming.observer import NOTIFY_CF
+
+        self._batch(table).put(row_key, NOTIFY_CF, f"{cf}+{qualifier}", b"1", ts=ts)
+        self._write_rows[table].add(row_key)
+        return self
+
+    # --- commit -------------------------------------------------------
+    def commit(self) -> dict[str, int]:
+        """Validate then apply; returns cells appended per table."""
+        for table, rows in self._write_rows.items():
+            if not rows:
+                continue
+            snap = self._snap[table]
+            conflicted = (
+                self._cat.read_oplog(table)
+                .filter(F.col("row_key").isin(sorted(rows)) & (F.col("seq") > snap))
+                .limit(1)
+                .count()
+            )
+            if conflicted:
+                raise GlobalTxnConflict(
+                    f"table {table!r}: write-set row changed after seq {snap}"
+                )
+        applied: dict[str, int] = {}
+        for table, batch in self._batches.items():
+            if not len(batch):
+                continue
+            cur = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
+            batch._base_seq = (cur if cur is not None else 0) + 1
+            df = batch.to_df(self._cat.spark, now_us=self._now_us)
+            self._cat.append(table, df)
+            applied[table] = len(batch)
+        return applied
+
+
+def new_global_transaction(catalog, **kw) -> GlobalTransaction:
+    """Client::NewGlobalTransaction analog."""
+    return GlobalTransaction(catalog, **kw)

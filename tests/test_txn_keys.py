@@ -123,3 +123,88 @@ def test_salted_agg_matches_direct(spark):
         F.max("v").alias("hi"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --- global (cross-row / cross-table) transactions ---------------------
+
+
+def _gtxn_catalog(spark, tmp_path):
+    from tera_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "gtxn_cat"))
+    for t in ("acct_a", "acct_b"):
+        cat.create_table(f"{t} {{ cf0 <maxversions=3> }}")
+        cat.append(
+            t,
+            MutationBatch(base_seq=1).put("alice", "cf0", "bal", "100", ts=10).to_df(spark),
+        )
+    return cat
+
+
+def test_global_txn_cross_table_transfer(spark, tmp_path):
+    from tera_spark.operators.txn import new_global_transaction
+
+    cat = _gtxn_catalog(spark, tmp_path)
+    txn = new_global_transaction(cat, now_us=NOW)
+    a = int(txn.read("acct_a", "alice", "cf0", "bal"))
+    b = int(txn.read("acct_b", "alice", "cf0", "bal"))
+    txn.put("acct_a", "alice", "cf0", "bal", str(a - 30), ts=20)
+    txn.put("acct_b", "alice", "cf0", "bal", str(b + 30), ts=20)
+    applied = txn.commit()
+    assert applied == {"acct_a": 1, "acct_b": 1}
+
+    va = cat.view("acct_a", now_us=NOW).filter(F.col("qualifier") == "bal").collect()
+    vb = cat.view("acct_b", now_us=NOW).filter(F.col("qualifier") == "bal").collect()
+    newest_a = max(va, key=lambda r: r.ts)
+    newest_b = max(vb, key=lambda r: r.ts)
+    assert bytes(newest_a.value) == b"70" and bytes(newest_b.value) == b"130"
+
+
+def test_global_txn_write_write_conflict(spark, tmp_path):
+    from tera_spark.operators.txn import GlobalTxnConflict, new_global_transaction
+
+    cat = _gtxn_catalog(spark, tmp_path)
+    t1 = new_global_transaction(cat, now_us=NOW)
+    t2 = new_global_transaction(cat, now_us=NOW)
+    t1.put("acct_a", "alice", "cf0", "bal", "1", ts=20)
+    t2.put("acct_a", "alice", "cf0", "bal", "2", ts=21)
+    t1.commit()
+    import pytest as _pytest
+
+    with _pytest.raises(GlobalTxnConflict):
+        t2.commit()
+
+
+def test_global_txn_snapshot_reads_and_disjoint_rows(spark, tmp_path):
+    from tera_spark.operators.txn import new_global_transaction
+
+    cat = _gtxn_catalog(spark, tmp_path)
+    txn = new_global_transaction(cat, now_us=NOW)
+    assert txn.read("acct_a", "alice", "cf0", "bal") == b"100"  # pins snapshot
+    # concurrent writer lands on a DIFFERENT row and on alice
+    cat.append(
+        "acct_a",
+        MutationBatch(base_seq=100)
+        .put("bob", "cf0", "bal", "5", ts=30)
+        .put("alice", "cf0", "bal", "999", ts=30)
+        .to_df(spark),
+    )
+    # snapshot read: still the pre-append value
+    assert txn.read("acct_a", "alice", "cf0", "bal") == b"100"
+    # txn writes only bob's row in acct_b -> disjoint from the append, commits
+    txn.put("acct_b", "bob", "cf0", "bal", "7", ts=40)
+    assert txn.commit() == {"acct_b": 1}
+
+
+def test_global_txn_notify_marks_dirty(spark, tmp_path):
+    from tera_spark.operators.txn import new_global_transaction
+    from tera_spark.streaming.observer import NOTIFY_CF
+
+    cat = _gtxn_catalog(spark, tmp_path)
+    txn = new_global_transaction(cat, now_us=NOW)
+    txn.put("acct_a", "alice", "cf0", "bal", "55", ts=50).notify(
+        "acct_a", "alice", "cf0", "bal", ts=50
+    )
+    txn.commit()
+    marks = cat.read_oplog("acct_a").filter(F.col("cf") == NOTIFY_CF).collect()
+    assert len(marks) == 1 and marks[0].qualifier == "cf0+bal"
