@@ -13,8 +13,9 @@ by a single writer per table (Spark jobs are single-driver, and the
 catalog's append is one atomic job) — the same serialization point the
 reference gets from the tablet server's writer thread.
 
-Percolator-style cross-row transactions (src/sdk/global_txn.cc) remain
-a documented non-goal (SURVEY.md §2.3).
+Cross-row/cross-table transactions: see ``GlobalTransaction`` below —
+the Percolator capability (src/sdk/global_txn.cc) without the 2PC lock
+protocol, which a single-committer engine doesn't need.
 """
 
 from __future__ import annotations
