@@ -532,3 +532,55 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 100)
         .select("event_id", "event_type", "rk")
     )
+
+
+_SQL_QSCORE = _t6(
+    f"least({_SQL_NTOK}::double / 100.0, 1.0) * 0.4 + {_SQL_STOPR} * 0.3 + {_SQL_ALPHA} * 0.3"
+)
+
+
+@query(
+    "pipeline_corpus_curation",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, md5(text) AS h, {_sql_lang_case()} AS lang_guess,
+             cast({_SQL_NTOK} AS bigint) AS n_tokens, {_SQL_QSCORE} AS quality_score
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM kept
+      ) WHERE doc_id = keeper
+    )
+    SELECT lang_guess, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM dedup GROUP BY lang_guess
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed curation pass a training-data pipeline runs before
+    tokenization: score quality -> language-ID -> drop low-quality ->
+    exact-dedup (min-id keeper) -> per-language corpus budget. Each
+    stage is the already-tested operator; the composition stays one
+    declarative plan (scan -> map -> window on the hash -> final agg),
+    so Catalyst pipelines it with two shuffles total (hash window +
+    group-by) at any corpus size."""
+    from tera_spark.operators.textops import language_id, quality_features
+    from tera_spark.sources.tables import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    feats = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    base = docs.select(
+        "doc_id", language_id(F.col("text")).alias("lang_guess"), F.md5("text").alias("h")
+    )
+    kept = base.join(feats, "doc_id").filter(F.col("quality_score") >= 0.5)
+    keeper = F.min("doc_id").over(W.partitionBy("h"))
+    dedup = kept.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
+    return dedup.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
