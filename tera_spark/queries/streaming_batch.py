@@ -159,3 +159,59 @@ def events_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "events_funnel_3step",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT cast((SELECT count(*) FROM s1) AS bigint) AS n_viewed,
+           cast((SELECT count(*) FROM s2) AS bigint) AS n_clicked_after,
+           cast((SELECT count(*) FROM s3) AS bigint) AS n_purchased_after
+    """,
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-step funnel: users whose first view precedes a click
+    that precedes a purchase. Each stage is a user-keyed aggregate
+    joined back to the events of the next type — three shuffles on
+    user_id that AQE coalesces, with the per-stage tables shrinking
+    monotonically (stage N+1 joins only stage-N survivors), so the
+    whole funnel costs one fact scan per stage and no window over the
+    raw event stream."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
