@@ -175,3 +175,59 @@ def test_deduped_event_stream_collapses_retries(spark, tmpdir):
     rows = spark.sql("select * from dedup_out").collect()
     assert len(rows) == 50
     assert len({r.event_id for r in rows}) == 50
+
+
+def test_observer_maintains_secondary_index(spark, tmpdir):
+    """The reference's canonical observer workload: incremental
+    secondary-index maintenance (TPC-C keeps t_*_index tables this way,
+    src/benchmark/tpcc/; observers react to dirty cells and write the
+    index table inside the callback)."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.scan import get as tget
+
+    cat = Catalog(spark, f"{tmpdir}/idx_cat")
+    cat.create_table("users { info }")
+    cat.create_table("email_index { idx }")
+
+    def write_users(batch):
+        marks = notify_cells("info", "email", batch.to_df(spark))
+        cat.append("users", batch.to_df(spark).unionByName(marks))
+
+    def maintain_index(marks_df, epoch):
+        rows = [r.row_key for r in marks_df.select("row_key").distinct().collect()]
+        vis = (
+            cat.view("users")
+            .filter((F.col("cf") == "info") & (F.col("qualifier") == "email"))
+            .filter(F.col("row_key").isin(rows))
+            .collect()
+        )
+        b = MutationBatch(base_seq=(epoch + 1) * 1000)
+        for r in vis:
+            b.put(bytes(r.value).decode(), "idx", r.row_key, "1", ts=r.ts)
+        if len(b):
+            cat.append("email_index", b.to_df(spark))
+
+    b1 = MutationBatch(base_seq=1)
+    b1.put("u1", "info", "email", "a@x", ts=100)
+    b1.put("u2", "info", "email", "b@x", ts=101)
+    write_users(b1)
+
+    pipe = ObserverPipeline(spark, cat.oplog_path("users"), f"{tmpdir}/idx_ckpt")
+    pipe.observe("indexer", "info", "email", maintain_index)
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(180)
+
+    idx = tget(cat.read_oplog("email_index"), cat.get_schema("email_index"), "a@x")
+    assert [r.qualifier for r in idx.collect()] == ["u1"]
+
+    # incremental: a second commit only indexes the new row
+    b2 = MutationBatch(base_seq=10)
+    b2.put("u3", "info", "email", "d@x", ts=200)
+    write_users(b2)
+    q2 = pipe.start(trigger_once=True)
+    q2.awaitTermination(180)
+
+    all_idx = cat.read_oplog("email_index").filter(F.col("cf") == "idx").collect()
+    assert len(all_idx) == 3  # would be 5 if u1/u2 re-fired
+    d = tget(cat.read_oplog("email_index"), cat.get_schema("email_index"), "d@x")
+    assert [r.qualifier for r in d.collect()] == ["u3"]
