@@ -215,3 +215,33 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_after")))
         .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_after")))
     )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hr FROM events
+    ),
+    f AS (SELECT user_id, min(hr) AS cohort_hr FROM w GROUP BY user_id)
+    SELECT f.cohort_hr, w.hr - f.cohort_hr AS offset_hr,
+           cast(count(*) AS bigint) AS n_users
+    FROM w JOIN f ON w.user_id = f.user_id
+    GROUP BY f.cohort_hr, offset_hr
+    """,
+)
+def events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active hour, counted at
+    each later activity offset. Two user-keyed aggregates plus one join
+    of user-cardinality tables — the raw event stream is touched once
+    (the DISTINCT), and everything downstream is sublinear in events."""
+    ev = load(spark, sf, "events")
+    w = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).distinct()
+    f = w.groupBy("user_id").agg(F.min("hr").alias("cohort_hr"))
+    return (
+        w.join(f, "user_id")
+        .groupBy("cohort_hr", (F.col("hr") - F.col("cohort_hr")).alias("offset_hr"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
