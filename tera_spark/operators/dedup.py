@@ -199,3 +199,44 @@ def connected_components(
             break
         prev_sum = cur_sum
     return lab.select("id", F.col("comp").alias("component"))
+
+
+def edit_distance_near_duplicates(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 40,
+) -> DataFrame:
+    """Edit-distance-verified dedup: LSH candidates -> Levenshtein
+    filter. Complements Jaccard verification — edit distance catches
+    small in-place edits (typo fixes, template fills) that shingle-set
+    overlap scores loosely, and both engines define it identically so
+    the verification is exactly oracle-able.
+
+    Same scale shape as verified_near_duplicates: the O(n*m) DP runs
+    JVM-side on CANDIDATE pairs only (LSH bounds the quadratic work to
+    same-bucket collisions), and the text lookup joins hang off the
+    bucket join's exchange. At 100 TB the candidate join is the only
+    wide stage; the verify filter is map-side."""
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    sigs = (
+        with_minhash_signature(docs, text_col)
+        .select(F.col(id_col).alias("id"), F.explode(band_keys(F.col("sig"))).alias("bucket"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(base.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), "id_a")
+        .join(base.withColumnRenamed("id", "id_b").withColumnRenamed("txt", "txt_b"), "id_b")
+        .withColumn("edit_dist", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

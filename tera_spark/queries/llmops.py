@@ -584,3 +584,34 @@ def pipeline_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+
+
+@query(
+    "dedup_edit_distance",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    )
+    SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b,
+           cast(levenshtein(da.text, db.text) AS int) AS edit_dist
+    FROM cand JOIN documents da ON da.doc_id = id_a
+              JOIN documents db ON db.doc_id = id_b
+    WHERE levenshtein(da.text, db.text) <= 40
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidates verified by Levenshtein distance — the
+    small-in-place-edit member of the dedup family."""
+    from tera_spark.operators.dedup import edit_distance_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    return edit_distance_near_duplicates(docs).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "edit_dist",
+    )
