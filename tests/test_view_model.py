@@ -194,3 +194,70 @@ def test_view_matches_independent_model(spark, seed):
     want = model_view(rows, schema, NOW)
     missing, extra = want - got, got - want
     assert got == want, f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]}"
+
+
+# --- hypothesis: the same differential property under minimized,
+# adversarial op-logs (shrinking finds minimal counterexamples; the
+# seeded generator above covers volume) -----------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _oplogs(draw):
+    n = draw(st.integers(min_value=4, max_value=40))
+    rows = []
+    for seq in range(n):
+        rk = f"row{draw(st.integers(0, 2))}"
+        cf = draw(st.sampled_from(["cf0", "cf1", "cfttl", "zz_illegal"]))
+        qu = draw(st.sampled_from(sorted(QUAL_KINDS)))
+        if cf == "cfttl" and draw(st.booleans()):
+            ts = draw(st.integers(1, 59))  # beyond the TTL horizon
+        else:
+            ts = NOW - draw(st.integers(1, 12))  # tight range -> ts collisions
+        kind = draw(
+            st.sampled_from(
+                ["put", "put", "atomic", "atomic", "del_row", "del_cf", "del_qus", "del_qu"]
+            )
+        )
+        dkind = QUAL_KINDS[qu][0]
+        if kind == "del_row":
+            rows.append((rk, "", "", ts, CellOp.DEL_ROW, None, seq))
+        elif kind == "del_cf":
+            rows.append((rk, cf, "", ts, CellOp.DEL_FAMILY, None, seq))
+        elif kind == "del_qus":
+            rows.append((rk, cf, qu, ts, CellOp.DEL_QUALIFIERS, None, seq))
+        elif kind == "del_qu":
+            rows.append((rk, cf, qu, ts, CellOp.DEL_QUALIFIER, None, seq))
+        else:
+            iv = draw(st.integers(-5, 1000))
+            if dkind == CellOp.ADD:
+                val = py_encode_be_i64(iv)
+            elif dkind == CellOp.ADDINT64:
+                val = py_encode_le_i64(iv)
+            else:
+                val = f"v{iv % 13}".encode()
+            rows.append(
+                (rk, cf, qu, ts, CellOp.PUT if kind == "put" else dkind, val, seq)
+            )
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_oplogs())
+def test_view_model_property_hypothesis(spark, rows):
+    schema = _schema()
+    got = {
+        (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value) if r.value is not None else None)
+        for r in current_view(
+            spark.createDataFrame(rows, CELL_SCHEMA), schema, now_us=NOW
+        ).collect()
+    }
+    want = model_view(rows, schema, NOW)
+    assert got == want, f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
