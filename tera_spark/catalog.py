@@ -140,6 +140,96 @@ class Catalog:
         shutil.copytree(snap, oplog)
         shutil.rmtree(bak)
 
+    def compact_ranges(self, name: str, *, now_us: int | None = None) -> dict:
+        """Selective (minor) compaction: fold only the row-key ranges
+        that need it, leave clean files untouched.
+
+        Tera triggers minor compaction per tablet when its op volume
+        warrants it (`TabletIO::Compact`, src/io/tablet_io.cc:605-632);
+        the full-log fold (`compact_inplace`) is the major compaction.
+        At 100 TB rewriting the whole log to clean up one hot range is
+        the difference between a bounded maintenance job and a
+        full-table write — this is the bounded one.
+
+        Planning is metadata-only (Parquet footers, no data read):
+        files whose row_key [min,max] envelopes overlap form a group —
+        the closure guarantees every op of every row in the group lives
+        inside it, so folding a group in isolation is exactly the full
+        fold restricted to those rows. A group is dirty if it has >1
+        file (overlapping appends to the same range) or any non-PUT op
+        (deletes / atomic merges; visible in the op column's footer
+        min/max since PUT sits between the delete and atomic codes).
+        Dirty groups are folded through the same `compact()` the
+        equivalence tests pin and swapped in file-atomically.
+        """
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from tera_spark.model import CellOp
+        from tera_spark.operators.compact import compact
+
+        self._check_enabled(name)
+        oplog = self.root / name / "oplog"
+        infos = []
+        for f in sorted(oplog.glob("part-*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            if md.num_rows == 0:  # empty appends: collect as we plan
+                f.unlink()
+                continue
+            lo = hi = op_lo = op_hi = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.statistics is None:
+                        continue
+                    st = col.statistics
+                    if col.path_in_schema == "row_key":
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    elif col.path_in_schema == "op":
+                        op_lo = st.min if op_lo is None else min(op_lo, st.min)
+                        op_hi = st.max if op_hi is None else max(op_hi, st.max)
+            if lo is not None:
+                infos.append({"path": f, "lo": lo, "hi": hi, "op_lo": op_lo, "op_hi": op_hi})
+
+        infos.sort(key=lambda i: (i["lo"], i["hi"]))
+        groups: list[list[dict]] = []
+        for info in infos:
+            if groups and info["lo"] <= max(i["hi"] for i in groups[-1]):
+                groups[-1].append(info)
+            else:
+                groups.append([info])
+
+        folded_groups = files_folded = 0
+        for grp in groups:
+            dirty = len(grp) > 1 or any(
+                i["op_lo"] != CellOp.PUT or i["op_hi"] != CellOp.PUT for i in grp
+            )
+            if not dirty:
+                continue
+            paths = [str(i["path"]) for i in grp]
+            folded = compact(
+                self.spark.read.parquet(*paths), self.get_schema(name), now_us=now_us
+            )
+            tmp = self.root / name / f"compact-tmp-{uuid.uuid4().hex}"
+            write_cell_table(folded, str(tmp))
+            for i in grp:
+                i["path"].unlink()
+            token = uuid.uuid4().hex[:8]
+            for n, pf in enumerate(sorted(Path(tmp).glob("part-*.parquet"))):
+                pf.rename(oplog / f"part-c{token}-{n:05d}.parquet")
+            shutil.rmtree(tmp)
+            folded_groups += 1
+            files_folded += len(grp)
+        return {
+            "groups": len(groups),
+            "groups_folded": folded_groups,
+            "files_folded": files_folded,
+            "files_kept": len(infos) - files_folded,
+        }
+
     def tablet_info(self, name: str) -> list[dict]:
         """Partition introspection — the GetTabletLocation /
         GetStartEndKeys debug surface (include/tera/table.h:131-133):

@@ -114,3 +114,53 @@ def test_check_and_apply(spark):
         MutationBatch().put("r1", "cf0", "q", "x", ts=30), now_us=NOW
     )
     assert bad is None
+
+
+def test_compact_ranges_folds_only_dirty_groups(spark, tmp_path):
+    """Selective compaction: overlapping/dirty row-range groups fold,
+    clean disjoint files survive untouched, the view is unchanged."""
+    from tera_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cr_cat"))
+    cat.create_table("t { cf0 <maxversions=1> }")
+
+    # group A (dirty): two appends overlap on the a* range, with a delete
+    b1 = MutationBatch(base_seq=1)
+    for i in range(4):
+        b1.put(f"a{i}", "cf0", "q", f"v{i}", ts=100)
+    cat.append("t", b1.to_df(spark))
+    b2 = MutationBatch(base_seq=10)
+    b2.put("a1", "cf0", "q", "v1-new", ts=200)
+    b2.delete_column("a2", "cf0", "q", ts=300)
+    cat.append("t", b2.to_df(spark))
+    # group B (clean): disjoint z* range, PUTs only, single file
+    b3 = MutationBatch(base_seq=20)
+    for i in range(3):
+        b3.put(f"z{i}", "cf0", "q", f"w{i}", ts=100)
+    cat.append("t", b3.to_df(spark))
+
+    before = {
+        (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+        for r in cat.view("t", now_us=NOW).collect()
+    }
+    clean_files = {
+        i["file"]
+        for i in cat.tablet_info("t")
+        if i["start_key"] is not None and i["start_key"].startswith("z")
+    }
+    assert clean_files
+
+    stats = cat.compact_ranges("t", now_us=NOW)
+    assert stats["groups_folded"] >= 1 and stats["files_folded"] >= 2
+
+    after_files = {i["file"] for i in cat.tablet_info("t")}
+    assert clean_files <= after_files  # clean group untouched
+    after = {
+        (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+        for r in cat.view("t", now_us=NOW).collect()
+    }
+    assert after == before  # compact ≡ view, restricted to folded ranges
+
+    # folded group is now all-PUT single range: a second pass is a no-op
+    stats2 = cat.compact_ranges("t", now_us=NOW)
+    assert stats2["files_folded"] == 0
