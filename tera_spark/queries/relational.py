@@ -1013,3 +1013,34 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '@ALL') AS returnflag,
+           coalesce(l_linestatus, '@ALL') AS linestatus,
+           cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
+           cast(count(*) AS bigint) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary grouping-set combinations with GROUPING() disambiguation
+    (rollup/cube's general form) — straight SQL on both engines."""
+    from tera_spark.sources.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '@ALL') AS returnflag,
+               coalesce(l_linestatus, '@ALL') AS linestatus,
+               cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS bigint) AS gid,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
