@@ -24,11 +24,13 @@ def asof_join(
     ts_col: str,
     right_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach to each left row the right row with
-    the greatest ``ts_col`` <= left's ``ts_col`` within the same ``on``
-    keys (ties at equal timestamps match, like DuckDB ``ASOF JOIN ...
-    ON l.ts >= r.ts``).
+    """As-of join: attach to each left row the nearest right row at or
+    before it (``direction="backward"``: greatest right ``ts_col`` <=
+    left's) or at or after it (``"forward"``: smallest right ``ts_col``
+    >= left's) within the same ``on`` keys. Ties at equal timestamps
+    match, like DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` / ``<=``.
 
     Plan shape: tagged union of both sides, then ONE window pass with
     ``last(..., ignorenulls=True)`` over rows-preceding — exactly one
@@ -45,16 +47,24 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("__asof")
     r = right.select(*on, ts_col, payload).withColumn("__side", F.lit(0))
     l = left.withColumn("__asof", F.lit(None).cast(r.schema["__asof"].dataType)).withColumn(
         "__side", F.lit(1)
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    # right (__side=0) sorts before left at equal ts -> inclusive match
+    # right (__side=0) sorts before left at equal ts -> inclusive match;
+    # forward = the same sweep along descending time
+    order = (
+        [F.col(ts_col).asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col(ts_col).desc(), F.col("__side").asc()]
+    )
     w = (
         W.partitionBy(*on)
-        .orderBy(ts_col, "__side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

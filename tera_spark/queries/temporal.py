@@ -87,3 +87,40 @@ def events_range_join_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
     j = binned_range_join(pts, win, "ts_us", "start_us", "end_us", bin_width=240_000_000)
     return j.select("window_id", "event_id")
+
+
+@query(
+    "events_asof_next_purchase",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+         r AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id,
+           r.event_id AS purchase_event_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS wait_us
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of: each click -> the user's next purchase at or
+    after it (time-to-convert)."""
+    ev = load(spark, sf, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("purchase_ts_us"),
+    )
+    j = asof_join(
+        l, r, on=["user_id"], ts_col="ts_us",
+        right_cols=["purchase_event_id", "purchase_ts_us"],
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_event_id",
+        (F.col("purchase_ts_us") - F.col("ts_us")).alias("wait_us"),
+    )

@@ -99,3 +99,25 @@ def test_binned_range_join_no_nested_loop_plan(spark):
     v = spark.createDataFrame([(9, 0, 10)], "wid long, s long, e long")
     plan = binned_range_join(p, v, "x", "s", "e", bin_width=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_asof_forward_direction(spark):
+    l = spark.createDataFrame([(1, 10, 1), (1, 30, 2), (2, 5, 3)], "k long, ts long, lid long")
+    r = spark.createDataFrame(
+        [(1, 10, 100, 0), (1, 20, 101, 0), (2, 1, 102, 0)], "k long, ts long, rid long, rpay long"
+    )
+    got = {
+        (row.k, row.ts, row.lid): row.rid
+        for row in asof_join(
+            l, r, on=["k"], ts_col="ts", right_cols=["rid"], direction="forward"
+        ).collect()
+    }
+    # tie at ts=10 matches; left@30 has no later right; left@5(k=2) has none after
+    assert got == {(1, 10, 1): 100}
+    got_left = {
+        (row.k, row.ts, row.lid): row.rid
+        for row in asof_join(
+            l, r, on=["k"], ts_col="ts", right_cols=["rid"], direction="forward", how="left"
+        ).collect()
+    }
+    assert got_left == {(1, 10, 1): 100, (1, 30, 2): None, (2, 5, 3): None}
