@@ -46,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table"); sp.add_argument("--start"); sp.add_argument("--end")
     sp.add_argument("--limit", type=int, default=100)
     sp = sub.add_parser("compact"); sp.add_argument("table")
+    sp.add_argument("--minor", action="store_true", help="selective: fold only dirty row-range groups")
     sp = sub.add_parser("snapshot"); sp.add_argument("table")
     sp = sub.add_parser("optimize"); sp.add_argument("table")
     sp.add_argument("--buckets", type=int)
@@ -127,7 +128,10 @@ def main(argv: list[str] | None = None) -> int:
         for r in scan(cat.read_oplog(args.table), cat.get_schema(args.table), desc).collect():
             print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
     elif args.cmd == "compact":
-        cat.compact_inplace(args.table); print("compacted")
+        if args.minor:
+            print(cat.compact_ranges(args.table))
+        else:
+            cat.compact_inplace(args.table); print("compacted")
     elif args.cmd == "snapshot":
         print(cat.snapshot(args.table))
     elif args.cmd == "optimize":

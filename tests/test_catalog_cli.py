@@ -92,6 +92,9 @@ def test_cli_end_to_end(spark, root, tmp_path, monkeypatch, capsys):
     assert main(["--root", root, "scan", "clitab", "--start", "row0", "--end", "row2"]) == 0
     assert "greeting" in capsys.readouterr().out
     assert main(["--root", root, "compact", "clitab"]) == 0
+    assert main(["--root", root, "put", "clitab", "row1", "cf0:greeting", "hi2", "--ts", "6"]) == 0
+    assert main(["--root", root, "compact", "clitab", "--minor"]) == 0
+    assert "groups_folded" in capsys.readouterr().out
     assert main(["--root", root, "optimize", "clitab"]) == 0
     assert main(["--root", root, "show"]) == 0
     assert "clitab" in capsys.readouterr().out
