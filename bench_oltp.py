@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""OLTP-shaped microbench mirroring the reference's only published
+benchmark (BASELINE.md / doc/en/performance.md): async-write
+throughput, random point reads, and ordered sequential scan — replayed
+on this engine's cell model so the two systems are compared on the
+same three verbs they both implement.
+
+Workload shape follows the reference config (24-byte keys, 1000-byte
+values, maxversions=1); row count is scaled by TERA_OLTP_ROWS
+(default 300k vs. the reference's 300M — same per-row shape, 1/1000
+volume; throughputs are per-second rates so they compare directly).
+
+Notes on the mapping (this is a batch analytics engine, not a
+latency-serving store — see SCALE.md "OLTP verbs"):
+- write  = distributed generation of an op-log batch + range-sorted
+  Parquet append (the engine's group commit). Reported as MB/s of
+  value payload, matching the reference's 9 MB/s metric.
+- random read = a batch of K point gets resolved as ONE broadcast
+  semi-join + current-view fold (Table::Get(vector<RowReader*>)).
+  Reported as keys/s; tera reports 32k QPS from many concurrent
+  clients — the batched join is how the same demand shape lands on
+  Spark.
+- sequential read = full ordered scan folding the op-log to visible
+  cells and touching every value byte. Reported as MB/s, matching
+  the reference's 20 MB/s metric.
+
+Prints ONE JSON line; run standalone (never concurrently with bench.py
+— box contention skews both).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from tera_spark.model import CELL_SCHEMA, CellOp
+from tera_spark.operators.scan import ScanDescriptor, scan
+from tera_spark.operators.view import current_view
+from tera_spark.session import get_spark
+
+N_ROWS = int(os.environ.get("TERA_OLTP_ROWS", "300000"))
+N_GETS = int(os.environ.get("TERA_OLTP_GETS", "10000"))
+VALUE_BYTES = 1000
+
+
+def main() -> None:
+    spark = get_spark("bench_oltp")
+    tmp = tempfile.mkdtemp(prefix="tera_oltp_")
+    path = os.path.join(tmp, "oplog")
+    try:
+        # ---- write: generate + range-sorted group commit ------------
+        cells = spark.range(N_ROWS).select(
+            F.format_string("row%016d", F.col("id")).alias("row_key"),
+            F.lit("cf0").alias("cf"),
+            F.lit("q").alias("qualifier"),
+            (F.lit(1_700_000_000_000_000) + F.col("id")).alias("ts"),
+            F.lit(CellOp.PUT).cast("int").alias("op"),
+            F.rpad(F.conv(F.col("id").cast("string"), 10, 16), VALUE_BYTES, "x")
+            .cast("binary")
+            .alias("value"),
+            F.col("id").alias("seq"),
+        )
+        t0 = time.monotonic()
+        (
+            cells.repartitionByRange(32, "row_key")
+            .sortWithinPartitions("row_key", "cf", "qualifier", F.desc("ts"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        w_s = time.monotonic() - t0
+        write_mb_s = N_ROWS * VALUE_BYTES / w_s / 1e6
+
+        oplog = spark.read.schema(CELL_SCHEMA).parquet(path)
+
+        # ---- random read: K point gets as one broadcast semi-join ---
+        step = max(N_ROWS // N_GETS, 1)
+        keys = spark.range(0, N_ROWS, step).select(
+            F.format_string("row%016d", F.col("id")).alias("row_key")
+        )
+        t0 = time.monotonic()
+        got = current_view(
+            oplog.join(F.broadcast(keys), "row_key", "left_semi"), None
+        ).count()
+        g_s = time.monotonic() - t0
+        point_keys_s = got / g_s
+
+        # ---- sequential read: ordered full scan, touch every byte ---
+        t0 = time.monotonic()
+        visible = scan(oplog, None, ScanDescriptor())
+        n_bytes = visible.agg(
+            F.sum(F.octet_length("value")).alias("b")
+        ).collect()[0]["b"]
+        s_s = time.monotonic() - t0
+        scan_mb_s = n_bytes / s_s / 1e6
+
+        print(
+            json.dumps(
+                {
+                    "metric": "oltp_microbench",
+                    "unit": "mixed",
+                    "rows": N_ROWS,
+                    "value_bytes": VALUE_BYTES,
+                    "write_mb_s": round(write_mb_s, 2),
+                    "write_rows_s": round(N_ROWS / w_s),
+                    "point_gets": got,
+                    "point_keys_s": round(point_keys_s),
+                    "scan_mb_s": round(scan_mb_s, 2),
+                    "baseline_reference": {
+                        "write_mb_s": 9.0,
+                        "random_read_qps": 32000,
+                        "scan_mb_s": 20.0,
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

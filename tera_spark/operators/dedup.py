@@ -240,3 +240,39 @@ def edit_distance_near_duplicates(
         .filter(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an evaluation set (the standard pre-training
+    hygiene pass; production uses n=8..13, scaled here to the fixture's
+    short documents). Returns (id, n_hits) for contaminated docs —
+    n_hits = count of distinct eval n-grams the document contains.
+
+    Scale shape: the eval set is tiny relative to the corpus, so its
+    distinct n-gram set is BROADCAST — the corpus side is a map-only
+    explode + broadcast-hash-join + partial/final count keyed by doc
+    id. No corpus-sized shuffle other than the per-doc count, and the
+    binary/text payload never travels (only n-gram strings + ids)."""
+    from tera_spark.functions.text import shingles
+
+    ev = (
+        eval_set.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    cand = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    )
+    return (
+        cand.join(F.broadcast(ev), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

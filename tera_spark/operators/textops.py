@@ -77,6 +77,90 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    fraction of tokens taken by the single most common token, and
+    fraction of bigrams that are repeats of an earlier bigram. High
+    values flag boilerplate / degenerate generations a curation
+    pipeline should drop.
+
+    Everything is per-row array arithmetic (map-only, zero shuffles at
+    any corpus size). Intermediates are staged behind real projections
+    because the token array feeds four consumers (see
+    functions/text.py staging notes).
+    """
+    t = F.col(text_col)
+
+    def trunc6(x):
+        return F.floor(x * 1_000_000).cast("double") / 1_000_000
+
+    d = (
+        ensure_parallelism(docs)
+        .withColumn("_toks", tokens(t))
+        .withColumn("_n", F.size(F.col("_toks")))
+        .withColumn(
+            "_counts",
+            F.transform(
+                F.array_distinct(F.col("_toks")),
+                lambda w: F.size(F.filter(F.col("_toks"), lambda x: x == w)),
+            ),
+        )
+        .withColumn(
+            "_bg",
+            F.when(
+                F.col("_n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.get(F.col("_toks"), i - 1), F.get(F.col("_toks"), i)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    n_bg = F.size(F.col("_bg"))
+    return d.select(
+        "doc_id",
+        F.col("_n").cast("long").alias("n_tokens"),
+        trunc6(
+            F.array_max(F.col("_counts")).cast("double") / F.greatest(F.col("_n"), F.lit(1))
+        ).alias("top_token_frac"),
+        trunc6(
+            (n_bg - F.size(F.array_distinct(F.col("_bg")))).cast("double")
+            / F.greatest(n_bg, F.lit(1))
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns kept engine-portable: character classes only, no
+# lookarounds (Spark = Java regex, oracle = RE2).
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_NUMBER = "[0-9]+"
+
+
+def redact_pii(
+    df: DataFrame, col: str, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Mask emails then digit runs in ``col``; emit the redacted text
+    plus per-category match counts (the audit trail a curation run
+    keeps). Pure regexp expressions — map-only at any scale."""
+    ids = id_cols or ["doc_id"]
+    c = F.col(col)
+    masked = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_NUMBER, "<NUM>"
+    )
+    return ensure_parallelism(df).select(
+        *ids,
+        masked.alias("redacted"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)).cast("long").alias("n_email"),
+        F.size(
+            F.regexp_extract_all(F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), F.lit(PII_NUMBER), 0)
+        )
+        .cast("long")
+        .alias("n_number"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return ensure_parallelism(docs).select(
         "doc_id",

@@ -615,3 +615,89 @@ def dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         "edit_dist",
     )
+
+
+@query(
+    "text_repetition_signals",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {X.sql_tokens('text')} AS t
+      FROM documents WHERE doc_id % 4 = 1
+    ),
+    b2 AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE []::varchar[] END AS bg
+      FROM base
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           cast(n AS bigint) AS n_tokens,
+           {_t6("list_max(list_transform(list_distinct(t), w -> len(list_filter(t, x -> x = w))))::double / greatest(n, 1)")} AS top_token_frac,
+           {_t6("(len(bg) - len(list_distinct(bg)))::double / greatest(len(bg), 1)")} AS dup_bigram_frac
+    FROM b2
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals: most-common-token fraction and
+    duplicate-bigram fraction per document — map-only array math."""
+    from tera_spark.operators.textops import repetition_signals
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 4 == 1)
+    return repetition_signals(docs)
+
+
+from tera_spark.operators.textops import PII_EMAIL as _EM  # noqa: E402
+
+
+@query(
+    "text_pii_redaction",
+    f"""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '{_EM}', '<EMAIL>', 'g'),
+                          '[0-9]+', '<NUM>', 'g') AS redacted,
+           cast(len(regexp_extract_all(props, '{_EM}')) AS bigint) AS n_email,
+           cast(len(regexp_extract_all(regexp_replace(props, '{_EM}', '<EMAIL>', 'g'),
+                                       '[0-9]+')) AS bigint) AS n_number
+    FROM events WHERE event_id % 9 = 0
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII masking pass over a free-text column (events.props): emails
+    then digit runs, with per-category match counts as the audit
+    trail. Patterns are lookaround-free so Java regex (Spark) and RE2
+    (oracle) agree byte-for-byte."""
+    from tera_spark.operators.textops import redact_pii
+
+    ev = load(spark, sf, "events").filter(F.col("event_id") % 9 == 0)
+    return redact_pii(ev, "props", id_cols=["event_id"])
+
+
+@query(
+    "pipeline_decontaminate",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({X.sql_shingles('text')}) AS g
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    cand AS (
+      SELECT doc_id, unnest(list_distinct({X.sql_shingles('text')})) AS g
+      FROM documents WHERE doc_id % 97 <> 0
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id, cast(count(*) AS bigint) AS n_hits
+    FROM cand JOIN ev USING (g) GROUP BY doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram
+    with the held-out eval slice (doc_id % 97 == 0) are flagged with
+    their overlap count. Eval n-gram set is broadcast — corpus side
+    stays map + one count shuffle at any scale."""
+    from tera_spark.operators.dedup import decontaminate_ngrams
+
+    docs = load(spark, sf, "documents")
+    flagged = decontaminate_ngrams(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+    return flagged.select(F.col("id").cast("long").alias("doc_id"), "n_hits")

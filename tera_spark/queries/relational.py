@@ -1044,3 +1044,36 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query(
+    "q_percentile_profile",
+    """
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_quantity, 0.90), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation on doubles). The
+    four quantiles come out of ONE aggregate buffer (array form), not
+    four — and at scale exact percentile is the operator you replace
+    with approx_percentile; both share this plan shape."""
+    li = load(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))").alias("_p"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.element_at("_p", 1), 4).alias("p25"),
+        F.round(F.element_at("_p", 2), 4).alias("p50"),
+        F.round(F.element_at("_p", 3), 4).alias("p75"),
+        F.round(F.element_at("_p", 4), 4).alias("p90"),
+    )

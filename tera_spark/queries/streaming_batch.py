@@ -245,3 +245,24 @@ def events_retention(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_hr", (F.col("hr") - F.col("cohort_hr")).alias("offset_hr"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_value_histogram",
+    """
+    SELECT cast(least(floor(value / 50), 9) AS int) AS bucket,
+           cast(count(*) AS bigint) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram (10 buckets, open-ended top) — the
+    profiling primitive for monitoring value distributions; map-side
+    bucket assignment + one partial/final count aggregation."""
+    ev = load(spark, sf, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
