@@ -132,6 +132,34 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer regex (contractions, space-prefixed
+# letter/digit/punct runs, whitespace). Lookaround-free subset so Java
+# regex (Spark) and RE2 (oracle) segment identically.
+BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting the way a training pipeline budgets corpora:
+    whitespace tokens AND BPE-ish pre-tokenizer segments (the unit BPE
+    merges start from — a far better proxy for real tokenizer cost than
+    whitespace). chars_per_token is the compression-rate health signal.
+    Map-only regexp work; codegen'd, zero shuffles."""
+    t = F.col(text_col)
+
+    def trunc6(x):
+        return F.floor(x * 1_000_000).cast("double") / 1_000_000
+
+    seg = F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT), 0))
+    return ensure_parallelism(docs).select(
+        "doc_id",
+        F.size(tokens(t)).cast("long").alias("n_ws_tokens"),
+        seg.cast("long").alias("n_bpe_tokens"),
+        trunc6(F.length(t).cast("double") / F.greatest(seg, F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 # PII patterns kept engine-portable: character classes only, no
 # lookarounds (Spark = Java regex, oracle = RE2).
 PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"

@@ -701,3 +701,26 @@ def pipeline_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 97 == 0),
     )
     return flagged.select(F.col("id").cast("long").alias("doc_id"), "n_hits")
+
+
+from tera_spark.operators.textops import BPE_SPLIT as _BPE  # noqa: E402
+_BPE_SQL = _BPE.replace("'", "''")
+
+
+@query(
+    "doc_bpe_token_stats",
+    f"""
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           cast(len({X.sql_tokens('text')}) AS bigint) AS n_ws_tokens,
+           cast(len(regexp_extract_all(text, '{_BPE_SQL}')) AS bigint) AS n_bpe_tokens,
+           {_t6("length(text)::double / greatest(len(regexp_extract_all(text, '" + _BPE_SQL + "')), 1)")} AS chars_per_token
+    FROM documents WHERE doc_id % 6 = 1
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token budgeting with a GPT-2-style pre-tokenizer regex —
+    the BPE-merge starting segmentation — alongside whitespace counts."""
+    from tera_spark.operators.textops import bpe_token_stats
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 1)
+    return bpe_token_stats(docs)

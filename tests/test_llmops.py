@@ -135,3 +135,61 @@ def test_connected_components_chain_and_clusters(spark):
     sub = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components(sub, nodes=nodes).collect()}
     assert got[99] == 99 and all(got[i] == 1 for i in (1, 2, 3, 4, 5))
+
+
+def test_repetition_signals_crafted(spark):
+    from tera_spark.operators.textops import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),          # one token 4/4; bigrams all "spam spam" → 2/3 dup
+            (1, "all words here differ fully"),  # top 1/5; no dup bigrams
+            (2, "solo"),                         # single token: no bigrams, frac 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[0].top_token_frac == 1.0 and round(out[0].dup_bigram_frac, 6) == 0.666666
+    assert out[1].top_token_frac == 0.2 and out[1].dup_bigram_frac == 0.0
+    assert out[2].n_tokens == 1 and out[2].dup_bigram_frac == 0.0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from tera_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail alice.smith@example.com or call 555 1234, id 77")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df, "text").collect()[0]
+    assert r.redacted == "mail <EMAIL> or call <NUM> <NUM>, id <NUM>"
+    assert r.n_email == 1 and r.n_number == 3
+
+
+def test_bpe_token_stats_segmentation(spark):
+    from tera_spark.operators.textops import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(0, "I've got 42 cats, naturally!")], "doc_id long, text string"
+    )
+    r = bpe_token_stats(df).collect()[0]
+    # segments: I |'ve | got | 42 | cats | , | naturally | !
+    assert r.n_bpe_tokens == 8 and r.n_ws_tokens == 5
+
+
+def test_decontaminate_ngrams_flags_overlap(spark):
+    from tera_spark.operators.dedup import decontaminate_ngrams
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps high"),   # shares "the quick brown" etc.
+            (1, "completely unrelated text body"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    hits = {r.id: r.n_hits for r in decontaminate_ngrams(corpus, ev).collect()}
+    assert 0 in hits and hits[0] == 2  # "the quick brown", "quick brown fox"
+    assert 1 not in hits
