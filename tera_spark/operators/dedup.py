@@ -41,15 +41,39 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _cap_buckets(sigs: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop degenerate LSH buckets before the self-join. A bucket with
+    m members emits m² candidate rows — one boilerplate-heavy bucket
+    holding 1% of a 100 TB corpus would dominate the entire join. The
+    count window partitions on the same `bucket` key the join shuffles
+    on, so the cap reuses that exchange (no extra wide stage); dropped
+    buckets are near-worthless for dedup anyway (their members collide
+    on boilerplate, and the remaining bands still pair true near-dups).
+    """
+    if max_bucket_size is None:
+        return sigs
+    from pyspark.sql import Window as W
+
+    n = F.count(F.lit(1)).over(W.partitionBy("bucket"))
+    return sigs.withColumn("_bn", n).filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing ≥1 LSH band
     bucket. Returns (id_a, id_b) with id_a < id_b, distinct."""
-    sigs = (
+    sigs = _cap_buckets(
         with_minhash_signature(ensure_parallelism(docs), text_col)
         .select(
             F.col(id_col).alias("id"),
             F.explode(band_keys(F.col("sig"))).alias("bucket"),
-        )
+        ),
+        max_bucket_size,
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -99,7 +123,12 @@ def jaccard_pairs(
 
 
 def verified_near_duplicates(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The production composition: LSH candidates → exact-Jaccard
     verification (candidates only, never all pairs).
@@ -122,7 +151,10 @@ def verified_near_duplicates(
         )
         .repartition("id")
     )
-    sigs = base.select("id", F.explode(band_keys(F.col("sig"))).alias("bucket"))
+    sigs = _cap_buckets(
+        base.select("id", F.explode(band_keys(F.col("sig"))).alias("bucket")),
+        max_bucket_size,
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(b, "bucket")
@@ -207,6 +239,7 @@ def edit_distance_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dist: int = 40,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Edit-distance-verified dedup: LSH candidates -> Levenshtein
     filter. Complements Jaccard verification — edit distance catches
@@ -222,9 +255,10 @@ def edit_distance_near_duplicates(
     base = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
-    sigs = (
+    sigs = _cap_buckets(
         with_minhash_signature(docs, text_col)
-        .select(F.col(id_col).alias("id"), F.explode(band_keys(F.col("sig"))).alias("bucket"))
+        .select(F.col(id_col).alias("id"), F.explode(band_keys(F.col("sig"))).alias("bucket")),
+        max_bucket_size,
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (

@@ -724,3 +724,43 @@ def doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 1)
     return bpe_token_stats(docs)
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({X.sql_tokens('text')}) AS term
+      FROM documents WHERE doc_id % 10 = 3
+    )
+    SELECT term,
+           cast(count(*) AS bigint) AS doc_freq,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+    FROM toks GROUP BY term HAVING count(*) >= 3
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index build (term → sorted posting list) — the search
+    primitive over a curated corpus. Explode is map-only; one
+    aggregation keyed by term builds every posting list; lists are
+    emitted as CSV strings for engine-portable comparison. At scale the
+    posting list for a stopword-grade term is the skew risk — real
+    deployments cap or tier those (the HAVING here is the mirror image:
+    drop rare terms); state per term is O(postings), bounded by the
+    same cap."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 3)
+    from tera_spark.functions.text import tokens as _toks
+
+    t = docs.select(
+        "doc_id", F.explode(F.array_distinct(_toks(F.col("text")))).alias("term")
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(F.sort_array(F.collect_list(F.col("doc_id"))), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("doc_freq") >= 3)
+    )

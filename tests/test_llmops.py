@@ -193,3 +193,16 @@ def test_decontaminate_ngrams_flags_overlap(spark):
     hits = {r.id: r.n_hits for r in decontaminate_ngrams(corpus, ev).collect()}
     assert 0 in hits and hits[0] == 2  # "the quick brown", "quick brown fox"
     assert 1 not in hits
+
+
+def test_lsh_bucket_cap(docs):
+    # default: the near-dup pair (0,1)/(0,2)/(1,2) family is found
+    base = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in base
+    # cap of 1 removes every shared bucket -> no candidates at all
+    capped = minhash_lsh_pairs(docs, max_bucket_size=1).collect()
+    assert capped == []
+    # generous cap keeps behavior identical
+    wide = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, max_bucket_size=64).collect()}
+    assert wide == base
+    assert verified_near_duplicates(docs, max_bucket_size=1).collect() == []
