@@ -764,3 +764,35 @@ def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("doc_freq") >= 3)
     )
+
+
+@query(
+    "source_profile_stats",
+    """
+    SELECT source,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(count(DISTINCT lang) AS bigint) AS n_langs,
+           cast(min(n_chars) AS bigint) AS min_chars,
+           cast(max(n_chars) AS bigint) AS max_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(stddev_samp(n_chars), 4) AS sd_chars,
+           cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_lang
+    FROM documents GROUP BY source
+    """,
+)
+def source_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-profiling rollup per ingestion source (count / distinct /
+    min / max / mean / stddev / null-count) — the data-quality summary
+    a pipeline materializes per corpus drop. One partial+final hash
+    aggregation; distinct-count is the only expand, keyed by the same
+    group column."""
+    docs = load(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("null_lang"),
+    )

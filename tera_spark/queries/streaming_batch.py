@@ -266,3 +266,40 @@ def events_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+      FROM events
+    )
+    SELECT event_id, event_type,
+           round(value, 2) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM stats WHERE abs((value - mu) / sigma) > 3
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Population z-score outlier flagging per event type — the
+    monitoring primitive over a metric stream. One window shuffle keyed
+    by event_type; at scale the same math runs as a two-pass
+    (aggregate stats → broadcast join back) when a group's rows exceed
+    a partition, with identical semantics."""
+    stats = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(W.partitionBy("event_type")).alias("mu"),
+        F.stddev_samp("value").over(W.partitionBy("event_type")).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return stats.filter(F.abs(z) > 3).select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.round(z, 4).alias("zscore"),
+    )

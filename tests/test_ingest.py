@@ -101,3 +101,36 @@ def test_orc_import_round_trip(spark, tmpdir):
     v = current_view(spark.read.parquet(f"{tmpdir}/orccells"), schema, now_us=NOW)
     got = {r.id: (r.name, r.score) for r in export_rows(v, key_col="id").collect()}
     assert got["1"] == ("alice", "10.5") and got["2"] == ("bob", None)
+
+
+def test_training_shard_writer(spark, tmp_path):
+    from tera_spark.sources.sharding import read_shard, shard_id, write_training_shards
+    import glob
+
+    docs = spark.range(500).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"), F.col("id").alias("payload")
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, key_col="doc_id", n_shards=8)
+
+    # exactly one data file per shard directory
+    for k in range(8):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, (k, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # assignment is the pure hash function of the key (reproducible)
+    expect = docs.withColumn("shard", shard_id("doc_id", 8))
+    assert back.select("doc_id", "shard").exceptAll(
+        expect.select("doc_id", "shard")
+    ).count() == 0
+    # shards are roughly balanced (hash of distinct keys)
+    sizes = [r.n for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 8 and min(sizes) > 500 / 8 / 3
+    # reading one shard returns exactly that shard's rows
+    by_shard = {
+        r.shard: r.n
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert read_shard(spark, out, 3).count() == by_shard[3]
