@@ -90,11 +90,21 @@ def main() -> None:
         point_keys_s = got / g_s
 
         # ---- sequential read: ordered full scan, touch every byte ---
+        # Per-value content verification rides the same pass — the
+        # tera_mark --verify analog (benchmark/tera_mark.md:44-47
+        # checks md5 per value; here the expected payload is recomputed
+        # from the key and compared whole).
         t0 = time.monotonic()
         visible = scan(oplog, None, ScanDescriptor())
-        n_bytes = visible.agg(
-            F.sum(F.octet_length("value")).alias("b")
-        ).collect()[0]["b"]
+        rid = F.substring("row_key", 4, 16).cast("long")
+        expected = F.rpad(F.conv(rid.cast("string"), 10, 16), VALUE_BYTES, "x").cast(
+            "binary"
+        )
+        agg = visible.agg(
+            F.sum(F.octet_length("value")).alias("b"),
+            F.sum(F.when(F.col("value") != expected, 1).otherwise(0)).alias("bad"),
+        ).collect()[0]
+        n_bytes, n_bad = agg["b"], agg["bad"]
         s_s = time.monotonic() - t0
         scan_mb_s = n_bytes / s_s / 1e6
 
@@ -110,6 +120,7 @@ def main() -> None:
                     "point_gets": got,
                     "point_keys_s": round(point_keys_s),
                     "scan_mb_s": round(scan_mb_s, 2),
+                    "verify_failures": n_bad,
                     "baseline_reference": {
                         "write_mb_s": 9.0,
                         "random_read_qps": 32000,

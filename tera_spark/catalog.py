@@ -129,6 +129,29 @@ class Catalog:
         d = self.root / name / "snapshots"
         return sorted(p.name for p in d.iterdir()) if d.exists() else []
 
+    def delete_snapshot(self, name: str, snapshot_id: str) -> None:
+        """Drop one snapshot (reference: snapshot set management,
+        include/tera/table_descriptor.h:212-214)."""
+        d = self.root / name / "snapshots" / snapshot_id
+        if not d.exists():
+            raise ValueError(f"no such snapshot: {name}/{snapshot_id}")
+        shutil.rmtree(d)
+
+    def expire_snapshots(self, name: str, *, keep_last: int) -> list[str]:
+        """Retention GC: drop all but the newest ``keep_last``
+        snapshots (ids sort chronologically). The storage-cost control
+        every snapshotting table needs — at 100 TB each retained
+        snapshot is a full base copy, so retention is the knob that
+        bounds the table's footprint to (1 + keep_last)×. Returns the
+        ids removed."""
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        sids = self.list_snapshots(name)
+        drop = sids[: max(len(sids) - keep_last, 0)]
+        for sid in drop:
+            self.delete_snapshot(name, sid)
+        return drop
+
     def compact_inplace(self, name: str, *, now_us: int | None = None) -> None:
         """Fold the op-log (tera `compact`): snapshot, then swap it in
         as the new base op-log."""

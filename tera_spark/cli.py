@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact"); sp.add_argument("table")
     sp.add_argument("--minor", action="store_true", help="selective: fold only dirty row-range groups")
     sp = sub.add_parser("snapshot"); sp.add_argument("table")
+    sp.add_argument("--list", action="store_true", help="list snapshot ids")
+    sp.add_argument("--delete", metavar="SID", help="drop one snapshot")
+    sp.add_argument("--expire-keep", type=int, metavar="N",
+                    help="retention GC: keep only the newest N snapshots")
     sp = sub.add_parser("optimize"); sp.add_argument("table")
     sp.add_argument("--buckets", type=int)
     sp = sub.add_parser("import")
@@ -133,7 +137,16 @@ def main(argv: list[str] | None = None) -> int:
         else:
             cat.compact_inplace(args.table); print("compacted")
     elif args.cmd == "snapshot":
-        print(cat.snapshot(args.table))
+        if args.list:
+            for sid in cat.list_snapshots(args.table):
+                print(sid)
+        elif args.delete:
+            cat.delete_snapshot(args.table, args.delete); print("deleted")
+        elif args.expire_keep is not None:
+            for sid in cat.expire_snapshots(args.table, keep_last=args.expire_keep):
+                print(f"expired {sid}")
+        else:
+            print(cat.snapshot(args.table))
     elif args.cmd == "optimize":
         print(f"{cat.optimize(args.table, buckets=args.buckets)} files")
     elif args.cmd == "import":

@@ -270,3 +270,26 @@ def test_lg_compression_per_group(spark, tmp_path):
         f = glob.glob(f"{d}/lg={lg}/part-*.parquet")[0]
         codec[lg] = pq.ParquetFile(f).metadata.row_group(0).column(0).compression
     assert codec == {"lgm": "UNCOMPRESSED", "lgd": "ZSTD"}
+
+
+def test_snapshot_retention(cat, spark):
+    cat.create_table("t_ret {d}")
+    sids = []
+    for i in range(4):
+        cat.append(
+            "t_ret",
+            MutationBatch(base_seq=i * 10).put("r", "d", "q", f"v{i}", ts=i + 1).to_df(spark),
+        )
+        sids.append(cat.snapshot("t_ret"))
+    assert cat.list_snapshots("t_ret") == sids
+    dropped = cat.expire_snapshots("t_ret", keep_last=2)
+    assert dropped == sids[:2]
+    assert cat.list_snapshots("t_ret") == sids[2:]
+    # newest retained snapshot still reads
+    assert {bytes(r.value) for r in cat.read_snapshot("t_ret", sids[-1]).collect()} == {b"v3"}
+    cat.delete_snapshot("t_ret", sids[-1])
+    assert cat.list_snapshots("t_ret") == [sids[2]]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cat.delete_snapshot("t_ret", "nope")
