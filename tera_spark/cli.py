@@ -31,10 +31,20 @@ def main(argv: list[str] | None = None) -> int:
         for a in ("table", "row", "column", "value"):
             sp.add_argument(a)
         sp.add_argument("--ts", type=int)
-    sp = sub.add_parser("add")
-    for a in ("table", "row", "column", "delta"):
-        sp.add_argument(a)
-    sp.add_argument("--ts", type=int)
+    for verb in ("add", "addint64"):
+        sp = sub.add_parser(verb)
+        for a in ("table", "row", "column", "delta"):
+            sp.add_argument(a)
+        sp.add_argument("--ts", type=int)
+    for verb in ("putint64", "put_counter"):
+        sp = sub.add_parser(verb)
+        for a in ("table", "row", "column", "value"):
+            sp.add_argument(a)
+        sp.add_argument("--ts", type=int)
+    for verb in ("getint64", "get_counter"):
+        sp = sub.add_parser(verb)
+        sp.add_argument("table"); sp.add_argument("row"); sp.add_argument("column")
+    sub.add_parser("showts", help="tablet (partition) layout per table")
     sp = sub.add_parser("delete")
     sp.add_argument("table"); sp.add_argument("row")
     sp.add_argument("column", nargs="?", default=None)  # cf | cf:qu
@@ -96,13 +106,43 @@ def main(argv: list[str] | None = None) -> int:
         fn(args.row, cf, qu, args.value, ts=args.ts)
         cat.append(args.table, b.to_df(spark))
         print("ok")
-    elif args.cmd == "add":
+    elif args.cmd in ("add", "addint64"):
         from tera_spark.operators.mutation import MutationBatch
 
         cf, _, qu = args.column.partition(":")
-        b = MutationBatch().add(args.row, cf, qu, int(args.delta), ts=args.ts)
+        b = MutationBatch()
+        fn = b.add if args.cmd == "add" else b.add_int64
+        fn(args.row, cf, qu, int(args.delta), ts=args.ts)
         cat.append(args.table, b.to_df(spark))
         print("ok")
+    elif args.cmd in ("putint64", "put_counter"):
+        from tera_spark.operators.mutation import MutationBatch
+
+        cf, _, qu = args.column.partition(":")
+        b = MutationBatch()
+        fn = b.put_le_int64 if args.cmd == "putint64" else b.put_int64
+        fn(args.row, cf, qu, int(args.value), ts=args.ts)
+        cat.append(args.table, b.to_df(spark))
+        print("ok")
+    elif args.cmd in ("getint64", "get_counter"):
+        from tera_spark.functions.codecs import py_decode_be_i64, py_decode_le_i64
+        from tera_spark.operators.scan import get as tget
+
+        cf, _, qu = args.column.partition(":")
+        dec = py_decode_le_i64 if args.cmd == "getint64" else py_decode_be_i64
+        rows = tget(
+            cat.read_oplog(args.table),
+            cat.get_schema(args.table),
+            args.row,
+            columns={cf: [qu]},
+        ).collect()
+        for r in rows:
+            print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {dec(bytes(r.value))}")
+    elif args.cmd == "showts":
+        # tablet-server/tablet listing analog: partition layout per table
+        for t in cat.list_tables():
+            for info in cat.tablet_info(t):
+                print(f"{t}\t{info}")
     elif args.cmd == "delete":
         from tera_spark.operators.mutation import MutationBatch
 

@@ -39,6 +39,15 @@ class MutationBatch:
         self._emit(row_key, cf, qualifier, ts, CellOp.PUT, py_encode_be_i64(v))
         return self
 
+    def put_le_int64(self, row_key: str, cf: str, qualifier: str, v: int, ts: int | None = None):
+        """Native little-endian int64 put — the `putint64` family that
+        merges with AddInt64 (teracli.md "Support Int64"; LE codec
+        src/io/atomic_merge_strategy.cc:43)."""
+        from tera_spark.functions.codecs import py_encode_le_i64
+
+        self._emit(row_key, cf, qualifier, ts, CellOp.PUT, py_encode_le_i64(v))
+        return self
+
     def add(self, row_key: str, cf: str, qualifier: str, delta: int, ts: int | None = None):
         """Atomic big-endian counter add (table.h:128-130)."""
         self._emit(row_key, cf, qualifier, ts, CellOp.ADD, py_encode_be_i64(delta))

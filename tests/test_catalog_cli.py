@@ -293,3 +293,24 @@ def test_snapshot_retention(cat, spark):
 
     with _pt.raises(ValueError):
         cat.delete_snapshot("t_ret", "nope")
+
+
+def test_cli_counter_families(spark, root, capsys):
+    from tera_spark.cli import main
+
+    assert main(["--root", root, "create", "clicnt {c}"]) == 0
+    # BE atomic-counter family: put_counter 3, add 2 -> 5
+    assert main(["--root", root, "put_counter", "clicnt", "r", "c:n", "3", "--ts", "1"]) == 0
+    assert main(["--root", root, "add", "clicnt", "r", "c:n", "2", "--ts", "2"]) == 0
+    # LE int64 family: putint64 67, addint64 -3 -> 64
+    assert main(["--root", root, "putint64", "clicnt", "r", "c:m", "67", "--ts", "1"]) == 0
+    assert main(["--root", root, "addint64", "clicnt", "r", "c:m", "-3", "--ts", "2"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "get_counter", "clicnt", "r", "c:n"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().endswith(" 5")
+    assert main(["--root", root, "getint64", "clicnt", "r", "c:m"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().endswith(" 64")
+    assert main(["--root", root, "showts"]) == 0
+    assert "clicnt" in capsys.readouterr().out
