@@ -45,7 +45,10 @@ class Catalog:
         (tdir / "snapshots").mkdir(parents=True)
         (tdir / "schema.json").write_text(schema.to_json())
         # seed an empty op-log so readers never hit PATH_NOT_FOUND
-        empty = self.spark.createDataFrame([], CELL_SCHEMA)
+        from tera_spark.model import KV_OPLOG_SCHEMA
+
+        seed = KV_OPLOG_SCHEMA if schema.kv_mode else CELL_SCHEMA
+        empty = self.spark.createDataFrame([], seed)
         empty.write.mode("overwrite").parquet(str(tdir / "oplog"))
         return schema
 
@@ -99,17 +102,51 @@ class Catalog:
         return str(self.root / name / "oplog")
 
     def read_oplog(self, name: str) -> DataFrame:
-        return self.spark.read.schema(CELL_SCHEMA).parquet(self.oplog_path(name))
+        from tera_spark.model import KV_OPLOG_SCHEMA
+
+        schema = KV_OPLOG_SCHEMA if self.get_schema(name).kv_mode else CELL_SCHEMA
+        return self.spark.read.schema(schema).parquet(self.oplog_path(name))
 
     def append(self, name: str, cells: DataFrame) -> None:
         self._check_enabled(name)
         cells.write.mode("append").parquet(self.oplog_path(name))
 
     def view(self, name: str, **kw) -> DataFrame:
-        from tera_spark.operators.view import current_view
+        from tera_spark.operators.view import current_view, kv_current_view
 
         self._check_enabled(name)
-        return current_view(self.read_oplog(name), self.get_schema(name), **kw)
+        schema = self.get_schema(name)
+        if schema.kv_mode:
+            return kv_current_view(self.read_oplog(name), **kw)
+        return current_view(self.read_oplog(name), schema, **kw)
+
+    # --- KV mode (RawKey=GeneralKv/TTLKv) ----------------------------
+    def kv_put(
+        self,
+        name: str,
+        key: str,
+        value: bytes | str,
+        *,
+        ttl_s: int | None = None,
+        now_us: int | None = None,
+    ) -> None:
+        """KV put, optional per-key TTL (teracli `put-ttl`; expire-ts
+        stored as a typed column, the Spark shape of the value-padded
+        encoding in src/io/tablet_io.cc:1365-1369)."""
+        now_us = now_us if now_us is not None else int(time.time() * 1_000_000)
+        expire = now_us + ttl_s * 1_000_000 if ttl_s else None
+        self._kv_append(name, key, value if isinstance(value, bytes) else value.encode(), expire)
+
+    def kv_delete(self, name: str, key: str) -> None:
+        self._kv_append(name, key, None, None)
+
+    def _kv_append(self, name, key, value, expire) -> None:
+        from tera_spark.model import KV_OPLOG_SCHEMA
+
+        if not self.get_schema(name).kv_mode:
+            raise ValueError(f"not a kv-mode table: {name}")
+        row = [(key, value, expire, time.time_ns())]
+        self.append(name, self.spark.createDataFrame(row, KV_OPLOG_SCHEMA))
 
     # --- snapshots / compaction --------------------------------------
     def snapshot(self, name: str, *, now_us: int | None = None) -> str:
@@ -118,7 +155,23 @@ class Catalog:
 
         sid = time.strftime("%Y%m%d%H%M%S") + f"-{int(time.time_ns() % 1_000_000)}"
         out = self.root / name / "snapshots" / sid
-        folded = compact(self.read_oplog(name), self.get_schema(name), now_us=now_us)
+        schema = self.get_schema(name)
+        if schema.kv_mode:
+            from pyspark.sql import functions as F
+
+            from tera_spark.operators.view import kv_current_view
+
+            folded = kv_current_view(self.read_oplog(name), now_us=now_us).select(
+                "key", "value", "expire_ts", F.lit(0).cast("long").alias("seq")
+            )
+            (
+                folded.repartitionByRange(max(folded.rdd.getNumPartitions(), 1), "key")
+                .sortWithinPartitions("key")
+                .write.mode("overwrite")
+                .parquet(str(out))
+            )
+            return sid
+        folded = compact(self.read_oplog(name), schema, now_us=now_us)
         write_cell_table(folded, str(out))
         return sid
 
@@ -165,7 +218,8 @@ class Catalog:
 
     def compact_ranges(self, name: str, *, now_us: int | None = None) -> dict:
         """Selective (minor) compaction: fold only the row-key ranges
-        that need it, leave clean files untouched.
+        that need it, leave clean files untouched. KV tables use full
+        compaction (their fold is one aggregation; raise here).
 
         Tera triggers minor compaction per tablet when its op volume
         warrants it (`TabletIO::Compact`, src/io/tablet_io.cc:605-632);
@@ -185,6 +239,8 @@ class Catalog:
         Dirty groups are folded through the same `compact()` the
         equivalence tests pin and swapped in file-atomically.
         """
+        if self.get_schema(name).kv_mode:
+            raise ValueError("kv-mode tables compact via compact_inplace")
         import uuid
 
         import pyarrow.parquet as pq

@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     for verb in ("getint64", "get_counter"):
         sp = sub.add_parser(verb)
         sp.add_argument("table"); sp.add_argument("row"); sp.add_argument("column")
+    sp = sub.add_parser("put-ttl", help="KV-mode put with per-key TTL seconds")
+    for a in ("table", "key", "value"):
+        sp.add_argument(a)
+    sp.add_argument("ttl", type=int, help="seconds until the key expires (0 = never)")
     sub.add_parser("showts", help="tablet (partition) layout per table")
     sp = sub.add_parser("delete")
     sp.add_argument("table"); sp.add_argument("row")
@@ -144,6 +148,10 @@ def main(argv: list[str] | None = None) -> int:
             for info in cat.tablet_info(t):
                 print(f"{t}\t{info}")
     elif args.cmd == "delete":
+        if cat.get_schema(args.table).kv_mode:
+            cat.kv_delete(args.table, args.row)
+            print("ok")
+            return 0
         from tera_spark.operators.mutation import MutationBatch
 
         b = MutationBatch()
@@ -159,13 +167,33 @@ def main(argv: list[str] | None = None) -> int:
                 b.delete_column(args.row, cf, qu, ts=args.ts)
         cat.append(args.table, b.to_df(spark))
         print("ok")
+    elif args.cmd == "put-ttl":
+        cat.kv_put(args.table, args.key, args.value, ttl_s=args.ttl or None)
+        print("ok")
     elif args.cmd == "get":
+        if cat.get_schema(args.table).kv_mode:
+            from pyspark.sql import functions as F
+
+            for r in cat.view(args.table).filter(F.col("key") == args.row).collect():
+                print(f"{r.key} {bytes(r.value or b'')!r}")
+            return 0
         from tera_spark.operators.scan import get as tget
 
         rows = tget(cat.read_oplog(args.table), cat.get_schema(args.table), args.row).collect()
         for r in rows:
             print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
     elif args.cmd == "scan":
+        if cat.get_schema(args.table).kv_mode:
+            from pyspark.sql import functions as F
+
+            kv = cat.view(args.table)
+            if args.start:
+                kv = kv.filter(F.col("key") >= args.start)
+            if args.end:
+                kv = kv.filter(F.col("key") < args.end)
+            for r in kv.orderBy("key").limit(args.limit).collect():
+                print(f"{r.key} {bytes(r.value or b'')!r}")
+            return 0
         from tera_spark.operators.scan import ScanDescriptor, scan
 
         desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)

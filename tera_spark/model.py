@@ -84,6 +84,18 @@ KV_SCHEMA = T.StructType(
     ]
 )
 
+# Append-only KV op-log: LWW by seq; NULL value = delete tombstone
+# (LevelDB Put/Delete in KV mode; ttl padded alongside the value,
+# src/io/tablet_io.cc:1365-1369 → here a typed column instead).
+KV_OPLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("expire_ts", T.LongType(), True),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
 # Timestamps are int64 microseconds; kLatestTs = INT64_MAX
 # (reference: src/types.h:37-38).
 LATEST_TS = (1 << 63) - 1

@@ -278,6 +278,24 @@ def _spark_entry_type() -> str:
     return "array<struct<nts:bigint,sop:int,nseq:bigint,ts:bigint,op:int,value:binary>>"
 
 
+def kv_current_view(kv_oplog: DataFrame, *, now_us: int | None = None) -> DataFrame:
+    """Fold an append-only KV op-log (key, value, expire_ts, seq) into
+    the visible KV table: last-write-wins by seq per key (LevelDB
+    put/overwrite in KV mode), NULL-value rows are delete tombstones,
+    then TTL visibility (kv_view). One hash aggregation keyed by
+    `key` — map-side partial max_by collapses duplicates before the
+    shuffle, the same single-exchange stance as current_view."""
+    newest = kv_oplog.groupBy("key").agg(
+        F.max_by(F.struct("value", "expire_ts"), F.col("seq")).alias("_n")
+    )
+    live = newest.select(
+        "key",
+        F.col("_n.value").alias("value"),
+        F.col("_n.expire_ts").alias("expire_ts"),
+    ).filter(F.col("value").isNotNull())
+    return kv_view(live, now_us=now_us)
+
+
 def kv_view(kv: DataFrame, *, now_us: int | None = None) -> DataFrame:
     """KV-mode visibility: drop expired keys (TTLKV, reference
     src/io/ttlkv_compact_strategy.cc:43-70; expire_ts NULL/0 = eternal)."""

@@ -794,3 +794,42 @@ def cell_hash_batch_get(spark: SparkSession, sf: str) -> DataFrame:
         strip_hash_prefix(F.col("row_key")).alias("user_key"),
         F.col("value").cast("string").alias("segment"),
     )
+
+
+@query(
+    "kv_lww_scan",
+    """
+    SELECT lpad(cast(o_orderkey AS varchar), 10, '0') AS key,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS status
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+)
+def kv_lww(spark: SparkSession, sf: str) -> DataFrame:
+    """KV-mode op-log fold: base put (seq=1) + overwrite (seq=2, every
+    3rd key) + delete tombstone (seq=3, every 7th key) collapse by
+    last-write-wins into the visible KV table (kv_current_view — one
+    max_by aggregation). The oracle states the END STATE directly from
+    the source table, so it checks the fold's semantics without
+    replaying its mechanics."""
+    from tera_spark.operators.view import kv_current_view
+
+    orders = load(spark, sf, "orders")
+    key = F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key")
+    nul = F.lit(None).cast("long").alias("expire_ts")
+
+    def seqlit(n):
+        return F.lit(n).cast("long").alias("seq")
+
+    base = orders.select(
+        key, F.col("o_orderstatus").cast("binary").alias("value"), nul, seqlit(1)
+    )
+    over = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        key, F.lit("X").cast("binary").alias("value"), nul, seqlit(2)
+    )
+    tomb = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        key, F.lit(None).cast("binary").alias("value"), nul, seqlit(3)
+    )
+    oplog = base.unionByName(over).unionByName(tomb)
+    return kv_current_view(oplog).select(
+        "key", F.col("value").cast("string").alias("status")
+    )

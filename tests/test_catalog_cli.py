@@ -314,3 +314,49 @@ def test_cli_counter_families(spark, root, capsys):
     assert out.strip().endswith(" 64")
     assert main(["--root", root, "showts"]) == 0
     assert "clicnt" in capsys.readouterr().out
+
+
+def test_kv_mode_table_lifecycle(cat, spark):
+    import time as _t
+
+    cat.create_table("kvt <splitsize=512>")
+    assert cat.get_schema("kvt").kv_mode
+    cat.kv_put("kvt", "a", b"v1")
+    cat.kv_put("kvt", "a", b"v2")            # LWW overwrite
+    cat.kv_put("kvt", "b", b"keep")
+    cat.kv_put("kvt", "c", b"gone", ttl_s=1, now_us=int(_t.time() * 1_000_000) - 10_000_000)
+    cat.kv_put("kvt", "d", b"dead")
+    cat.kv_delete("kvt", "d")                # tombstone
+    got = {r.key: bytes(r.value) for r in cat.view("kvt").collect()}
+    assert got == {"a": b"v2", "b": b"keep"}
+    # compaction folds to the same visible state and drops history
+    cat.compact_inplace("kvt")
+    folded = {r.key: bytes(r.value) for r in cat.view("kvt").collect()}
+    assert folded == got
+    assert cat.read_oplog("kvt").count() == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cat.compact_ranges("kvt")
+    cat.create_table("kvt_cellmode {c}")
+    with _pt.raises(ValueError):
+        cat.kv_put("kvt_cellmode", "x", b"y")  # cell-mode table rejects kv ops
+
+
+def test_cli_kv_put_ttl(spark, root, capsys):
+    from tera_spark.cli import main
+
+    assert main(["--root", root, "create", "clikv <storage=flash>"]) == 0
+    assert main(["--root", root, "put-ttl", "clikv", "k1", "hello", "3600"]) == 0
+    assert main(["--root", root, "put-ttl", "clikv", "k2", "forever", "0"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "get", "clikv", "k1"]) == 0
+    assert "k1 b'hello'" in capsys.readouterr().out
+    assert main(["--root", root, "scan", "clikv"]) == 0
+    out = capsys.readouterr().out
+    assert "k1" in out and "k2" in out
+    assert main(["--root", root, "delete", "clikv", "k1"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "scan", "clikv"]) == 0
+    out = capsys.readouterr().out
+    assert "k1" not in out and "k2" in out
