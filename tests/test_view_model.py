@@ -261,3 +261,59 @@ def test_view_model_property_hypothesis(spark, rows):
     }
     want = model_view(rows, schema, NOW)
     assert got == want, f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+
+
+# --- KV mode: LWW fold + tombstones + TTL vs a dict replay model ---------
+
+@st.composite
+def _kv_oplogs(draw):
+    n = draw(st.integers(min_value=3, max_value=30))
+    rows = []
+    for seq in range(n):
+        key = f"k{draw(st.integers(0, 3))}"
+        kind = draw(st.sampled_from(["put", "put", "put_ttl_live", "put_ttl_dead", "del"]))
+        if kind == "del":
+            rows.append((key, None, None, seq))
+        else:
+            val = f"v{draw(st.integers(0, 9))}".encode()
+            expire = {
+                "put": None,
+                "put_ttl_live": NOW + 10_000_000,
+                "put_ttl_dead": NOW - draw(st.integers(1, 1000)),
+            }[kind]
+            rows.append((key, val, expire, seq))
+    return rows
+
+
+def _kv_model(rows, now_us):
+    last = {}
+    for key, val, expire, seq in sorted(rows, key=lambda r: r[3]):
+        last[key] = (val, expire)
+    out = {}
+    for key, (val, expire) in last.items():
+        if val is None:
+            continue  # tombstone
+        if expire is not None and 0 < expire <= now_us:
+            continue  # expired
+        out[key] = val
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_kv_oplogs())
+def test_kv_view_model_property_hypothesis(spark, rows):
+    from tera_spark.model import KV_OPLOG_SCHEMA
+    from tera_spark.operators.view import kv_current_view
+
+    got = {
+        r.key: bytes(r.value)
+        for r in kv_current_view(
+            spark.createDataFrame(rows, KV_OPLOG_SCHEMA), now_us=NOW
+        ).collect()
+    }
+    assert got == _kv_model(rows, NOW)
