@@ -317,6 +317,7 @@ class Catalog:
         start/end keys)."""
         import pyarrow.parquet as pq
 
+        key_col = "key" if self.get_schema(name).kv_mode else "row_key"
         out = []
         for f in sorted((self.root / name / "oplog").glob("part-*.parquet")):
             md = pq.ParquetFile(str(f)).metadata
@@ -326,7 +327,7 @@ class Catalog:
                 rows += g.num_rows
                 for ci in range(g.num_columns):
                     col = g.column(ci)
-                    if col.path_in_schema == "row_key" and col.statistics:
+                    if col.path_in_schema == key_col and col.statistics:
                         st = col.statistics
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
@@ -343,7 +344,16 @@ class Catalog:
         df = self.read_oplog(name)
         oplog = self.root / name / "oplog"
         tmp = self.root / name / "oplog.opt"
-        write_cell_table(df, str(tmp), buckets=buckets)
+        if self.get_schema(name).kv_mode:
+            n = buckets or max(df.rdd.getNumPartitions(), 1)
+            (
+                df.repartitionByRange(n, "key")
+                .sortWithinPartitions("key", "seq")
+                .write.mode("overwrite")
+                .parquet(str(tmp))
+            )
+        else:
+            write_cell_table(df, str(tmp), buckets=buckets)
         shutil.rmtree(oplog)
         tmp.rename(oplog)
         return len(list(oplog.glob("part-*")))

@@ -341,6 +341,11 @@ def test_kv_mode_table_lifecycle(cat, spark):
     cat.create_table("kvt_cellmode {c}")
     with _pt.raises(ValueError):
         cat.kv_put("kvt_cellmode", "x", b"y")  # cell-mode table rejects kv ops
+    # optimize + tablet_info work on kv layout (key-ranged files)
+    assert cat.optimize("kvt", buckets=2) >= 1
+    info = cat.tablet_info("kvt")
+    assert info and info[0]["start_key"] is not None
+    assert {r.key: bytes(r.value) for r in cat.view("kvt").collect()} == folded
 
 
 def test_cli_kv_put_ttl(spark, root, capsys):
