@@ -226,11 +226,17 @@ def main(argv: list[str] | None = None) -> int:
         cat.append(args.table, cells)
         print(f"imported {cells.count()} cells")
     elif args.cmd == "export":
-        from tera_spark.sources.ingest import export_rows
+        if cat.get_schema(args.table).kv_mode:
+            from pyspark.sql import functions as F
 
-        export_rows(cat.view(args.table)).write.mode("overwrite").options(
-            header=True
-        ).csv(args.dest)
+            kv = cat.view(args.table).select("key", F.col("value").cast("string"))
+            kv.write.mode("overwrite").options(header=True).csv(args.dest)
+        else:
+            from tera_spark.sources.ingest import export_rows
+
+            export_rows(cat.view(args.table)).write.mode("overwrite").options(
+                header=True
+            ).csv(args.dest)
         print("exported")
     return 0
 
