@@ -148,3 +148,65 @@ def blocked_cosine_pairs(
             "sim",
         )
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Approximate top-k neighbour SEARCH via inverted lists — the
+    canonical IVF query shape: each query probes its ``nprobe`` nearest
+    centroids and scores only vectors assigned to those lists (recall
+    trades off against nprobe; nprobe = #centroids degenerates to
+    exact).
+
+    Scale shape: assignment is the one wide stage (ivf_assign's
+    groupBy); the probe table is queries×nprobe rows — broadcast — so
+    candidate generation is a broadcast-hash-join against the assigned
+    table keyed by cluster, map-side. Ranking windows partition by
+    query id (output-sized, small). No N² anywhere; cost is
+    O(N·nprobe/k_clusters) comparisons, exactly the FAISS IVF-flat
+    plan re-expressed relationally."""
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col
+    )
+    c = centroids.select(F.col(cid_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    diff = F.zip_with(
+        F.col("q_vec"), F.col("c_vec"), lambda x, y: (x.cast("double") - y.cast("double"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p
+    )
+    wp = W.partitionBy("q_id").orderBy("d2", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("q_id", "q_vec", "cid", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "q_vec", "cid")
+    )
+    sims = (
+        assigned.join(F.broadcast(probes), assigned["cluster"] == probes["cid"])
+        .filter(F.col("id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("id").alias("v_id"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("sim"), "v_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "v_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -796,3 +796,57 @@ def source_profile_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
         F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("null_lang"),
     )
+
+
+_SQL_L2 = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "({a}[i]::double - {b}[i]::double) * ({a}[i]::double - {b}[i]::double)), "
+    "(x, y) -> x + y)"
+)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    assigned AS (
+      SELECT v.vec_id AS id, v.embedding AS vec,
+             arg_min(c.cid, {_SQL_L2.format(a='v.embedding', b='c.c_vec')}) AS cluster
+      FROM embeddings v, c GROUP BY v.vec_id, v.embedding
+    ),
+    probes AS (
+      SELECT q_id, q_vec, cid FROM (
+        SELECT q.q_id, q.q_vec, c.cid,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_SQL_L2.format(a='q.q_vec', b='c.c_vec')}, c.cid) AS pr
+        FROM q, c
+      ) WHERE pr <= 2
+    ),
+    sims AS (
+      SELECT p.q_id, a.id AS v_id, round({_sql_cos('p.q_vec', 'a.vec')}, 6) AS sim
+      FROM probes p JOIN assigned a ON a.cluster = p.cid
+      WHERE a.id <> p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, v_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, v_id) AS rank
+      FROM sims
+    )
+    SELECT cast(q_id AS bigint) AS q_id, cast(v_id AS bigint) AS v_id, sim,
+           cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k SEARCH (probe 2 nearest centroids, score only their
+    inverted lists) — the scale path for ANN queries; compare
+    ann_cosine_topk (exact brute force) for the recall baseline."""
+    from tera_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, cents, qs, nprobe=2, k=5)

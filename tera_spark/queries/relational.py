@@ -728,7 +728,8 @@ def q_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
       FROM lineitem WHERE l_quantity > 0
       GROUP BY l_partkey, l_suppkey
     )
-    SELECT p_partkey, s_name, n_name, round(unit_cost, 4) AS unit_cost
+    SELECT p_partkey, s_name, n_name,
+           (floor(unit_cost * 10000)::double / 10000) AS unit_cost
     FROM cost
       JOIN part     ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -758,7 +759,14 @@ def q2(spark: SparkSession, sf: str) -> DataFrame:
         best.join(part, best.l_partkey == part.p_partkey)
         .join(supp, best.l_suppkey == supp.s_suppkey)
         .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .select("p_partkey", "s_name", "n_name", F.round("unit_cost", 4).alias("unit_cost"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            # floor-truncation, not round: a half-way double (…x.xxxx5)
+            # rounds differently across engines (observed at sf0.1)
+            (F.floor(F.col("unit_cost") * 10000).cast("double") / 10000).alias("unit_cost"),
+        )
     )
 
 
