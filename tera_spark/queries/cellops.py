@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from tera_spark.functions.codecs import be_i64_decode, be_i64_encode
+from tera_spark.functions.timeutil import epoch_micros
 from tera_spark.model import CellOp
 from tera_spark.operators.scan import ScanDescriptor, batch_get, scan
 from tera_spark.operators.view import current_view, kv_view
@@ -653,7 +654,7 @@ def cell_time_range(spark: SparkSession, sf: str) -> DataFrame:
         F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("row_key"),
         F.lit("o").alias("cf"),
         F.lit("prio").alias("qualifier"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        epoch_micros(orders, "o_orderdate").alias("ts"),
         F.lit(CellOp.PUT).alias("op"),
         F.col("o_orderpriority").cast("binary").alias("value"),
         F.col("o_orderkey").alias("seq"),

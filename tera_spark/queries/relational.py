@@ -48,7 +48,7 @@ def _rev():
 def q1(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -84,7 +84,7 @@ def q3(spark: SparkSession, sf: str) -> DataFrame:
     # (map-side partials on one long key), then order/customer predicates
     # apply to the order-cardinality result — correct because revenue
     # depends only on lineitem rows of the order.
-    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cutoff = F.lit("1998-03-15 00:00:00")
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
@@ -121,8 +121,8 @@ def q3(spark: SparkSession, sf: str) -> DataFrame:
 def q5(spark: SparkSession, sf: str) -> DataFrame:
     cust = load(spark, sf, "customer")
     orders = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
     )
     li = load(spark, sf, "lineitem")
     supp = load(spark, sf, "supplier")
@@ -157,8 +157,8 @@ def q6(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 25)
         )
@@ -228,8 +228,8 @@ def q7(spark: SparkSession, sf: str) -> DataFrame:
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     cust = load(spark, sf, "customer")
     orders = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00"))
     )
     li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = F.broadcast(load(spark, sf, "nation"))
@@ -258,8 +258,8 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q14(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00"))
     )
     part = load(spark, sf, "part")
     rev = _rev()
@@ -484,8 +484,8 @@ def q4(spark: SparkSession, sf: str) -> DataFrame:
     """EXISTS → left-semi join (tera has no subqueries; MySQL executes
     them above ha_tera full scans, sql/src/ha_tera.cc:781-880)."""
     orders = load(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00"))
     )
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     return (
@@ -560,8 +560,8 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q15(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00"))
     )
     rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -639,7 +639,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
 def q22(spark: SparkSession, sf: str) -> DataFrame:
     cust = load(spark, sf, "customer")
     orders = load(spark, sf, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00")
     ).select("o_custkey")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("cut"))
     return (
@@ -880,8 +880,8 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     no l_shipmode, so lines group by l_linestatus instead."""
     orders = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
     li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
     )
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -946,8 +946,8 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     sized)."""
     part = load(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     li = load(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
     )
     heavy = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from tera_spark.functions.timeutil import epoch_micros
 from tera_spark.queries import query
 from tera_spark.sources.tables import load
 
@@ -80,7 +81,8 @@ def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     # gap > 30 min starts a new session (lag + cumulative-flag pattern);
     # microsecond arithmetic so the oracle comparison is exact
-    ev = load(spark, sf, "events").withColumn("ts_us", F.unix_micros("ts"))
+    ev = load(spark, sf, "events")
+    ev = ev.withColumn("ts_us", epoch_micros(ev, "ts"))
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)
     new_sess = F.when(
@@ -237,7 +239,7 @@ def events_retention(spark: SparkSession, sf: str) -> DataFrame:
     (the DISTINCT), and everything downstream is sublinear in events."""
     ev = load(spark, sf, "events")
     w = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+        "user_id", F.floor(epoch_micros(ev, "ts") / F.lit(3_600_000_000)).alias("hr")
     ).distinct()
     f = w.groupBy("user_id").agg(F.min("hr").alias("cohort_hr"))
     return (

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tera_spark.functions.timeutil import epoch_micros
 from tera_spark.operators.temporal import asof_join, binned_range_join
 from tera_spark.queries import query
 from tera_spark.sources.tables import load
@@ -33,13 +34,13 @@ def events_asof_prev_click(spark: SparkSession, sf: str) -> DataFrame:
     """Each error event -> the user's most recent click at or before it."""
     ev = load(spark, sf, "events")
     l = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+        "event_id", "user_id", epoch_micros(ev, "ts").alias("ts_us")
     )
     r = ev.filter(F.col("event_type") == "click").select(
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_micros(ev, "ts").alias("ts_us"),
         F.col("event_id").alias("click_event_id"),
-        F.unix_micros("ts").alias("click_ts_us"),
+        epoch_micros(ev, "ts").alias("click_ts_us"),
         F.col("value").alias("click_value"),
     )
     j = asof_join(
@@ -74,15 +75,15 @@ def events_range_join_windows(spark: SparkSession, sf: str) -> DataFrame:
     highest-value purchases — containment via the binned equi-join, no
     nested loop even when the interval side is also a fact table."""
     ev = load(spark, sf, "events")
-    pts = ev.select("event_id", F.unix_micros("ts").alias("ts_us"))
+    pts = ev.select("event_id", epoch_micros(ev, "ts").alias("ts_us"))
     win = (
         ev.filter(F.col("event_type") == "purchase")
         .orderBy(F.desc("value"), "event_id")
         .limit(20)
         .select(
             F.col("event_id").alias("window_id"),
-            (F.unix_micros("ts") - F.lit(120_000_000)).alias("start_us"),
-            (F.unix_micros("ts") + F.lit(120_000_000)).alias("end_us"),
+            (epoch_micros(ev, "ts") - F.lit(120_000_000)).alias("start_us"),
+            (epoch_micros(ev, "ts") + F.lit(120_000_000)).alias("end_us"),
         )
     )
     j = binned_range_join(pts, win, "ts_us", "start_us", "end_us", bin_width=240_000_000)
@@ -105,13 +106,13 @@ def events_asof_next_purchase(spark: SparkSession, sf: str) -> DataFrame:
     after it (time-to-convert)."""
     ev = load(spark, sf, "events")
     l = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+        "event_id", "user_id", epoch_micros(ev, "ts").alias("ts_us")
     )
     r = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        epoch_micros(ev, "ts").alias("ts_us"),
         F.col("event_id").alias("purchase_event_id"),
-        F.unix_micros("ts").alias("purchase_ts_us"),
+        epoch_micros(ev, "ts").alias("purchase_ts_us"),
     )
     j = asof_join(
         l, r, on=["user_id"], ts_col="ts_us",

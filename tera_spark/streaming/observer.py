@@ -119,6 +119,8 @@ def windowed_event_stream(
     """Watermarked tumbling/sliding window aggregation for event
     streams — the stream analog of queries/streaming_batch.py (the
     reference has no window operators; cell-level triggers only)."""
+    # watermarks require TIMESTAMP (LTZ); parquet naive micros arrive NTZ
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         events.withWatermark(ts_col, watermark)
@@ -148,6 +150,8 @@ def attribution_join_stream(
     this helper pins. Keys shuffle-partition the state, so a 100 TB/day
     stream distributes like any keyed aggregation.
     """
+    clicks = clicks.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    purchases = purchases.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     c = clicks.select(
         F.col(key).alias("c_user"),
         F.col(ts_col).alias("click_ts"),
@@ -189,4 +193,5 @@ def deduped_event_stream(
     that OOMs. Duplicates with *different* event times within the
     watermark window still collapse (retry semantics), which plain
     dropDuplicates on (key, ts) cannot do."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
