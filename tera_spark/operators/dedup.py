@@ -74,7 +74,7 @@ def minhash_lsh_pairs(
             F.explode(band_keys(F.col("sig"))).alias("bucket"),
         ),
         max_bucket_size,
-    )
+    ).persist()  # self-join: one materialization, not two minhash passes
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, "bucket")
@@ -105,7 +105,7 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         (bucket_expr if bucket_expr is not None else F.col(id_col) % 100).alias("bkt"),
         F.array_distinct(shingles(F.col(text_col))).alias("sh"),
-    )
+    ).persist()  # self-join: shingle once, not twice
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -134,14 +134,16 @@ def verified_near_duplicates(
     verification (candidates only, never all pairs).
 
     The per-doc fingerprint row (id, shingle set, minhash signature) is
-    derived once behind an explicit repartition on id: the candidate
-    join's two band-exploded sides and the verification's two
-    shingle-lookup sides all hang off that same Exchange, which Spark
-    deduplicates into ONE computation + three ReusedExchange reads.
-    Without the boundary each consumer re-derives the whole text
-    pipeline from the parquet scan. This is the single-node stand-in
-    for the 100 TB deployment shape — a materialized fingerprint table
-    read by both phases."""
+    derived ONCE and persisted: the candidate join's two band-exploded
+    sides and the verification's two shingle-lookup sides all read the
+    same InMemoryRelation. Without the persist, Catalyst's column
+    pruning specializes each consumer's scan differently, exchange
+    canonicalization never matches, and the whole text pipeline
+    (16 minhash passes + shingling) runs four times from parquet —
+    measured 4x slower at sf0.1. This is the single-node stand-in for
+    the 100 TB deployment shape: a materialized fingerprint TABLE
+    written once and read by both phases (persist spills to disk via
+    MEMORY_AND_DISK; at cluster scale write it to storage instead)."""
     base = (
         with_minhash_signature(ensure_parallelism(docs), text_col)
         .select(
@@ -150,6 +152,7 @@ def verified_near_duplicates(
             F.col("sig"),
         )
         .repartition("id")
+        .persist()
     )
     sigs = _cap_buckets(
         base.select("id", F.explode(band_keys(F.col("sig"))).alias("bucket")),
@@ -259,7 +262,7 @@ def edit_distance_near_duplicates(
         with_minhash_signature(docs, text_col)
         .select(F.col(id_col).alias("id"), F.explode(band_keys(F.col("sig"))).alias("bucket")),
         max_bucket_size,
-    )
+    ).persist()  # self-join: one materialization, not two minhash passes
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(b, "bucket")

@@ -54,7 +54,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     thousands of file splits and an extra shuffle would be harmful.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # inputFiles() is a ~millisecond analyzed-plan lookup; df.rdd costs
+    # a full physical-plan + RDD conversion (~0.4s of driver time PER
+    # CALL on fresh DataFrames — measured; it dominated sub-second
+    # queries). File count under-counts splits of large files, which
+    # can only cause a harmless repartition of an already-wide input.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:  # non-file source
         return df
     return df.repartition(target)
 
