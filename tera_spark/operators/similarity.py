@@ -210,3 +210,120 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "v_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --- random-hyperplane LSH (SimHash for vectors) ----------------------
+
+N_PLANES = 32
+BAND_BITS = 8  # 4 bands x 8 bits
+
+
+def hyperplane_signs(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher hyperplanes: component (h, d) is +-1 by
+    md5 parity of "h:d". Any engine can regenerate the exact planes, so
+    the DuckDB oracle bakes the same +-1 literals into its SQL — the
+    signature computation is reproducible everywhere, unlike seeded
+    PRNG planes (Charikar's scheme only needs sign-symmetric random
+    components; Rademacher entries are a standard choice)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for h in range(n_planes)
+    ]
+
+
+def hyperplane_signature(vec: Column, planes: list[list[int]]) -> Column:
+    """Pack sign bits of plane dots into one long. The vector is
+    quantized to integer micro-units first: integer dots are
+    associative, so Spark and the oracle agree on every sign no matter
+    their summation order — a float dot near zero could flip a bit
+    between engines and silently change buckets.
+
+    Single nested fold over one constant 2-D plane array: unrolling 32
+    independent dot expressions instead makes the generated code blow
+    past Janino limits (measured: the query never finished compiling)."""
+    q = F.transform(vec, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+    planes2d = F.array(
+        *[F.array(*[F.lit(s).cast("long") for s in row]) for row in planes]
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda h: F.when(
+            F.aggregate(
+                F.zip_with(F.get(planes2d, h), q, lambda s, a: s * a),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + p,
+            )
+            >= 0,
+            # shiftleft() takes only a literal shift; 2^h is exact in
+            # doubles for h<=31 so pow stands in for 1<<h
+            F.pow(F.lit(2.0), h.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
+
+
+def hyperplane_band_keys(sig: Column, *, n_planes: int = N_PLANES, band_bits: int = BAND_BITS) -> Column:
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("string"),
+            )
+            for b in range(n_planes // band_bits)
+        ]
+    )
+
+
+def hyperplane_lsh_pairs(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH:
+    candidates collide on >=1 signature band, then exact cosine
+    verifies. The third ANN path next to brute force (correctness
+    baseline) and IVF (recall-tunable scale path): LSH needs no
+    training pass, and for a collision probability of (1 - theta/pi)
+    per bit the band structure bounds candidates to near-neighbours.
+
+    Scale shape mirrors verified_near_duplicates: one persisted
+    (id, vec, sig) table feeds the band self-join and both
+    verification lookups; the band join is the only wide stage."""
+    planes = hyperplane_signs(dim=dim)
+    base = (
+        ensure_parallelism(vectors)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("sig", hyperplane_signature(F.col("vec"), planes))
+        .repartition("id")
+        .persist()
+    )
+    sigs = base.select("id", F.explode(hyperplane_band_keys(F.col("sig"))).alias("bucket"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    v = base.select("id", "vec")
+    return (
+        cand.join(v.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
+        .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
+        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "sim",
+        )
+    )

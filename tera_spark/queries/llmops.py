@@ -850,3 +850,64 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     qs = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, cents, qs, nprobe=2, k=5)
+
+
+def _sql_hyperplane_planes() -> str:
+    """VALUES table of the SAME plane constants as the Spark expression
+    (operators/similarity.py hyperplane_signs) — integer dots, so every
+    sign bit matches. A planes TABLE instead of an inline 2-D literal:
+    DuckDB re-constructs an inline 2048-element list per element
+    access, which never finished; as a relation the planes bind once."""
+    from tera_spark.operators.similarity import hyperplane_signs
+
+    planes = hyperplane_signs()
+    rows = ", ".join(
+        "(" + str(h + 1) + ", [" + ",".join(str(s) for s in row) + "])"
+        for h, row in enumerate(planes)
+    )
+    return f"(VALUES {rows}) AS planes(h, p)"
+
+
+def _sql_hyperplane_buckets() -> str:
+    from tera_spark.operators.similarity import BAND_BITS, N_PLANES
+
+    mask = (1 << BAND_BITS) - 1
+    parts = ", ".join(
+        f"concat('{b}', ':', ((sig >> {b * BAND_BITS}) & {mask})::varchar)"
+        for b in range(N_PLANES // BAND_BITS)
+    )
+    return f"[{parts}]"
+
+
+@query(
+    "ann_hyperplane_pairs",
+    f"""
+    WITH bits AS (
+      SELECT e.vec_id, planes.h,
+             CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                    planes.p[i] * round(e.embedding[i] * 1000000)::bigint)) >= 0
+                  THEN (1::bigint << (planes.h - 1)) ELSE 0 END AS bit
+      FROM embeddings e CROSS JOIN {_sql_hyperplane_planes()}
+    ),
+    sig AS (SELECT vec_id, sum(bit)::bigint AS sig FROM bits GROUP BY vec_id),
+    sigs AS (SELECT vec_id, unnest({_sql_hyperplane_buckets()}) AS bucket FROM sig),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.vec_id < b.vec_id
+    )
+    SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b,
+           round({_sql_cos('ea.embedding', 'eb.embedding')}, 6) AS sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE round({_sql_cos('ea.embedding', 'eb.embedding')}, 6) >= 0.35
+    """,
+)
+def ann_hyperplane(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH near-pairs: training-free ANN candidates
+    (bit-signature band collisions) verified by exact cosine — the
+    embedding-space twin of MinHash LSH for text."""
+    from tera_spark.operators.similarity import hyperplane_lsh_pairs
+
+    emb = load(spark, sf, "embeddings")
+    return hyperplane_lsh_pairs(emb, threshold=0.35)

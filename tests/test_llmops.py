@@ -228,3 +228,41 @@ def test_ivf_topk_recall_vs_exact(spark):
     r2, r8 = recall(2), recall(8)
     assert r2 >= 0.8, r2          # measured 0.94 on the fixture
     assert r8 >= r2 - 0.05, (r2, r8)  # more probes must not lose recall
+
+
+def test_hyperplane_lsh_pairs_recall_and_precision(spark):
+    """Hyperplane-LSH pairs must (a) only emit pairs at/above the
+    cosine threshold (precision is exact — candidates are verified) and
+    (b) recover a solid fraction of the true high-similarity pairs
+    found by the exhaustive all-pairs scan (recall of the band
+    structure)."""
+    from tera_spark.operators.similarity import blocked_cosine_pairs, hyperplane_lsh_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r.id_a, r.id_b): r.sim for r in hyperplane_lsh_pairs(emb, threshold=0.35).collect()}
+    assert all(sim >= 0.35 for sim in got.values())
+
+    # exhaustive truth: one block = all pairs
+    truth = {
+        (r.id_a, r.id_b): r.sim
+        for r in blocked_cosine_pairs(
+            emb.withColumn("one", F.lit(1)), block_col="one", threshold=0.35
+        ).collect()
+    }
+    assert set(got) <= set(truth)
+    strong = {k for k, sim in truth.items() if sim >= 0.5}
+    if strong:
+        found = len(strong & set(got)) / len(strong)
+        assert found >= 0.6, (found, len(strong))
+
+
+def test_hyperplane_signature_deterministic(spark):
+    """Same vectors -> same signatures across independent plans (the
+    planes are content-derived constants, not seeded RNG state)."""
+    from tera_spark.operators.similarity import hyperplane_signature, hyperplane_signs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    planes = hyperplane_signs()
+    a = {r.vec_id: r.sig for r in emb.select("vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")).collect()}
+    b = {r.vec_id: r.sig for r in emb.select("vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")).collect()}
+    assert a == b and len(a) == 20
