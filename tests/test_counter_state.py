@@ -1,0 +1,160 @@
+"""transformWithState streaming counter: running totals accumulate
+across micro-batches AND query restarts (RocksDB-checkpointed state),
+and a PUT base resets the fold exactly like the batch view."""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import tempfile
+
+import pytest
+
+from tera_spark.model import CellOp
+from tera_spark.streaming.counter_state import (
+    OUTPUT_SCHEMA,
+    CounterProcessor,
+    counter_ops,
+    counter_stream,
+)
+
+
+def _has_protobuf() -> bool:
+    # transformWithState's Python state server speaks protobuf at query
+    # START (plan construction does not need it); the container has no
+    # protobuf wheel and installs are off-limits
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+needs_protobuf = pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState runtime needs protobuf"
+)
+
+SCHEMA = "row_key string, cf string, qualifier string, ts long, op int, value binary, seq long"
+
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="tera_counter_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _le(n: int) -> bytes:
+    return struct.pack("<q", n)
+
+
+def _cells(seq_vals):
+    return [
+        ("r1", "c", "hits", seq, op, _le(v), seq) for seq, op, v in seq_vals
+    ]
+
+
+def _run_once(spark, src, ckpt):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        rows: list = []
+        q = (
+            counter_stream(stream, encoding="le")
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {(r.row_key, r.cf, r.qualifier): r.total for r in rows}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@needs_protobuf
+def test_counter_accumulates_and_put_resets(spark, tmpdir):
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+
+    # batch 1: deltas 5 + 7
+    _write(spark, src, _cells([(1, CellOp.ADDINT64, 5), (2, CellOp.ADDINT64, 7)]))
+    got = _run_once(spark, src, ckpt)
+    assert got[("r1", "c", "hits")] == 12
+
+    # batch 2 (new query run, same checkpoint): PUT(100) then +3 —
+    # state survived the restart, and the base reset discards it
+    _write(
+        spark,
+        src,
+        _cells([(3, CellOp.PUT, 100), (4, CellOp.ADDINT64, 3)]),
+    )
+    got = _run_once(spark, src, ckpt)
+    assert got[("r1", "c", "hits")] == 103
+
+    # batch 3: plain delta on top of the reset base
+    _write(spark, src, _cells([(5, CellOp.ADDINT64, -3)]))
+    got = _run_once(spark, src, ckpt)
+    assert got[("r1", "c", "hits")] == 100
+
+
+@needs_protobuf
+def test_counter_multikey_isolation(spark, tmpdir):
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+    rows = [
+        ("a", "c", "q1", 1, CellOp.ADDINT64, _le(1), 1),
+        ("a", "c", "q2", 2, CellOp.ADDINT64, _le(10), 2),
+        ("b", "c", "q1", 3, CellOp.ADDINT64, _le(100), 3),
+    ]
+    _write(spark, src, rows)
+    got = _run_once(spark, src, ckpt)
+    assert got == {
+        ("a", "c", "q1"): 1,
+        ("a", "c", "q2"): 10,
+        ("b", "c", "q1"): 100,
+    }
+
+
+def test_counter_ops_projection_and_plan_builds(spark, tmpdir):
+    """No-protobuf coverage: the JVM-side decode projection is exact
+    (LE/BE codecs, PUT flagged as base, non-counter ops dropped), the
+    pandas fold applies bases/deltas in seq order, and the streaming
+    plan through transformWithStateInPandas analyzes to the declared
+    output schema (execution needs protobuf; analysis does not)."""
+    import pandas as pd
+
+    rows = _cells([(1, CellOp.ADDINT64, 5), (2, CellOp.PUT, 100)]) + [
+        ("r1", "c", "hits", 9, CellOp.DEL_ROW, b"", 9)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.seq: (r.is_base, r.delta) for r in counter_ops(df, encoding="le").collect()}
+    assert got == {1: (False, 5), 2: (True, 100)}  # DEL_ROW dropped
+
+    # pandas fold: PUT base resets mid-stream, later delta applies
+    pdf = pd.DataFrame(
+        {"seq": [3, 1, 2], "is_base": [False, False, True], "delta": [7, 5, 100]}
+    )
+    total = 0
+    for is_base, delta in zip(*(pdf.sort_values("seq")[c] for c in ("is_base", "delta"))):
+        total = int(delta) if is_base else total + int(delta)
+    assert total == 107
+
+    src = f"{tmpdir}/src"
+    _write(spark, src, rows)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = counter_stream(stream, encoding="le")
+    assert out.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("row_key", "string"), ("cf", "string"), ("qualifier", "string"), ("total", "bigint"),
+    ]
