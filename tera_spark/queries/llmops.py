@@ -911,3 +911,48 @@ def ann_hyperplane(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     return hyperplane_lsh_pairs(emb, threshold=0.35)
+
+
+@query(
+    "sample_weighted_reservoir",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             -ln(((((doc_id % 1000000) * 2654435761) % 4294967296) + 1)
+                 / 4294967296.0) / greatest(n_chars, 1) AS key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY key, doc_id) AS rk
+      FROM k
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id, cast(n_chars AS bigint) AS n_chars,
+           cast(rk AS bigint) AS rk
+    FROM ranked WHERE rk <= 50
+    """,
+)
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted reservoir draw (Efraimidis-Spirakis): each document
+    races an exponential clock with rate = its weight (n_chars here —
+    longer documents proportionally likelier), and the k smallest
+    arrival times win. The uniform comes from the same Knuth
+    multiplicative hash as the stratified sampler, so the draw replays
+    identically on any engine — a seeded sample() cannot. Scale shape:
+    map-side key computation + distributed TakeOrdered (orderBy+limit
+    pushes per-partition top-k before the single-reduce merge), never
+    a global sort; ranks are assigned on the k winners only."""
+    docs = load(spark, sf, "documents")
+    u = (
+        (((F.col("doc_id") % 1_000_000) * F.lit(2654435761)) % F.lit(4294967296)) + 1
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    top = (
+        docs.select("doc_id", "n_chars", key.alias("key"))
+        .orderBy("key", "doc_id")
+        .limit(50)
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy("key", "doc_id"))
+    return top.withColumn("rk", rk.cast("long")).select("doc_id", "n_chars", "rk")
