@@ -137,12 +137,13 @@ def current_view(
         .agg(
             F.sort_array(
                 F.collect_list(
+                    # slim 4-field entry: ts/op ride inside the negated
+                    # sort keys (ts = -nts, op = sop) — 25% less agg
+                    # buffer + shuffle width than duplicating them
                     F.struct(
                         (-ts).alias("nts"),
                         op.alias("sop"),
                         (-F.col("seq")).alias("nseq"),
-                        ts.alias("ts"),
-                        op.alias("op"),
                         F.col("value").alias("value"),
                     )
                 )
@@ -167,10 +168,10 @@ def current_view(
         "entries",
         F.filter(
             "entries_raw",
-            lambda x: ~x["op"].isin(
+            lambda x: ~x["sop"].isin(
                 CellOp.DEL_ROW, CellOp.DEL_FAMILY, CellOp.DEL_QUALIFIERS
             )
-            & (x["ts"] > mask),
+            & (-x["nts"] > mask),
         ),
     ).drop("entries_raw", "_del_qu", "_row_mark", "_cf_mark", "_del_row", "_del_cf")
 
@@ -182,15 +183,15 @@ def current_view(
         e,
         F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
         lambda acc, x: F.struct(
-            F.when(~acc["stop"] & _is_atomic(x["op"]), acc["n"] + 1)
+            F.when(~acc["stop"] & _is_atomic(x["sop"]), acc["n"] + 1)
             .otherwise(acc["n"])
             .alias("n"),
-            (acc["stop"] | ~_is_atomic(x["op"])).alias("stop"),
+            (acc["stop"] | ~_is_atomic(x["sop"])).alias("stop"),
         ),
     )["n"]
     grouped = grouped.withColumn("run_len", run)
     run_len = F.col("run_len")
-    base_is_put = (run_len > 0) & (F.size(e) > run_len) & (F.get(e, run_len)["op"] == CellOp.PUT)
+    base_is_put = (run_len > 0) & (F.size(e) > run_len) & (F.get(e, run_len)["sop"] == CellOp.PUT)
     group_len = run_len + F.when(base_is_put, 1).otherwise(0)
     grouped = grouped.withColumn("group_len", group_len)
     group_len = F.col("group_len")
@@ -203,19 +204,19 @@ def current_view(
     grp, rest = F.col("grp"), F.col("rest")
 
     # same-ts dedup inside the merge group (ts != last_ts_atomic || VALUE)
-    kind = F.get(e, 0)["op"]
+    kind = F.get(e, 0)["sop"]
     deduped = F.filter(
         grp,
-        lambda x, i: (x["op"] == CellOp.PUT)
+        lambda x, i: (x["sop"] == CellOp.PUT)
         | (i == 0)
-        | (x["ts"] != F.get(grp, i - 1)["ts"]),
+        | (x["nts"] != F.get(grp, i - 1)["nts"]),
     )
     # entries the merge kind actually folds (matching atomic kind or PUT
     # base) — staged as a column so the fold below runs once per group,
     # not once per reference (the little-endian encoder alone references
     # its input 8×, one per byte pair; inlined, each re-ran the fold)
     grouped = grouped.withColumn(
-        "mergeable", F.filter(deduped, lambda x: (x["op"] == kind) | (x["op"] == CellOp.PUT))
+        "mergeable", F.filter(deduped, lambda x: (x["sop"] == kind) | (x["sop"] == CellOp.PUT))
     )
     mergeable = F.col("mergeable")
 
@@ -243,7 +244,7 @@ def current_view(
     )
     merged_cell = F.when(
         (run_len > 0) & (maxv_c >= 1),
-        F.array(F.struct(F.get(e, 0)["ts"].alias("ts"), merged_value.alias("value"))),
+        F.array(F.struct((-F.get(e, 0)["nts"]).alias("ts"), merged_value.alias("value"))),
     ).otherwise(F.expr(f"cast(array() as {_ENTRY_T})"))
 
     # sequential pass over the remainder: DEL_QUALIFIER arming + version cap
@@ -255,14 +256,14 @@ def current_view(
 
     def _step(acc, x):
         consumed = acc["prev"] == CellOp.DEL_QUALIFIER
-        is_put = x["op"] == CellOp.PUT
+        is_put = x["sop"] == CellOp.PUT
         vnum2 = acc["vnum"] + F.when(is_put, 1).otherwise(0)
         emit = is_put & ~consumed & (vnum2 <= maxv_c)
         out2 = F.when(
             emit,
-            F.concat(acc["out"], F.array(F.struct(x["ts"].alias("ts"), x["value"].alias("value")))),
+            F.concat(acc["out"], F.array(F.struct((-x["nts"]).alias("ts"), x["value"].alias("value")))),
         ).otherwise(acc["out"])
-        return F.struct(out2.alias("out"), vnum2.alias("vnum"), x["op"].alias("prev"))
+        return F.struct(out2.alias("out"), vnum2.alias("vnum"), x["sop"].alias("prev"))
 
     rest_out = F.aggregate(rest, acc0, _step)["out"]
 
@@ -275,7 +276,7 @@ def current_view(
 
 def _spark_entry_type() -> str:
     # sorted-entry struct type for empty-array casts (nts/sop/nseq sort key)
-    return "array<struct<nts:bigint,sop:int,nseq:bigint,ts:bigint,op:int,value:binary>>"
+    return "array<struct<nts:bigint,sop:int,nseq:bigint,value:binary>>"
 
 
 def kv_current_view(kv_oplog: DataFrame, *, now_us: int | None = None) -> DataFrame:
