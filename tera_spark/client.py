@@ -1,0 +1,213 @@
+"""SDK-shaped facade: the reference's client ergonomics on Spark.
+
+Mirrors the surface a tera user already knows — ``Client`` /
+``Client.OpenTable`` (include/tera/client.h:36-40) and ``Table``'s
+Put/Get/Scan/ApplyMutation/IncrementColumnValue/CheckAndApply
+(include/tera/table.h:58-142; Python binding
+src/sdk/python/TeraSdk.py Client, Table, RowMutation,
+ScanDescriptor) — so reference call sites translate line for line.
+Everything delegates to the catalog + operators; nothing here adds
+semantics, only the SDK's shape:
+
+- ``Table.get`` returns the RowReader::ToMap nesting
+  (cf → qualifier → [(ts desc, value)]; include/tera/reader.h:52-55)
+  as plain Python dicts — point reads are row-sized by construction.
+- Writes auto-assign timestamps (server-assigned ts, tera_key.h:33)
+  and carry a monotonically increasing sequence across commits
+  (LevelDB sequence analog) so later writes win ties.
+- ``Table.scan`` streams ordered visible cells through
+  ``toLocalIterator`` — the client-side iteration model of
+  ResultStream (include/tera/scan.h:26-67) without the session/RPC
+  machinery Spark makes unnecessary (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tera_spark.catalog import Catalog
+from tera_spark.operators.mutation import MutationBatch, check_and_apply
+from tera_spark.operators.scan import ScanDescriptor, batch_get, get, scan
+from tera_spark.operators.txn import SingleRowTransaction
+from tera_spark.registry import TableSchema
+
+
+class Client:
+    """Client (include/tera/client.h): table lifecycle + OpenTable."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.catalog = Catalog(spark, root)
+
+    # lifecycle passthroughs, SDK names
+    def create_table(self, schema: TableSchema | str) -> TableSchema:
+        return self.catalog.create_table(schema)
+
+    def disable_table(self, name: str) -> None:
+        self.catalog.disable_table(name)
+
+    def enable_table(self, name: str) -> None:
+        self.catalog.enable_table(name)
+
+    def delete_table(self, name: str) -> None:
+        self.catalog.drop_table(name)
+
+    def list_tables(self) -> list[str]:
+        return self.catalog.list_tables()
+
+    def is_table_exist(self, name: str) -> bool:
+        return self.catalog.is_table_exist(name)
+
+    def open_table(self, name: str) -> "Table":
+        if not self.catalog.is_table_exist(name):
+            raise ValueError(f"no such table: {name}")
+        return Table(self.catalog, name)
+
+
+class Table:
+    """Table (include/tera/table.h): reads, writes, atomics, txn."""
+
+    def __init__(self, catalog: Catalog, name: str):
+        self._cat = catalog
+        self.name = name
+        self._next_seq: int | None = None
+
+    # -- sequence bookkeeping (LevelDB sequence analog) ---------------
+    def _seq(self, n: int) -> int:
+        if self._next_seq is None:
+            top = self._cat.read_oplog(self.name).agg(F.max("seq")).collect()[0][0]
+            self._next_seq = (top + 1) if top is not None else 0
+        base = self._next_seq
+        self._next_seq += n
+        return base
+
+    # -- writes (table.h:58-77, 128-142) ------------------------------
+    def apply_mutation(self, batch: MutationBatch) -> None:
+        batch._base_seq = self._seq(len(batch))
+        self._cat.append(self.name, batch.to_df(self._cat.spark))
+
+    def put(self, row_key: str, cf: str, qualifier: str, value, ts: int | None = None) -> None:
+        self.apply_mutation(MutationBatch().put(row_key, cf, qualifier, value, ts=ts))
+
+    def delete_row(self, row_key: str, ts: int | None = None) -> None:
+        self.apply_mutation(MutationBatch().delete_row(row_key, ts=ts))
+
+    def increment_column_value(
+        self, row_key: str, cf: str, qualifier: str, delta: int, ts: int | None = None
+    ) -> None:
+        """IncrementColumnValue (table.h:128-130): big-endian Add."""
+        self.apply_mutation(MutationBatch().add(row_key, cf, qualifier, delta, ts=ts))
+
+    def add_int64(
+        self, row_key: str, cf: str, qualifier: str, delta: int, ts: int | None = None
+    ) -> None:
+        self.apply_mutation(MutationBatch().add_int64(row_key, cf, qualifier, delta, ts=ts))
+
+    def append(self, row_key: str, cf: str, qualifier: str, value, ts: int | None = None) -> None:
+        self.apply_mutation(MutationBatch().append(row_key, cf, qualifier, value, ts=ts))
+
+    def put_if_absent(
+        self, row_key: str, cf: str, qualifier: str, value, ts: int | None = None
+    ) -> None:
+        self.apply_mutation(MutationBatch().put_if_absent(row_key, cf, qualifier, value, ts=ts))
+
+    def check_and_apply(
+        self, row_key: str, cf: str, qualifier: str, expected, batch: MutationBatch
+    ) -> bool:
+        """CheckAndApply (table.h:140-142). True iff the mutation landed."""
+        batch._base_seq = self._seq(len(batch))  # gap on failed CAS is harmless
+        out = check_and_apply(
+            self._cat.read_oplog(self.name),
+            self._cat.get_schema(self.name),
+            row_key,
+            cf,
+            qualifier,
+            expected,
+            batch,
+        )
+        if out is None:
+            return False
+        self._cat.append(self.name, out)
+        return True
+
+    # -- reads (table.h:85-98, reader.h) ------------------------------
+    def get(
+        self,
+        row_key: str,
+        *,
+        columns: dict[str, list[str]] | None = None,
+        max_versions: int | None = None,
+        ts_range: tuple[int, int] | None = None,
+        now_us: int | None = None,
+    ) -> dict[str, dict[str, list[tuple[int, bytes]]]]:
+        """Point read, nested RowReader::ToMap-style:
+        {cf: {qualifier: [(ts, value) newest-first]}}."""
+        rows = get(
+            self._cat.read_oplog(self.name),
+            self._cat.get_schema(self.name),
+            row_key,
+            columns=columns,
+            max_versions=max_versions,
+            ts_range=ts_range,
+            now_us=now_us,
+        ).collect()
+        out: dict[str, dict[str, list[tuple[int, bytes]]]] = {}
+        for r in rows:
+            out.setdefault(r.cf, {}).setdefault(r.qualifier, []).append((r.ts, bytes(r.value)))
+        for cfd in out.values():
+            for versions in cfd.values():
+                versions.sort(key=lambda tv: -tv[0])
+        return out
+
+    def batch_get(self, row_keys: list[str], *, now_us: int | None = None) -> DataFrame:
+        return batch_get(
+            self._cat.read_oplog(self.name),
+            self._cat.get_schema(self.name),
+            row_keys,
+            now_us=now_us,
+        )
+
+    def scan(
+        self, desc: ScanDescriptor | None = None, *, now_us: int | None = None
+    ) -> Iterator:
+        """Ordered cell iteration (ResultStream). Yields Rows with
+        (row_key, cf, qualifier, ts, value) in scan order: row_key,
+        cf, qualifier asc, ts desc."""
+        v = scan(
+            self._cat.read_oplog(self.name),
+            self._cat.get_schema(self.name),
+            desc,
+            now_us=now_us,
+        )
+        ordered = v.orderBy("row_key", "cf", "qualifier", F.desc("ts"))
+        return ordered.toLocalIterator()
+
+    def scan_df(
+        self, desc: ScanDescriptor | None = None, *, now_us: int | None = None
+    ) -> DataFrame:
+        """The analytics-native form: visible cells as a DataFrame."""
+        return scan(
+            self._cat.read_oplog(self.name),
+            self._cat.get_schema(self.name),
+            desc,
+            now_us=now_us,
+        )
+
+    # -- transactions (table.h:102-104) -------------------------------
+    def start_row_transaction(self, row_key: str) -> SingleRowTransaction:
+        return SingleRowTransaction(
+            self._cat.read_oplog(self.name), self._cat.get_schema(self.name), row_key
+        )
+
+    def commit_row_transaction(self, txn: SingleRowTransaction) -> None:
+        cells = txn.commit(self._cat.read_oplog(self.name))
+        self._cat.append(self.name, cells)
+
+    # -- admin sugar (table.h:131-133) --------------------------------
+    def tablet_info(self) -> list[dict]:
+        return self._cat.tablet_info(self.name)
+
+    def start_end_keys(self) -> list[tuple[str, str]]:
+        return [(t["start_key"], t["end_key"]) for t in self.tablet_info()]

@@ -1,0 +1,104 @@
+"""SDK-shaped facade: the call patterns a tera user writes against
+TeraSdk.py / client.h, line for line, must work here — open, put, get
+(ToMap nesting), versioned reads, counters, CAS, scan order, row txn."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from tera_spark.client import Client
+from tera_spark.functions.codecs import py_encode_be_i64
+from tera_spark.operators.mutation import MutationBatch
+from tera_spark.operators.scan import ScanDescriptor
+from tera_spark.operators.txn import RowTxnConflict
+
+
+@pytest.fixture()
+def client(spark):
+    d = tempfile.mkdtemp(prefix="tera_client_")
+    yield Client(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sdk_workflow(client):
+    client.create_table("usertab {info <maxversions=2>, cnt}")
+    assert client.is_table_exist("usertab") and client.list_tables() == ["usertab"]
+    t = client.open_table("usertab")
+
+    # put / get with ToMap nesting, newest-first versions
+    t.put("u1", "info", "name", "alice", ts=1)
+    t.put("u1", "info", "name", "alicia", ts=2)
+    t.put("u1", "info", "city", "rome", ts=1)
+    m = t.get("u1")
+    assert m["info"]["name"] == [(2, b"alicia"), (1, b"alice")]
+    assert m["info"]["city"] == [(1, b"rome")]
+
+    # column projection + max_versions=1
+    m1 = t.get("u1", columns={"info": ["name"]}, max_versions=1)
+    assert m1 == {"info": {"name": [(2, b"alicia")]}}
+
+    # counter: increment then read back big-endian
+    t.increment_column_value("u1", "cnt", "logins", 5, ts=3)
+    t.increment_column_value("u1", "cnt", "logins", 2, ts=4)
+    m2 = t.get("u1", columns={"cnt": ["logins"]})
+    assert m2["cnt"]["logins"][0][1] == py_encode_be_i64(7)
+
+    # CAS: succeeds against current value, then fails against stale
+    ok = t.check_and_apply(
+        "u1", "info", "city", "rome", MutationBatch().put("u1", "info", "city", "paris", ts=9)
+    )
+    assert ok
+    assert not t.check_and_apply(
+        "u1", "info", "city", "rome", MutationBatch().put("u1", "info", "city", "oslo", ts=10)
+    )
+    assert t.get("u1", columns={"info": ["city"]})["info"]["city"][0] == (9, b"paris")
+
+
+def test_scan_order_and_batch_get(client):
+    client.create_table("scantab {cf0}")
+    t = client.open_table("scantab")
+    b = MutationBatch()
+    for i in (3, 1, 2):
+        b.put(f"r{i}", "cf0", "q", f"v{i}", ts=i)
+    t.apply_mutation(b)
+
+    cells = list(t.scan(ScanDescriptor(start="r1", end="r3")))
+    assert [(c.row_key, bytes(c.value)) for c in cells] == [("r1", b"v1"), ("r2", b"v2")]
+
+    got = {r.row_key for r in t.batch_get(["r1", "r3", "missing"]).collect()}
+    assert got == {"r1", "r3"}
+    assert len(t.start_end_keys()) >= 1
+
+
+def test_row_transaction_conflict(client):
+    client.create_table("txntab {cf0}")
+    t = client.open_table("txntab")
+    t.put("acct", "cf0", "bal", "100", ts=1)
+
+    txn = t.start_row_transaction("acct")
+    assert txn.read("cf0", "bal") == b"100"
+    txn.put("cf0", "bal", "90", ts=2)
+
+    # interleaved write -> commit must conflict
+    t.put("acct", "cf0", "bal", "50", ts=2)
+    with pytest.raises(RowTxnConflict):
+        t.commit_row_transaction(txn)
+
+    # clean retry succeeds
+    txn2 = t.start_row_transaction("acct")
+    txn2.put("cf0", "bal", "40", ts=3)
+    t.commit_row_transaction(txn2)
+    assert t.get("acct", max_versions=1)["cf0"]["bal"][0][1] == b"40"
+
+
+def test_later_write_wins_across_commits_same_ts(client):
+    """Two separate commits at the SAME user timestamp: the later
+    commit's sequence must win (LevelDB sequence tie-break)."""
+    client.create_table("seqtab {cf0}")
+    t = client.open_table("seqtab")
+    t.put("k", "cf0", "q", "first", ts=7)
+    t.put("k", "cf0", "q", "second", ts=7)
+    assert t.get("k", max_versions=1)["cf0"]["q"][0][1] == b"second"
