@@ -10,13 +10,14 @@ relational layer (joins/aggs/windows/sorts) via Spark SQL, which the
 reference delegates to MySQL (see SURVEY.md §2.4).
 """
 
-from tera_spark.client import Client, Table
+from tera_spark.client import Client, KvTable, Table
 from tera_spark.model import CellOp, CELL_SCHEMA, KV_SCHEMA
 from tera_spark.registry import ColumnFamilySchema, LocalityGroupSchema, TableSchema
 from tera_spark.session import get_spark
 
 __all__ = [
     "Client",
+    "KvTable",
     "Table",
     "CellOp",
     "CELL_SCHEMA",

@@ -60,9 +60,11 @@ class Client:
     def is_table_exist(self, name: str) -> bool:
         return self.catalog.is_table_exist(name)
 
-    def open_table(self, name: str) -> "Table":
+    def open_table(self, name: str) -> "Table | KvTable":
         if not self.catalog.is_table_exist(name):
             raise ValueError(f"no such table: {name}")
+        if self.catalog.get_schema(name).kv_mode:
+            return KvTable(self.catalog, name)
         return Table(self.catalog, name)
 
 
@@ -211,3 +213,43 @@ class Table:
 
     def start_end_keys(self) -> list[tuple[str, str]]:
         return [(t["start_key"], t["end_key"]) for t in self.tablet_info()]
+
+
+class KvTable:
+    """KV-mode table (RawKey=GeneralKv/TTLKv): the reference serves KV
+    tables through the same Table API with (key, value) puts
+    (doc/en/teracli.md kv schema; TeraSdk Table.Put/Get 2-ary forms)."""
+
+    def __init__(self, catalog: Catalog, name: str):
+        self._cat = catalog
+        self.name = name
+
+    def put(self, key: str, value, *, ttl_s: int | None = None) -> None:
+        self._cat.kv_put(self.name, key, value, ttl_s=ttl_s)
+
+    def get(self, key: str, *, now_us: int | None = None) -> bytes | None:
+        from tera_spark.operators.view import kv_current_view
+
+        rows = (
+            kv_current_view(
+                self._cat.read_oplog(self.name).filter(F.col("key") == key),
+                now_us=now_us,
+            )
+            .collect()
+        )
+        return bytes(rows[0].value) if rows else None
+
+    def delete(self, key: str) -> None:
+        self._cat.kv_delete(self.name, key)
+
+    def scan(
+        self, start: str | None = None, end: str | None = None, *, now_us: int | None = None
+    ) -> Iterator:
+        from tera_spark.operators.view import kv_current_view
+
+        df = self._cat.read_oplog(self.name)
+        if start is not None:
+            df = df.filter(F.col("key") >= start)
+        if end is not None:
+            df = df.filter(F.col("key") < end)
+        return kv_current_view(df, now_us=now_us).orderBy("key").toLocalIterator()

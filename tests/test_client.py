@@ -102,3 +102,19 @@ def test_later_write_wins_across_commits_same_ts(client):
     t.put("k", "cf0", "q", "first", ts=7)
     t.put("k", "cf0", "q", "second", ts=7)
     assert t.get("k", max_versions=1)["cf0"]["q"][0][1] == b"second"
+
+
+def test_kv_table_facade(client):
+    client.create_table("kvtab")  # no braces -> kv mode (teracli form)
+    t = client.open_table("kvtab")
+    from tera_spark.client import KvTable
+
+    assert isinstance(t, KvTable)
+    t.put("k1", "v1")
+    t.put("k2", "v2")
+    t.put("k1", "v1b")  # overwrite, LWW
+    assert t.get("k1") == b"v1b"
+    assert t.get("nope") is None
+    t.delete("k2")
+    assert t.get("k2") is None
+    assert [(r.key, bytes(r.value)) for r in t.scan()] == [("k1", b"v1b")]
