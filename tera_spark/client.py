@@ -60,6 +60,14 @@ class Client:
     def is_table_exist(self, name: str) -> bool:
         return self.catalog.is_table_exist(name)
 
+    def new_global_transaction(self):
+        """NewGlobalTransaction (client.h:98): cross-row/cross-table
+        snapshot-isolated RMW (see operators/txn.py GlobalTransaction
+        for why optimistic validation replaces Percolator's 2PC)."""
+        from tera_spark.operators.txn import GlobalTransaction
+
+        return GlobalTransaction(self.catalog)
+
     def open_table(self, name: str) -> "Table | KvTable":
         if not self.catalog.is_table_exist(name):
             raise ValueError(f"no such table: {name}")

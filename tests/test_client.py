@@ -118,3 +118,20 @@ def test_kv_table_facade(client):
     t.delete("k2")
     assert t.get("k2") is None
     assert [(r.key, bytes(r.value)) for r in t.scan()] == [("k1", b"v1b")]
+
+
+def test_global_transaction_via_client(client):
+    client.create_table("gt1 {cf0}")
+    client.create_table("gt2 {cf0}")
+    a, b = client.open_table("gt1"), client.open_table("gt2")
+    a.put("x", "cf0", "v", "10", ts=1)
+    b.put("y", "cf0", "v", "20", ts=1)
+
+    g = client.new_global_transaction()
+    va = g.read("gt1", "x", "cf0", "v")
+    vb = g.read("gt2", "y", "cf0", "v")
+    g.put("gt1", "x", "cf0", "v", str(int(va.decode()) - 5), ts=2)
+    g.put("gt2", "y", "cf0", "v", str(int(vb.decode()) + 5), ts=2)
+    g.commit()
+    assert a.get("x", max_versions=1)["cf0"]["v"][0][1] == b"5"
+    assert b.get("y", max_versions=1)["cf0"]["v"][0][1] == b"25"
