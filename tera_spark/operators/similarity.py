@@ -212,6 +212,67 @@ def ivf_topk(
     )
 
 
+def train_kmeans(
+    vectors: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the training pass that
+    produces a real IVF codebook (``ivf_assign``/``ivf_topk`` otherwise
+    run on sampled-vector centroids). Pure DataFrame ops; the reference
+    has no analog (tera delegates all computation to clients — this is
+    north-star LLM-pipeline work).
+
+    Init is deterministic: the k vectors with smallest xxhash64(id).
+    Each Lloyd round is assign (map-only argmin against broadcast
+    centroids, §ivf_assign) + mean recompute (posexplode → one shuffle
+    keyed by (cluster, pos) with map-side partial avg). Only k rows ever
+    reach the driver per round, so the loop scales to any N; cost is
+    iters × one shuffle — the canonical distributed Lloyd plan. Empty
+    clusters keep their previous centroid (left-join + coalesce), so
+    exactly k centroids survive every round."""
+    spark = vectors.sparkSession
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    seed_rows = (
+        v.orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    cents = [(i, list(r[0])) for i, r in enumerate(seed_rows)]
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cid long, c_vec array<double>").select(
+            "cid", F.col("c_vec").alias("vec")
+        )
+        assigned = ivf_assign(v, cdf, id_col="id", vec_col="vec", cid_col="cid")
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("vec")
+            )
+            .collect()
+        )
+        new = {row["cluster"]: list(row["vec"]) for row in means}
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+
+    return spark.createDataFrame(cents, "cid long, c_vec array<double>").select(
+        F.col("cid").alias(cid_col), F.col("c_vec").alias(vec_col)
+    )
+
+
 # --- random-hyperplane LSH (SimHash for vectors) ----------------------
 
 N_PLANES = 32

@@ -913,6 +913,31 @@ def ann_hyperplane(spark: SparkSession, sf: str) -> DataFrame:
     return hyperplane_lsh_pairs(emb, threshold=0.35)
 
 
+@query("ann_kmeans_clusters")
+def ann_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Train an IVF codebook with distributed Lloyd's k-means (8
+    clusters, 4 rounds), then profile the clustering: member count and
+    majority ground-truth label per centroid. Iterative algorithm —
+    the documented non-SQL-expressible case (rows-only check; the
+    clustering invariants are unit-tested in test_llmops.py)."""
+    from tera_spark.operators.similarity import ivf_assign, train_kmeans
+
+    emb = load(spark, sf, "embeddings")
+    cents = train_kmeans(emb, k=8, iters=4)
+    assigned = ivf_assign(emb, cents, cid_col="centroid_id")
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    return (
+        assigned.join(labels, "id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.mode("label").cast("long").alias("majority_label"),
+        )
+        .orderBy("cluster")
+        .select(F.col("cluster").cast("long").alias("cluster"), "n_members", "majority_label")
+    )
+
+
 @query(
     "sample_weighted_reservoir",
     """

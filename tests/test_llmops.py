@@ -266,3 +266,44 @@ def test_hyperplane_signature_deterministic(spark):
     a = {r.vec_id: r.sig for r in emb.select("vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")).collect()}
     b = {r.vec_id: r.sig for r in emb.select("vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")).collect()}
     assert a == b and len(a) == 20
+
+
+def test_kmeans_trains_usable_codebook(spark):
+    """Lloyd invariants: exactly k centroids survive, every vector is
+    assigned, and the trained codebook beats the 1-round (init-only)
+    codebook on within-cluster squared distance."""
+    from tera_spark.operators.similarity import ivf_assign, train_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    def inertia(cents):
+        a = ivf_assign(emb, cents, cid_col="centroid_id")
+        c = cents.select(
+            F.col("centroid_id").alias("cluster"), F.col("embedding").alias("c_vec")
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("vec"), F.col("c_vec"), lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        return a.join(c, "cluster").select(F.sum(d2).alias("s")).first()["s"], a
+
+    trained = train_kmeans(emb, k=8, iters=4)
+    init = train_kmeans(emb, k=8, iters=0)
+    assert trained.count() == 8 and init.count() == 8
+    loss_t, assigned = inertia(trained)
+    loss_0, _ = inertia(init)
+    assert assigned.count() == n
+    assert loss_t < loss_0, (loss_t, loss_0)
+
+
+def test_kmeans_query_shape(spark):
+    import tera_spark.queries as Q
+
+    Q.load_all()
+    rows = Q.QUERIES["ann_kmeans_clusters"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 8
+    assert sum(r.n_members for r in rows) == 500
