@@ -314,6 +314,103 @@ def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_repeated_ngram_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t)-7, 0)+1)) AS u(i)
+    )
+    SELECT gram, cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+           cast(count(*) AS bigint) AS n_occur
+    FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_repeated_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact repeated-substring detection across documents: every
+    8-token n-gram that occurs in >=2 distinct docs, with doc and
+    occurrence counts — the candidate-span stage of suffix-style exact
+    substring dedup (cf. training-data dedup practice), complementing
+    MinHash (whole-doc near-dup) with span-level exact evidence.
+
+    Scale shape: the n-gram explode is map-only (slide a window over
+    the token array); ONE shuffle keyed by the gram groups all
+    occurrences. Gram keys are long strings — at 100 TB, group by
+    xxhash64(gram) instead and carry one example gram via min()."""
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = 8
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occur"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "pipeline_token_packing",
+    """
+    WITH sized AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+'))::bigint AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           cast(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+                AS bigint) AS pack_id,
+           cast(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 512
+                AS bigint) AS start_tok
+    FROM sized
+    """,
+)
+def pipeline_token_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing planner for training shards: documents fill
+    ~512-token packs in deterministic (lang, doc_id) order; a doc's
+    pack is the exclusive prefix-sum of token counts divided by the
+    budget (streaming fill — a doc may straddle its pack boundary and
+    continue into the next, exactly how fixed-length training windows
+    consume a corpus).
+
+    Scale shape: token counting is map-only; the prefix sum is one
+    window partitioned by lang — parallel across strata, and at 100 TB
+    the stratum key becomes (lang, shard) to bound any one window's
+    partition while keeping pack ids deterministic."""
+    from pyspark.sql import Window as W
+
+    budget = 512
+    docs = load(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(prefix / budget).cast("long").alias("pack_id"),
+        (prefix % budget).cast("long").alias("start_tok"),
+    )
+
+
+@query(
     "dedup_lsh_verified",
     f"""
     WITH sigs AS (
