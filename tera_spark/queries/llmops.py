@@ -314,6 +314,54 @@ def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_unigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt)::double AS n FROM freq)
+    SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+           cast(sum(floor(-ln(cnt::double / n) * 1000000)::bigint) AS bigint)
+             AS nll_micro
+    FROM toks JOIN freq USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained unigram language-model scoring: each doc's total
+    negative log-likelihood under the corpus unigram distribution —
+    the perplexity-style quality filter (CCNet-shaped): unusually
+    high surprisal = off-distribution/noise, unusually low =
+    boilerplate. Per-token surprisal is floor-quantized to integer
+    micro-nats BEFORE summing, so the aggregate is associative and
+    bit-identical on any engine/summation order.
+
+    Scale shape: the unigram table is vocabulary-sized (sublinear in
+    corpus) → broadcast join onto the token stream; the corpus total
+    rides in as a broadcast 1-row aggregate; one final shuffle keyed
+    by doc_id. Training pass and scoring pass each touch the corpus
+    once — the 100 TB version materializes freq between them."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    surprisal = F.floor(-F.log(F.col("cnt") / F.col("n")) * 1_000_000).cast("long")
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(surprisal).cast("long").alias("nll_micro"),
+        )
+    )
+
+
+@query(
     "dedup_repeated_ngram_spans",
     """
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
