@@ -311,3 +311,45 @@ def latest_view(cells: DataFrame, schema: TableSchema | None = None, **kw) -> Da
     v = current_view(cells, schema, **kw)
     w = Window.partitionBy("row_key", "cf", "qualifier").orderBy(F.desc("ts"))
     return v.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def changes_between(
+    cells: DataFrame,
+    schema: TableSchema | None = None,
+    *,
+    seq_start: int,
+    seq_end: int | None = None,
+    now_us: int | None = None,
+) -> DataFrame:
+    """Changefeed between two write sequences: per (row_key, cf,
+    qualifier), diff the newest visible value as-of ``seq_start``
+    against as-of ``seq_end`` (None = all writes) and emit
+    INSERT/UPDATE/DELETE rows; unchanged columns are dropped. The CDC
+    analog tera lacks (clients re-scan; observers see single cells) —
+    snapshot reads (SnapshotIDToSeq, src/io/tablet_io.cc:698-706) give
+    the two endpoints, this computes the delta set between them.
+
+    Scale shape: two view folds over the SAME hash clustering
+    (row_key) feed a full-outer join on the same key — Catalyst
+    co-partitions all three wide ops on one exchange per side; output
+    is change-set-sized. At 100 TB, bound the fold input by reading
+    only files whose max(seq) >= seq_start for the "new" side (the
+    selective-compaction footer planning in catalog.compact_ranges
+    already demonstrates that file-group pruning)."""
+    v0 = latest_view(cells, schema, snapshot_seq=seq_start, now_us=now_us).select(
+        "row_key", "cf", "qualifier", F.col("value").alias("old_value")
+    )
+    v1 = latest_view(cells, schema, snapshot_seq=seq_end, now_us=now_us).select(
+        "row_key", "cf", "qualifier", F.col("value").alias("new_value")
+    )
+    j = v0.join(v1, ["row_key", "cf", "qualifier"], "full_outer")
+    change = (
+        F.when(F.col("old_value").isNull(), F.lit("INSERT"))
+        .when(F.col("new_value").isNull(), F.lit("DELETE"))
+        .when(F.col("old_value") != F.col("new_value"), F.lit("UPDATE"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("row_key", "cf", "qualifier", "change_type", "old_value", "new_value")
+    )

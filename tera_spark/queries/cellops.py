@@ -834,3 +834,65 @@ def kv_lww(spark: SparkSession, sf: str) -> DataFrame:
     return kv_current_view(oplog).select(
         "key", F.col("value").cast("string").alias("status")
     )
+
+
+@query(
+    "cell_changefeed_diff",
+    """
+    SELECT lpad(cast(o_orderkey + 500000000 AS varchar), 10, '0') AS row_key,
+           'INSERT' AS change_type, cast(NULL AS varchar) AS old_val,
+           concat('clerk-', cast(o_custkey AS varchar)) AS new_val
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT lpad(cast(o_orderkey AS varchar), 10, '0') AS row_key,
+           'DELETE' AS change_type, o_orderpriority AS old_val,
+           cast(NULL AS varchar) AS new_val
+    FROM orders WHERE o_totalprice < 50000
+    UNION ALL
+    SELECT lpad(cast(o_orderkey AS varchar), 10, '0') AS row_key,
+           'UPDATE' AS change_type, o_orderpriority AS old_val,
+           'expedite' AS new_val
+    FROM orders WHERE o_orderstatus = 'O' AND o_totalprice >= 50000
+    """,
+)
+def cell_changefeed(spark: SparkSession, sf: str) -> DataFrame:
+    """Changefeed between two write sequences: the op-log grows inserts
+    (new keys), updates, and row-deletes after the seq_start snapshot;
+    changes_between must emit exactly the INSERT/UPDATE/DELETE delta
+    set (the oracle states the expected set directly)."""
+    from tera_spark.operators.view import changes_between
+
+    orders = load(spark, sf, "orders")
+    rk = F.lpad(F.col("o_orderkey").cast("string"), 10, "0")
+    rk_new = F.lpad((F.col("o_orderkey") + 500_000_000).cast("string"), 10, "0")
+
+    def cell(key, ts, op, val, seq_off):
+        return [
+            key.alias("row_key"),
+            F.lit("st").alias("cf"),
+            F.lit("prio").alias("qualifier"),
+            F.lit(ts).cast("long").alias("ts"),
+            F.lit(op).alias("op"),
+            val.cast("binary").alias("value"),
+            (F.col("o_orderkey") + seq_off).alias("seq"),
+        ]
+
+    base = orders.select(*cell(rk, 10, CellOp.PUT, F.col("o_orderpriority"), 0))
+    ins = orders.filter(F.col("o_orderstatus") == "F").select(
+        *cell(rk_new, 15, CellOp.PUT, F.concat(F.lit("clerk-"), F.col("o_custkey").cast("string")), 10_000_000)
+    )
+    upd = orders.filter(F.col("o_orderstatus") == "O").select(
+        *cell(rk, 20, CellOp.PUT, F.lit("expedite"), 20_000_000)
+    )
+    dels = orders.filter(F.col("o_totalprice") < 50000).select(
+        *cell(rk, 30, CellOp.DEL_ROW, F.lit(None), 30_000_000)
+    )
+    log = base.unionByName(ins).unionByName(upd).unionByName(dels)
+    schema = TableSchema("q").add_column_family("st", max_versions=1)
+    d = changes_between(log, schema, seq_start=9_999_999, now_us=NOW)
+    return d.select(
+        "row_key",
+        "change_type",
+        F.col("old_value").cast("string").alias("old_val"),
+        F.col("new_value").cast("string").alias("new_val"),
+    )

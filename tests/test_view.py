@@ -282,3 +282,34 @@ def test_multi_row_multi_cf_mixed(spark):
     assert not any(r[0] == "r2" and r[3] == 50 for r in out)
     r3 = [r for r in out if r[0] == "r3"]
     assert len(r3) == 1 and py_decode_be_i64(r3[0][4]) == 11
+
+
+def test_changes_between_diff_semantics(spark):
+    """Changefeed endpoints: INSERT (new key after seq0), UPDATE
+    (value changed), DELETE (tombstoned after seq0); a re-put of the
+    SAME value and an untouched key must emit nothing."""
+    from tera_spark.operators.view import changes_between
+
+    cells = make_cells(
+        spark,
+        [
+            ("r1", "cf0", "a", 10, "PUT", b"v1"),       # seq 0: untouched
+            ("r2", "cf0", "a", 10, "PUT", b"old"),      # seq 1
+            ("r3", "cf0", "a", 10, "PUT", b"gone"),     # seq 2
+            ("r5", "cf0", "a", 10, "PUT", b"same"),     # seq 3  <- seq_start
+            ("r2", "cf0", "a", 20, "PUT", b"new"),      # seq 4: update
+            ("r3", "", "", 20, "DEL_ROW", None),        # seq 5: delete
+            ("r4", "cf0", "a", 20, "PUT", b"born"),     # seq 6: insert
+            ("r5", "cf0", "a", 20, "PUT", b"same"),     # seq 7: no-op rewrite
+        ],
+    )
+    d = changes_between(cells, schema1(), seq_start=3, now_us=NOW)
+    out = {
+        r.row_key: (r.change_type, r.old_value, r.new_value)
+        for r in d.collect()
+    }
+    assert out == {
+        "r2": ("UPDATE", b"old", b"new"),
+        "r3": ("DELETE", b"gone", None),
+        "r4": ("INSERT", None, b"born"),
+    }
