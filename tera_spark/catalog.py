@@ -205,6 +205,27 @@ class Catalog:
             self.delete_snapshot(name, sid)
         return drop
 
+    def diff(
+        self,
+        name: str,
+        seq_start: int,
+        seq_end: int | None = None,
+        *,
+        now_us: int | None = None,
+    ) -> DataFrame:
+        """Changefeed: INSERT/UPDATE/DELETE delta set between two write
+        sequences (see operators.view.changes_between). KV tables have
+        no per-cell seq history — raise."""
+        from tera_spark.operators.view import changes_between
+
+        self._check_enabled(name)
+        schema = self.get_schema(name)
+        if schema.kv_mode:
+            raise ValueError("diff is not supported for kv-mode tables")
+        return changes_between(
+            self.read_oplog(name), schema, seq_start=seq_start, seq_end=seq_end, now_us=now_us
+        )
+
     def compact_inplace(self, name: str, *, now_us: int | None = None) -> None:
         """Fold the op-log (tera `compact`): snapshot, then swap it in
         as the new base op-log."""

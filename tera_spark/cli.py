@@ -14,6 +14,14 @@ import argparse
 import sys
 
 
+def _apply(cat, name, batch):
+    """Apply a CLI mutation with a real write sequence (the SDK facade's
+    max(seq)+1 allocation) so snapshot/diff see CLI writes in order."""
+    from tera_spark.client import Table
+
+    Table(cat, name).apply_mutation(batch)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="teracli", description=__doc__)
     ap.add_argument("--root", default="/tmp/tera_spark_tables")
@@ -66,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--delete", metavar="SID", help="drop one snapshot")
     sp.add_argument("--expire-keep", type=int, metavar="N",
                     help="retention GC: keep only the newest N snapshots")
+    sp = sub.add_parser("diff", help="changefeed between two write seqs")
+    sp.add_argument("table"); sp.add_argument("seq_start", type=int)
+    sp.add_argument("--seq-end", type=int)
+    sp.add_argument("--limit", type=int, default=100)
     sp = sub.add_parser("optimize"); sp.add_argument("table")
     sp.add_argument("--buckets", type=int)
     sp = sub.add_parser("import")
@@ -108,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         b = MutationBatch()
         fn = {"put": b.put, "putif": b.put_if_absent, "append": b.append}[args.cmd]
         fn(args.row, cf, qu, args.value, ts=args.ts)
-        cat.append(args.table, b.to_df(spark))
+        _apply(cat, args.table, b)
         print("ok")
     elif args.cmd in ("add", "addint64"):
         from tera_spark.operators.mutation import MutationBatch
@@ -117,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         b = MutationBatch()
         fn = b.add if args.cmd == "add" else b.add_int64
         fn(args.row, cf, qu, int(args.delta), ts=args.ts)
-        cat.append(args.table, b.to_df(spark))
+        _apply(cat, args.table, b)
         print("ok")
     elif args.cmd in ("putint64", "put_counter"):
         from tera_spark.operators.mutation import MutationBatch
@@ -126,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
         b = MutationBatch()
         fn = b.put_le_int64 if args.cmd == "putint64" else b.put_int64
         fn(args.row, cf, qu, int(args.value), ts=args.ts)
-        cat.append(args.table, b.to_df(spark))
+        _apply(cat, args.table, b)
         print("ok")
     elif args.cmd in ("getint64", "get_counter"):
         from tera_spark.functions.codecs import py_decode_be_i64, py_decode_le_i64
@@ -165,7 +177,7 @@ def main(argv: list[str] | None = None) -> int:
                 b.delete_version(args.row, cf, qu, ts=args.ts)
             else:
                 b.delete_column(args.row, cf, qu, ts=args.ts)
-        cat.append(args.table, b.to_df(spark))
+        _apply(cat, args.table, b)
         print("ok")
     elif args.cmd == "put-ttl":
         cat.kv_put(args.table, args.key, args.value, ttl_s=args.ttl or None)
@@ -199,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
         desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)
         for r in scan(cat.read_oplog(args.table), cat.get_schema(args.table), desc).collect():
             print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
+    elif args.cmd == "diff":
+        rows = cat.diff(args.table, args.seq_start, args.seq_end).limit(args.limit).collect()
+        for r in rows:
+            old = r.old_value.decode("utf-8", "replace") if r.old_value is not None else ""
+            new = r.new_value.decode("utf-8", "replace") if r.new_value is not None else ""
+            print(f"{r.row_key}\t{r.cf}:{r.qualifier}\t{r.change_type}\t{old}\t{new}")
     elif args.cmd == "compact":
         if args.minor:
             print(cat.compact_ranges(args.table))

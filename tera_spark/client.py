@@ -222,6 +222,11 @@ class Table:
     def start_end_keys(self) -> list[tuple[str, str]]:
         return [(t["start_key"], t["end_key"]) for t in self.tablet_info()]
 
+    def diff(self, seq_start: int, seq_end: int | None = None) -> DataFrame:
+        """Changefeed: INSERT/UPDATE/DELETE delta set between two write
+        sequences (Catalog.diff / operators.view.changes_between)."""
+        return self._cat.diff(self.name, seq_start, seq_end)
+
 
 class KvTable:
     """KV-mode table (RawKey=GeneralKv/TTLKv): the reference serves KV

@@ -365,3 +365,33 @@ def test_cli_kv_put_ttl(spark, root, capsys):
     assert main(["--root", root, "scan", "clikv"]) == 0
     out = capsys.readouterr().out
     assert "k1" not in out and "k2" in out
+
+
+def test_catalog_diff_changefeed(cat, spark, root, capsys):
+    from tera_spark.cli import main
+
+    cat.create_table("cf_diff {d <maxversions=1>}")
+    cat.append(
+        "cf_diff",
+        MutationBatch(base_seq=0).put("r1", "d", "q", "old", ts=10).put(
+            "r2", "d", "q", "keep", ts=10
+        ).to_df(spark),
+    )
+    b = MutationBatch(base_seq=100)
+    b.put("r1", "d", "q", "new", ts=20)
+    b.delete_row("r2", ts=20)
+    b.put("r3", "d", "q", "born", ts=20)
+    cat.append("cf_diff", b.to_df(spark))
+
+    d = {r.row_key: r.change_type for r in cat.diff("cf_diff", 99).collect()}
+    assert d == {"r1": "UPDATE", "r2": "DELETE", "r3": "INSERT"}
+    # bounded window: nothing changed between seq 102 and 102
+    assert cat.diff("cf_diff", 102, 102).count() == 0
+
+    assert main(["--root", root, "diff", "cf_diff", "99"]) == 0
+    out = capsys.readouterr().out
+    assert "r1\td:q\tUPDATE\told\tnew" in out
+
+    cat.create_table("kv_diff <rawkey=generalkv>")
+    with pytest.raises(ValueError):
+        cat.diff("kv_diff", 0)
