@@ -88,3 +88,50 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
         media.filter(F.col("media_type") == "video")
         .select("asset_id", F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"))
     )
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, media_type string, payload binary, "
+    "width int, height int, n_bytes long"
+)
+
+
+def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
+    """Stub resize: a real deployment plugs PIL/libvips here. The fake
+    path is deterministic — output length is width*height//256 bytes of
+    the payload cycled — so the batch plumbing is testable."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this container")
+    n = max(width * height // 256, 1)
+    if not payload:
+        return bytes(n)
+    reps = -(-n // len(payload))
+    return (bytes(payload) * reps)[:n]
+
+
+def resize_images(
+    media: DataFrame, *, width: int = 64, height: int = 64, fake_decode: bool = True
+) -> DataFrame:
+    """mapInPandas resize stage: Arrow batches of (payload, meta) in,
+    re-encoded payloads + new dimensions out. Same partition-preserving
+    shape as extract_features — upstream repartitioning bounds per-task
+    decode memory; payload bytes never cross a shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].apply(lambda b: bytes(b) if b is not None else b"")
+            resized = payloads.apply(lambda b: resize_image(b, width, height, fake=fake_decode))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "n_bytes": resized.apply(len).astype("int64"),
+                }
+            )
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(op, schema=RESIZED_SCHEMA)

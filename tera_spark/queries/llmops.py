@@ -296,6 +296,40 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    """
+    SELECT cast(doc_id AS bigint) AS asset_id, 64 AS width, 64 AS height,
+           cast(16 AS bigint) AS n_bytes, substr(text, 1, 16) AS head
+    FROM documents WHERE doc_id % 6 = 0 AND length(text) >= 16
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize stage through the real mapInPandas batch path with the
+    deterministic fake codec (64x64 -> 16-byte fake payload = the
+    source bytes cycled/truncated); schema, batching, and partition
+    preservation are the production plumbing."""
+    from tera_spark.operators.multimodal import resize_images
+
+    docs = load(spark, sf, "documents").filter(
+        (F.col("doc_id") % 6 == 0) & (F.length("text") >= 16)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    out = resize_images(media, width=64, height=64, fake_decode=True)
+    return out.select(
+        "asset_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "n_bytes",
+        F.col("payload").cast("string").alias("head"),
+    )
+
+
+@query(
     "doc_token_stats",
     """
     SELECT doc_id,

@@ -307,3 +307,22 @@ def test_kmeans_query_shape(spark):
     rows = Q.QUERIES["ann_kmeans_clusters"](spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 8
     assert sum(r.n_members for r in rows) == 500
+
+
+def test_resize_images_fake_codec(spark):
+    """Resize plumbing: 64x64 fake output is exactly 16 bytes; short
+    payloads cycle, empty payloads yield zero bytes; partition count
+    survives the mapInPandas stage."""
+    from tera_spark.operators.multimodal import resize_image, resize_images
+
+    assert resize_image(b"ab", 64, 64, fake=True) == (b"ab" * 8)
+    assert resize_image(b"", 64, 64, fake=True) == bytes(16)
+    assert len(resize_image(b"xyz", 128, 128, fake=True)) == 64
+
+    media = spark.createDataFrame(
+        [(1, "image", b"hello-world-payload", {}), (2, "image", b"ab", {})],
+        "asset_id long, media_type string, payload binary, meta map<string,string>",
+    )
+    out = {r.asset_id: bytes(r.payload) for r in resize_images(media).collect()}
+    assert out[1] == b"hello-world-payl" and len(out[1]) == 16
+    assert out[2] == b"ab" * 8
