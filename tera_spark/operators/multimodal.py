@@ -48,6 +48,17 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     }
 
 
+def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
+    """Stub decode: a real deployment plugs ffmpeg/soundfile here. The
+    deterministic fake derives sample_rate/n_samples from the bytes so
+    downstream duration math is testable."""
+    if not fake:
+        raise NotImplementedError("audio codecs not available in this container")
+    n = len(payload)
+    rate = 8000 * (1 + (payload[0] if n else 0) % 3)  # 8/16/24 kHz
+    return {"sample_rate": rate, "n_samples": n * 256}
+
+
 def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, one feature
     row per asset out. Partition count is preserved, so upstream
@@ -135,3 +146,34 @@ def resize_images(
     from tera_spark.sources.tables import ensure_parallelism
 
     return ensure_parallelism(media).mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "asset_id long, n_bytes long, sample_rate int, n_samples long, duration_ms long"
+)
+
+
+def extract_audio_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas audio feature extraction (sample rate, sample count,
+    duration) through the stubbed decoder — same partition-preserving
+    Arrow-batch shape as the image path."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].apply(lambda b: bytes(b) if b is not None else b"")
+            dec = payloads.apply(lambda b: decode_audio(b, fake=fake_decode))
+            rate = dec.apply(lambda d: d["sample_rate"]).astype("int32")
+            samples = dec.apply(lambda d: d["n_samples"]).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.apply(len).astype("int64"),
+                    "sample_rate": rate,
+                    "n_samples": samples,
+                    "duration_ms": (samples * 1000 // rate).astype("int64"),
+                }
+            )
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(op, schema=AUDIO_SCHEMA)

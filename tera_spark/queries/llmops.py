@@ -296,6 +296,37 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    """
+    SELECT cast(doc_id AS bigint) AS asset_id,
+           cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+           8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate,
+           cast(octet_length(encode(text)) * 256 AS bigint) AS n_samples,
+           cast((octet_length(encode(text)) * 256 * 1000)
+                // (8000 * (1 + ascii(substr(text, 1, 1)) % 3)) AS bigint)
+             AS duration_ms
+    FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 1
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-modality plumbing: payloads through the stubbed decoder's
+    deterministic fake (rate/sample-count derived from bytes), duration
+    computed batch-side — the same mapInPandas shape as images."""
+    from tera_spark.operators.multimodal import extract_audio_features
+
+    docs = load(spark, sf, "documents").filter(
+        (F.col("doc_id") % 9 == 0) & (F.length("text") >= 1)
+    )
+    media = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return extract_audio_features(media, fake_decode=True)
+
+
+@query(
     "multimodal_resize",
     """
     SELECT cast(doc_id AS bigint) AS asset_id, 64 AS width, 64 AS height,
