@@ -27,8 +27,10 @@ QUERIES = entrymod.queries()
 
 
 def _plan(spark, name: str) -> str:
+    from tera_spark.plans import plan_str
+
     df = QUERIES[name](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_str(df, "simple")
 
 
 def _formatted(spark, name: str) -> str:
