@@ -205,6 +205,23 @@ class Catalog:
             self.delete_snapshot(name, sid)
         return drop
 
+    def register_sql_view(
+        self, name: str, *, view_name: str | None = None, now_us: int | None = None
+    ) -> DataFrame:
+        """MySQL-frontend analog (sql/src/ha_tera.cc maps fixed SQL
+        columns onto qualifiers): expose the table's current view as a
+        Spark SQL temp view — kv tables as (key, value), cell tables
+        pivoted to one string column per qualifier (newest version).
+        The full SQL surface (joins/aggs/windows) then runs over it;
+        dynamic qualifiers are why the view is generated per call
+        (SURVEY §7 hard part e)."""
+        from tera_spark.sources.ingest import export_rows
+
+        v = self.view(name, now_us=now_us)
+        df = v if self.get_schema(name).kv_mode else export_rows(v)
+        df.createOrReplaceTempView(view_name or name)
+        return df
+
     def diff(
         self,
         name: str,

@@ -395,3 +395,22 @@ def test_catalog_diff_changefeed(cat, spark, root, capsys):
     cat.create_table("kv_diff <rawkey=generalkv>")
     with pytest.raises(ValueError):
         cat.diff("kv_diff", 0)
+
+
+def test_register_sql_view_pivots_qualifiers(cat, spark):
+    """ha_tera analog: the registered temp view exposes one column per
+    qualifier and answers plain SQL over the current view."""
+    cat.create_table("sqlv {p <maxversions=1>}")
+    b = MutationBatch()
+    b.put("u1", "p", "name", "ada", ts=1).put("u1", "p", "city", "london", ts=1)
+    b.put("u2", "p", "name", "alan", ts=1).put("u2", "p", "city", "bletchley", ts=1)
+    b.put("u2", "p", "name", "turing", ts=2)  # newest version wins
+    cat.append("sqlv", b.to_df(spark))
+    cat.register_sql_view("sqlv")
+    got = {
+        r.row_key: (r.name, r.city)
+        for r in spark.sql("SELECT row_key, name, city FROM sqlv ORDER BY row_key").collect()
+    }
+    assert got == {"u1": ("ada", "london"), "u2": ("turing", "bletchley")}
+    n = spark.sql("SELECT count(*) AS n FROM sqlv WHERE city LIKE 'b%'").first()["n"]
+    assert n == 1
