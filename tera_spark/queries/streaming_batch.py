@@ -305,3 +305,70 @@ def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.round(z, 4).alias("zscore"),
     )
+
+
+@query(
+    "events_window_topk",
+    """
+    WITH counts AS (
+      SELECT cast(epoch(time_bucket(INTERVAL 15 MINUTE, ts)) AS bigint) AS win_start,
+             event_type, cast(count(*) AS bigint) AS n
+      FROM events GROUP BY win_start, event_type
+    ),
+    ranked AS (
+      SELECT win_start, event_type, n,
+             cast(row_number() OVER (PARTITION BY win_start
+                    ORDER BY n DESC, event_type) AS bigint) AS rk
+      FROM counts
+    )
+    SELECT win_start, event_type, n, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def events_window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending detection: top-3 event types per 15-minute tumbling
+    window by count. Scale shape: one keyed aggregation shuffle, then
+    the ranking window runs over window-cardinality rows (counts per
+    (win, type) — tiny next to the event stream); deterministic
+    tie-break on (n desc, event_type)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("win_start"), "event_type", "n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    )
+    return counts.withColumn("rk", rk.cast("long")).filter(F.col("rk") <= 3)
+
+
+@query(
+    "events_salted_distinct_users",
+    """
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS bigint) AS n_users,
+           cast(count(*) AS bigint) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe distinct aggregation: distinct users per event type
+    through the two-phase value-hash-salted plan (functions/keys.py
+    salted_agg) — the oracle states the plain COUNT(DISTINCT) it must
+    equal. A hot event type's distinct-user state spreads over 32
+    reducers instead of one."""
+    from tera_spark.functions.keys import salted_agg
+
+    ev = load(spark, sf, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n_users": ("count_distinct", "user_id"), "n_events": ("count", "event_id")},
+    )
+    return out.select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
