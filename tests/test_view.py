@@ -313,3 +313,50 @@ def test_changes_between_diff_semantics(spark):
         "r3": ("DELETE", b"gone", None),
         "r4": ("INSERT", None, b"born"),
     }
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_changes_between_reconstructs_new_view(spark, seed):
+    """Changefeed soundness on random op-logs: old view patched with
+    the diff (apply INSERT/UPDATE, drop DELETE) must equal the new
+    view, for an arbitrary seq split."""
+    import random
+
+    from tera_spark.operators.view import changes_between, latest_view
+
+    rng = random.Random(seed)
+    ops = []
+    for i in range(120):
+        r = f"r{rng.randrange(8)}"
+        kind = rng.choices(
+            ["PUT", "DEL_ROW", "DEL_QUALIFIERS", "DEL_QUALIFIER"], [8, 1, 1, 1]
+        )[0]
+        cf = "cf0" if rng.random() < 0.7 else "cf1"
+        qu = f"q{rng.randrange(3)}"
+        ts = rng.randrange(1, 50)
+        if kind == "PUT":
+            ops.append((r, cf, qu, ts, "PUT", f"v{i}".encode()))
+        elif kind == "DEL_ROW":
+            ops.append((r, "", "", ts, "DEL_ROW", None))
+        else:
+            ops.append((r, cf, qu, ts, kind, None))
+    cells = make_cells(spark, ops)
+    cut = 60
+    schema = schema1()
+
+    old = {
+        (r.row_key, r.cf, r.qualifier): bytes(r.value)
+        for r in latest_view(cells, schema, snapshot_seq=cut, now_us=NOW).collect()
+    }
+    new = {
+        (r.row_key, r.cf, r.qualifier): bytes(r.value)
+        for r in latest_view(cells, schema, now_us=NOW).collect()
+    }
+    patched = dict(old)
+    for d in changes_between(cells, schema, seq_start=cut, now_us=NOW).collect():
+        k = (d.row_key, d.cf, d.qualifier)
+        if d.change_type == "DELETE":
+            patched.pop(k, None)
+        else:
+            patched[k] = bytes(d.new_value)
+    assert patched == new
