@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--delete", metavar="SID", help="drop one snapshot")
     sp.add_argument("--expire-keep", type=int, metavar="N",
                     help="retention GC: keep only the newest N snapshots")
+    sp = sub.add_parser("sql", help="run SQL over a table's pivoted view")
+    sp.add_argument("table"); sp.add_argument("query")
+    sp.add_argument("--limit", type=int, default=100)
     sp = sub.add_parser("diff", help="changefeed between two write seqs")
     sp.add_argument("table"); sp.add_argument("seq_start", type=int)
     sp.add_argument("--seq-end", type=int)
@@ -211,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
         desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)
         for r in scan(cat.read_oplog(args.table), cat.get_schema(args.table), desc).collect():
             print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
+    elif args.cmd == "sql":
+        # MySQL-frontend analog: the table is queryable as plain SQL
+        # (qualifiers become columns; kv tables expose key/value)
+        cat.register_sql_view(args.table)
+        rows = spark.sql(args.query).limit(args.limit).collect()
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
     elif args.cmd == "diff":
         rows = cat.diff(args.table, args.seq_start, args.seq_end).limit(args.limit).collect()
         for r in rows:

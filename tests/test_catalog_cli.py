@@ -414,3 +414,19 @@ def test_register_sql_view_pivots_qualifiers(cat, spark):
     assert got == {"u1": ("ada", "london"), "u2": ("turing", "bletchley")}
     n = spark.sql("SELECT count(*) AS n FROM sqlv WHERE city LIKE 'b%'").first()["n"]
     assert n == 1
+
+
+def test_cli_sql_over_pivoted_view(cat, spark, root, capsys):
+    from tera_spark.cli import main
+
+    cat.create_table("sqlcli {p}")
+    b = MutationBatch()
+    b.put("a", "p", "kind", "x", ts=1).put("b", "p", "kind", "y", ts=1)
+    b.put("c", "p", "kind", "x", ts=1)
+    cat.append("sqlcli", b.to_df(spark))
+    assert main([
+        "--root", root, "sql", "sqlcli",
+        "SELECT kind, count(*) AS n FROM sqlcli GROUP BY kind ORDER BY kind",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "x\t2" in out and "y\t1" in out
