@@ -61,6 +61,7 @@ class MaterializedCurrentView:
         *,
         n_tablets: int = 16,
         now_us: int | None = None,
+        changes_path: str | None = None,
     ):
         self.catalog = catalog
         self.name = name
@@ -68,6 +69,7 @@ class MaterializedCurrentView:
         self.checkpoint_path = checkpoint_path
         self.n_tablets = n_tablets
         self.now_us = now_us if now_us is not None else int(time.time() * 1_000_000)
+        self.changes_path = changes_path
 
     # -- one micro-batch -------------------------------------------------
     def _refresh_batch(self, batch: DataFrame, _epoch_id: int) -> None:
@@ -85,6 +87,8 @@ class MaterializedCurrentView:
         vdir = Path(self.view_path)
         if not any(vdir.glob("tablet=*")):
             folded.write.partitionBy("tablet").mode("overwrite").parquet(self.view_path)
+            if self.changes_path is not None:
+                self._emit_changes(None, folded, _epoch_id)
             return
 
         dirty_tablets = [
@@ -104,6 +108,22 @@ class MaterializedCurrentView:
             if any((vdir / f"tablet={t}").exists() for t in dirty_tablets)
             else None
         )
+        if self.changes_path is not None:
+            old = (
+                spark.read.option("basePath", self.view_path)
+                .parquet(
+                    *[
+                        f"{self.view_path}/tablet={t}"
+                        for t in dirty_tablets
+                        if (vdir / f"tablet={t}").exists()
+                    ]
+                )
+                .join(F.broadcast(dirty_keys), "row_key", "left_semi")
+                if any((vdir / f"tablet={t}").exists() for t in dirty_tablets)
+                else None
+            )
+            self._emit_changes(old, folded, _epoch_id)
+
         out = folded if survivors is None else survivors.unionByName(folded)
         # stage-and-swap, never overwrite-what-you-read: the survivors
         # plan reads the very partitions being replaced, so the new
@@ -120,6 +140,52 @@ class MaterializedCurrentView:
             if src.exists():
                 src.rename(dst)
         shutil.rmtree(staging, ignore_errors=True)
+
+    def _emit_changes(self, old: DataFrame | None, new: DataFrame, epoch_id: int) -> None:
+        """Write this refresh's INSERT/UPDATE/DELETE set (newest version
+        per column, diffed old vs new) under ``batch=<epoch_id>`` —
+        overwrite per epoch, so a replayed micro-batch rewrites the same
+        directory instead of appending duplicates (the checkpoint/ack
+        idempotence the observer pipeline relies on)."""
+
+        def latest(df: DataFrame, out: str) -> DataFrame:
+            return df.groupBy("row_key", "cf", "qualifier").agg(
+                F.max_by("value", "ts").alias(out)
+            )
+
+        n = latest(new, "new_value")
+        if old is None:
+            ch = n.select(
+                "row_key",
+                "cf",
+                "qualifier",
+                F.lit("INSERT").alias("change_type"),
+                F.lit(None).cast("binary").alias("old_value"),
+                "new_value",
+            )
+        else:
+            j = latest(old, "old_value").join(
+                n, ["row_key", "cf", "qualifier"], "full_outer"
+            )
+            change = (
+                F.when(F.col("old_value").isNull(), F.lit("INSERT"))
+                .when(F.col("new_value").isNull(), F.lit("DELETE"))
+                .when(F.col("old_value") != F.col("new_value"), F.lit("UPDATE"))
+            )
+            ch = (
+                j.withColumn("change_type", change)
+                .filter(F.col("change_type").isNotNull())
+                .select(
+                    "row_key", "cf", "qualifier", "change_type", "old_value", "new_value"
+                )
+            )
+        ch.write.mode("overwrite").parquet(f"{self.changes_path}/batch={epoch_id}")
+
+    def read_changes(self) -> DataFrame:
+        """All emitted change batches (column ``batch`` = refresh epoch)."""
+        return self.catalog.spark.read.option("basePath", self.changes_path).parquet(
+            self.changes_path
+        )
 
     # -- public API ------------------------------------------------------
     def refresh(self, timeout_s: int = 300) -> None:

@@ -117,3 +117,45 @@ def test_mview_delete_empties_tablet(spark, root):
     assert _rows(cat.view("mv3", now_us=NOW)) == []
     remaining = list(Path(f"{root}/mv3_view").glob("tablet=*"))
     assert remaining == [], remaining
+
+
+def test_mview_emits_change_stream(spark, root):
+    """With changes_path set, each refresh writes its INSERT/UPDATE/
+    DELETE set under batch=<epoch>: initial load is all INSERTs; a
+    later update/delete batch emits exactly its delta."""
+    cat = Catalog(spark, root)
+    cat.create_table("mvc {cf0}")
+    mv = MaterializedCurrentView(
+        cat,
+        "mvc",
+        f"{root}/mvc_view",
+        f"{root}/mvc_ckpt",
+        n_tablets=4,
+        now_us=NOW,
+        changes_path=f"{root}/mvc_changes",
+    )
+
+    b1 = MutationBatch().put("r1", "cf0", "a", "v1", ts=1).put("r2", "cf0", "a", "v2", ts=1)
+    cat.append("mvc", b1.to_df(spark))
+    mv.refresh()
+    ch1 = mv.read_changes().collect()
+    assert {(r.row_key, r.change_type) for r in ch1} == {("r1", "INSERT"), ("r2", "INSERT")}
+
+    b2 = MutationBatch(base_seq=100).put("r1", "cf0", "a", "v9", ts=2).delete_row("r2", ts=2)
+    b2.put("r3", "cf0", "a", "v3", ts=2)
+    cat.append("mvc", b2.to_df(spark))
+    mv.refresh()
+    ch = {
+        (r.row_key, r.change_type): (
+            bytes(r.old_value) if r.old_value is not None else None,
+            bytes(r.new_value) if r.new_value is not None else None,
+        )
+        for r in mv.read_changes().filter("batch = 1").collect()
+    }
+    assert ch == {
+        ("r1", "UPDATE"): (b"v1", b"v9"),
+        ("r2", "DELETE"): (b"v2", None),
+        ("r3", "INSERT"): (None, b"v3"),
+    }
+    # the view itself still matches the full fold
+    assert _rows(mv.read()) == _rows(cat.view("mvc", now_us=NOW))
