@@ -666,6 +666,60 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pipeline_dedup_drop_list",
+    f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS s FROM documents),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.s, sb.s))::double /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON w.id = e.v
+    ),
+    comps AS (
+      SELECT cast(id AS bigint) AS doc_id, cast(min(comp) AS bigint) AS keeper
+      FROM walk GROUP BY id
+    )
+    SELECT doc_id, keeper FROM comps WHERE doc_id <> keeper
+    """,
+)
+def pipeline_dedup_drop_list(spark: SparkSession, sf: str) -> DataFrame:
+    """The end of the dedup pipeline: per near-duplicate cluster keep
+    the min doc_id, list every other member as (doc_id, keeper) — the
+    drop list an ingestion job anti-joins against. One map over the
+    component assignment; the anti-join consumer is
+    `docs.join(drop_list, 'doc_id', 'left_anti')`."""
+    from tera_spark.operators.dedup import connected_components, verified_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    pairs = verified_near_duplicates(docs, threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    cc = connected_components(pairs, nodes=nodes)
+    return (
+        cc.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"), F.col("component").alias("keeper"))
+    )
+
+
+@query(
     "text_tfidf_bm25",
     """
     WITH toks AS (
