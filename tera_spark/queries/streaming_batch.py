@@ -372,3 +372,38 @@ def events_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_users").cast("long").alias("n_users"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           cast(count(*) AS bigint) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral transition matrix: count (event_type -> next
+    event_type) bigrams along each user's time-ordered stream — the
+    Markov-chain input for session modeling. Scale shape: one window
+    keyed by user_id (user-cardinality partitions, deterministic
+    (ts, event_id) order), then a tiny type-pair aggregation."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    nxt = F.lead("event_type").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    return (
+        ev.withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
