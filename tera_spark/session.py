@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's 1 MB floor coalesces small-bytes/CPU-heavy shuffles (the
+        # HOF view folds: ~10 MB shuffled, seconds of per-row compute) down
+        # to a handful of tasks, idling the other cores. 64k keeps
+        # parallelism for those; it never binds on big shuffles, where the
+        # parallelism-first target (total/cores) dwarfs it.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
