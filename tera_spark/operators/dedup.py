@@ -313,3 +313,137 @@ def decontaminate_ngrams(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply-stage of exact-substring dedup: strip every token covered
+    by an n-gram span that occurs in >= min_docs distinct documents
+    (the removal pass that pairs with the detection pass in
+    dedup_repeated_ngram_spans; cf. the repeated-substring training-data
+    dedup practice). Returns (doc_id, n_tokens, n_removed, clean_text)
+    for documents that lost at least one token; clean_text preserves
+    the surviving tokens' original order, space-joined.
+
+    Scale shape: three shuffles, none doc-text-sized. (1) gram counts
+    keyed by the gram (at 100 TB key by xxhash64(gram) — see
+    dedup_repeated_ngram_spans); (2) occurrences join the repeated-gram
+    set on that same key; (3) covered positions anti-join the token
+    stream on (doc_id, pos) and re-aggregate per doc. Document text
+    itself only moves once, inside the final per-doc aggregation; the
+    wide intermediates carry (id, int) pairs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), toks.alias("t")
+    )
+    starts = F.when(
+        F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - (n - 1))
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(starts, lambda i: F.struct(i.alias("i"), F.concat_ws(" ", F.slice(F.col("t"), i, n)).alias("gram")))
+        ).alias("g"),
+    ).select("id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(repeated, "gram")
+        .select("id", F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    pos = base.select(
+        "id", F.size("t").alias("n_tokens"), F.posexplode("t").alias("p0", "tok")
+    ).select("id", "n_tokens", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = pos.join(covered, ["id", "pos"], "left_anti")
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    # docs whose every token was covered vanish from `kept`; reattach
+    # them with an empty clean_text so the removal count stays exact
+    totals = pos.groupBy("id").agg(F.max("n_tokens").alias("n_tokens"))
+    out = (
+        totals.join(out.select("id", "n_kept", "clean_text"), "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )
+    return out
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Admission check for a new ingestion batch against an existing
+    corpus: each incoming document is classified 'exact' (byte-identical
+    to a corpus doc), 'near' (shares >= 1 MinHash LSH band bucket with
+    a corpus doc), or 'unique'. The incremental form of the whole-corpus
+    dedup operators — the shape a continuously-ingesting 100 TB pipeline
+    actually runs (batch vs. corpus, never corpus vs. corpus).
+
+    Scale shape: the corpus side reduces to two compact keyed sets —
+    distinct text hashes and distinct band buckets — before any join;
+    both joins key on those sets (hash join on md5 / band key), so the
+    corpus text is scanned once, map-only, and never re-shuffled. With
+    a small incoming batch the planner broadcasts ITS side instead.
+    max_bucket_size caps boilerplate buckets exactly as in
+    minhash_lsh_pairs."""
+    inc = ensure_parallelism(incoming).select(
+        F.col(id_col).alias("id"), F.md5(text_col).alias("h"), F.col(text_col).alias("_t")
+    )
+    corp_hashes = corpus.select(F.md5(text_col).alias("h")).distinct()
+    exact_ids = inc.join(corp_hashes, "h", "left_semi").select("id")
+
+    inc_bands = with_minhash_signature(
+        inc.select("id", F.col("_t").alias(text_col)), text_col
+    ).select("id", F.explode(band_keys(F.col("sig"))).alias("bucket"))
+    corp_bands = _cap_buckets(
+        with_minhash_signature(ensure_parallelism(corpus), text_col).select(
+            F.col(id_col).alias("cid"), F.explode(band_keys(F.col("sig"))).alias("bucket")
+        ),
+        max_bucket_size,
+    ).select("bucket").distinct()
+    near_ids = inc_bands.join(corp_bands, "bucket", "left_semi").select("id").distinct()
+
+    return (
+        inc.select("id")
+        .join(exact_ids.withColumn("_exact", F.lit(True)), "id", "left")
+        .join(near_ids.withColumn("_near", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.coalesce(F.col("_exact"), F.lit(False)), F.lit("exact"))
+            .when(F.coalesce(F.col("_near"), F.lit(False)), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )

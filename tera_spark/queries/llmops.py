@@ -1245,3 +1245,87 @@ def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
 
     rk = F.row_number().over(W.orderBy("key", "doc_id"))
     return top.withColumn("rk", rk.cast("long")).select("doc_id", "n_chars", "rk")
+
+
+@query(
+    "dedup_span_removal",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t)-7, 0)+1)) AS u(i)
+    ),
+    rep AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    cover AS (
+      SELECT DISTINCT g.doc_id, j
+      FROM grams g JOIN rep USING (gram), unnest(range(g.i, g.i + 8)) AS v(j)
+    ),
+    pos AS (
+      SELECT doc_id, k, t[k] AS tok, len(t) AS n_tokens
+      FROM toks, unnest(range(1, len(t)+1)) AS u(k)
+    ),
+    folded AS (
+      SELECT p.doc_id,
+             max(p.n_tokens) AS n_tokens,
+             sum(CASE WHEN c.j IS NULL THEN 0 ELSE 1 END) AS n_removed,
+             coalesce(string_agg(CASE WHEN c.j IS NULL THEN p.tok END, ' ' ORDER BY p.k), '') AS clean_text
+      FROM pos p LEFT JOIN cover c ON p.doc_id = c.doc_id AND p.k = c.j
+      GROUP BY p.doc_id
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id, cast(n_tokens AS bigint) AS n_tokens,
+           cast(n_removed AS bigint) AS n_removed, clean_text
+    FROM folded WHERE n_removed > 0
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply-stage of exact substring dedup: strip 8-token spans that
+    occur in >=2 distinct docs (the removal pass over the spans that
+    dedup_repeated_ngram_spans detects)."""
+    from tera_spark.operators.dedup import remove_repeated_spans
+
+    docs = load(spark, sf, "documents")
+    out = remove_repeated_spans(docs, n=8, min_docs=2)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "clean_text",
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    f"""
+    WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 < 3),
+    corp AS (SELECT * FROM documents WHERE doc_id % 10 >= 3),
+    exact_ids AS (
+      SELECT DISTINCT i.doc_id FROM inc i JOIN corp c ON md5(i.text) = md5(c.text)
+    ),
+    ib AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM inc
+    ),
+    cb AS (
+      SELECT DISTINCT unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM corp
+    ),
+    near_ids AS (SELECT DISTINCT ib.doc_id FROM ib JOIN cb USING (bucket))
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           CASE WHEN doc_id IN (SELECT doc_id FROM exact_ids) THEN 'exact'
+                WHEN doc_id IN (SELECT doc_id FROM near_ids) THEN 'near'
+                ELSE 'unique' END AS verdict
+    FROM inc
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental batch-vs-corpus admission: classify each incoming doc
+    exact / near (shared LSH band bucket) / unique against the standing
+    corpus — the continuously-ingesting form of whole-corpus dedup."""
+    from tera_spark.operators.dedup import incremental_dedup
+
+    docs = load(spark, sf, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 < 3)
+    corpus = docs.filter(F.col("doc_id") % 10 >= 3)
+    out = incremental_dedup(corpus, incoming)
+    return out.select(F.col("id").cast("long").alias("doc_id"), "verdict")

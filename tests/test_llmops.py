@@ -326,3 +326,57 @@ def test_resize_images_fake_codec(spark):
     out = {r.asset_id: bytes(r.payload) for r in resize_images(media).collect()}
     assert out[1] == b"hello-world-payl" and len(out[1]) == 16
     assert out[2] == b"ab" * 8
+
+
+def test_remove_repeated_spans_strips_shared_spans(spark):
+    from tera_spark.operators.dedup import remove_repeated_spans
+
+    # docs 0 and 1 share the same 4-token prefix; doc 2 is disjoint
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d unique0 tail0"),
+            (1, "a b c d unique1 tail1"),
+            (2, "x y z w v u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in remove_repeated_spans(d, n=4, min_docs=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_tokens == 6 and out[0].n_removed == 4
+    assert out[0].clean_text == "unique0 tail0"
+    assert out[1].clean_text == "unique1 tail1"
+
+
+def test_remove_repeated_spans_full_coverage_yields_empty_text(spark):
+    from tera_spark.operators.dedup import remove_repeated_spans
+
+    d = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in remove_repeated_spans(d, n=4, min_docs=2).collect()}
+    assert out[0].n_removed == 4 and out[0].clean_text == ""
+    assert out[1].n_removed == 4 and out[1].clean_text == ""
+
+
+def test_incremental_dedup_verdicts(spark):
+    from tera_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again today"),
+            (101, "totally unrelated corpus record speaking of other things entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again today"),  # exact
+            (1, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near
+            (2, "nothing like anything stored before zebra quantum paradox moonlight"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.verdict for r in incremental_dedup(corpus, incoming).collect()}
+    assert out[0] == "exact"
+    assert out[1] == "near"
+    assert out[2] == "unique"
