@@ -30,10 +30,24 @@ from tera_spark.sources.tables import write_cell_table
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, *, access=None, user: str | None = None):
+        """``access`` (tera_spark.access.AccessControl) + ``user`` turn
+        on ACL/quota enforcement at this — the only — data boundary;
+        left None, the catalog behaves as under the reference's
+        kNoneAuthPolicy (everything authorized, nothing metered)."""
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.access = access
+        self.user = user
+
+    def _authorize(self, action: str, table: str) -> None:
+        if self.access is not None:
+            self.access.authorize(self.user, action, table)
+
+    def _consume(self, table: str, action: str, *, reqs: int = 1, bytes_: int = 0) -> None:
+        if self.access is not None:
+            self.access.consume_for(table, action, reqs=reqs, bytes_=bytes_)
 
     # --- DDL ----------------------------------------------------------
     def create_table(self, schema: TableSchema | str) -> TableSchema:
@@ -55,6 +69,7 @@ class Catalog:
     def drop_table(self, name: str) -> None:
         """Reference rule: a table must be disabled before drop
         (doc/en/teracli.md Drop Table)."""
+        self._authorize("admin", name)
         tdir = self.root / name
         if not tdir.exists():
             raise ValueError(f"no such table: {name}")
@@ -64,6 +79,7 @@ class Catalog:
 
     # --- enable / disable (client.h:52-58) ----------------------------
     def disable_table(self, name: str) -> None:
+        self._authorize("admin", name)
         if not self.is_table_exist(name):
             raise ValueError(f"no such table: {name}")
         (self.root / name / "DISABLED").touch()
@@ -92,6 +108,7 @@ class Catalog:
     def update_schema(self, schema: TableSchema) -> None:
         """Online schema change (client.h:49-50): properties apply to
         the next read — the view builder consumes the registry lazily."""
+        self._authorize("admin", schema.name)
         tdir = self.root / schema.name
         if not tdir.exists():
             raise ValueError(f"no such table: {schema.name}")
@@ -109,12 +126,16 @@ class Catalog:
 
     def append(self, name: str, cells: DataFrame) -> None:
         self._check_enabled(name)
+        self._authorize("write", name)
+        self._consume(name, "write")
         cells.write.mode("append").parquet(self.oplog_path(name))
 
     def view(self, name: str, **kw) -> DataFrame:
         from tera_spark.operators.view import current_view, kv_current_view
 
         self._check_enabled(name)
+        self._authorize("read", name)
+        self._consume(name, "scan")
         schema = self.get_schema(name)
         if schema.kv_mode:
             return kv_current_view(self.read_oplog(name), **kw)
