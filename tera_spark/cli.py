@@ -14,6 +14,63 @@ import argparse
 import sys
 
 
+_QUOTA_NAMES = {
+    "WRITEREQS": "write_reqs",
+    "WRITEBYTES": "write_bytes",
+    "READREQS": "read_reqs",
+    "READBYTES": "read_bytes",
+    "SCANREQS": "scan_reqs",
+    "SCANBYTES": "scan_bytes",
+}
+
+
+def _access_cmd(args) -> int:
+    """teracli `user` / `quota` commands over the access registry
+    (UserOp src/teracli_main.cc:2998-3019; quota syntax `quota set t
+    WRITEREQS=1000/2 ...` :413-423, limit -1 clears the op)."""
+    from tera_spark.access import AccessControl
+
+    ac = AccessControl(args.root)
+    if args.cmd == "user":
+        p = args.params
+        if args.op == "create":
+            ac.create_user(p[0], p[1]); print(f"created user {p[0]}")
+        elif args.op == "changepwd":
+            ac.change_pwd(p[0], p[1]); print("password changed")
+        elif args.op == "show":
+            u = ac._require_user(p[0])
+            print(f"{p[0]} groups={','.join(u['groups']) or '-'}")
+        elif args.op == "delete":
+            ac.delete_user(p[0]); print(f"deleted user {p[0]}")
+        elif args.op == "addtogroup":
+            ac.add_user_to_group(p[0], p[1]); print(f"{p[0]} -> {p[1]}")
+        elif args.op == "deletefromgroup":
+            ac.delete_user_from_group(p[0], p[1]); print(f"{p[0]} -/-> {p[1]}")
+        return 0
+    # quota
+    if args.op == "show":
+        for table, ops in sorted(ac.show_quota().items()):
+            for op, q in sorted(ops.items()):
+                print(f"{table} {op} limit={q['limit']} period={q['period']}s")
+        return 0
+    table = args.params[0]
+    if args.op == "delete":
+        ac.del_quota(table); print(f"quota cleared: {table}")
+        return 0
+    for spec in args.params[1:]:
+        name, _, rhs = spec.partition("=")
+        limit, _, period = rhs.partition("/")
+        op = _QUOTA_NAMES[name.upper()]
+        if int(limit) < 0:
+            quotas = ac._state["quotas"].get(table, {})
+            quotas.pop(op, None)
+            ac._save()
+        else:
+            ac.set_quota(table, op, int(limit), int(period) if period else 1)
+    print(f"quota set: {table}")
+    return 0
+
+
 def _apply(cat, name, batch):
     """Apply a CLI mutation with a real write sequence (the SDK facade's
     max(seq)+1 allocation) so snapshot/diff see CLI writes in order."""
@@ -89,8 +146,28 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--fmt", default="csv")
     sp.add_argument("--cf", default="data")
     sp = sub.add_parser("export"); sp.add_argument("table"); sp.add_argument("dest")
+    sp = sub.add_parser(
+        "user",
+        help="user create|changepwd|show|delete|addtogroup|deletefromgroup (teracli user)",
+    )
+    sp.add_argument(
+        "op",
+        choices=["create", "changepwd", "show", "delete", "addtogroup", "deletefromgroup"],
+    )
+    sp.add_argument("params", nargs="*")
+    sp = sub.add_parser(
+        "quota",
+        help="quota show | set <table> WRITEREQS=1000/2 ... | delete <table> (teracli quota)",
+    )
+    sp.add_argument("op", choices=["show", "set", "delete"])
+    sp.add_argument("params", nargs="*")
 
     args = ap.parse_args(argv)
+
+    # user/quota are pure metadata ops on the access registry — no
+    # Spark session (teracli talks straight to the master for these)
+    if args.cmd in ("user", "quota"):
+        return _access_cmd(args)
 
     from tera_spark.catalog import Catalog
     from tera_spark.session import get_spark

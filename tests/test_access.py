@@ -115,3 +115,22 @@ def test_catalog_write_quota(spark, tmp_path):
     cat.append("t", cells)
     with pytest.raises(QuotaExceeded):
         cat.append("t", cells)
+
+
+def test_cli_user_and_quota_commands(tmp_path, capsys):
+    from tera_spark.cli import main
+
+    root = str(tmp_path)
+    assert main(["--root", root, "user", "create", "alice", "pw"]) == 0
+    assert main(["--root", root, "user", "addtogroup", "alice", "ops"]) == 0
+    assert main(["--root", root, "quota", "set", "t1", "WRITEREQS=1000/2", "SCANBYTES=50"]) == 0
+    assert main(["--root", root, "quota", "show"]) == 0
+    out = capsys.readouterr().out
+    assert "t1 write_reqs limit=1000 period=2s" in out
+    assert "t1 scan_bytes limit=50 period=1s" in out
+    # -1 clears a single op; delete clears the table
+    assert main(["--root", root, "quota", "set", "t1", "SCANBYTES=-1"]) == 0
+    assert main(["--root", root, "quota", "delete", "t1"]) == 0
+    ac = AccessControl(tmp_path)
+    assert ac.show_quota() == {}
+    assert ac.check_login("alice", "pw")
