@@ -388,3 +388,211 @@ def hyperplane_lsh_pairs(
             "sim",
         )
     )
+
+
+# --- product quantization (IVF-PQ scale path) -------------------------
+
+
+def train_pq(
+    vectors: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook: split each vector into
+    ``m`` subvectors and run Lloyd's k-means with ``k`` centroids in
+    EVERY subspace simultaneously — one exploded (id, sub, subvec)
+    relation, so each round costs one assign join + one mean shuffle
+    for all m subspaces together, not m separate loops.
+
+    Returns the codebook as plain nested lists, codebook[j][c] =
+    centroid c of subspace j. A PQ codebook is small by construction
+    (m×k×(dim/m) floats — k=256, m=16 over 64 dims is 4096 doubles),
+    so the scale design is to collect it and inline it as a literal:
+    encode and ADC search then compile to map-only expressions with no
+    join at all (the FAISS design point, re-expressed relationally).
+
+    Deterministic: seeds are the k subvectors with smallest
+    xxhash64(id) per subspace; ties in assignment break toward the
+    lower centroid index."""
+    from pyspark.sql import Window as W
+
+    spark = vectors.sparkSession
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    )
+    dim = len(v.select("vec").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    sub = v.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("sub"), F.slice("vec", j * d_sub + 1, d_sub).alias("svec")
+                ),
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.sub").alias("sub"), F.col("s.svec").alias("svec"))
+    sub = sub.persist()
+
+    ws = W.partitionBy("sub").orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+    seeds = (
+        sub.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k)
+        .select("sub", (F.col("rn") - 1).alias("cid"), "svec")
+        .collect()
+    )
+    book: dict[tuple[int, int], list[float]] = {
+        (r.sub, r.cid): list(r.svec) for r in seeds
+    }
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(s, c, vec) for (s, c), vec in sorted(book.items())],
+            "sub int, cid int, c_vec array<double>",
+        )
+        diff = F.zip_with(F.col("svec"), F.col("c_vec"), lambda x, y: x - y)
+        d2 = F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p
+        )
+        assigned = (
+            sub.join(F.broadcast(cdf), "sub")
+            .select("id", "sub", "svec", "cid", d2.alias("d2"))
+            .groupBy("id", "sub")
+            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cluster"), F.first("svec").alias("svec"))
+        )
+        means = (
+            assigned.select("sub", "cluster", F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s["mv"]
+                ).alias("svec")
+            )
+            .collect()
+        )
+        new = {(r.sub, r.cluster): list(r.svec) for r in means}
+        book = {key: new.get(key, old) for key, old in book.items()}
+
+    sub.unpersist()
+    return [[book[(j, c)] for c in range(k)] for j in range(m)]
+
+
+def _pq_literal(codebook: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cvec]) for cvec in sub_book])
+            for sub_book in codebook
+        ]
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m small codes (nearest sub-centroid per
+    subspace). Map-only: the codebook rides in the plan as a literal,
+    so this is a pure projection — no join, no shuffle, whatever N is."""
+    m = len(codebook)
+    k = len(codebook[0])
+    d_sub = len(codebook[0][0])
+    cb = _pq_literal(codebook)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(j):
+        svec = F.slice(vec, j * d_sub + 1, d_sub)
+        cb_j = F.get(cb, j)
+
+        def d2(c):
+            diff = F.zip_with(svec, F.get(cb_j, c), lambda x, y: x - y)
+            return F.aggregate(
+                F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p
+            )
+
+        acc0 = F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d"))
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            acc0,
+            lambda acc, c: F.when(d2(c) < acc["d"], F.struct(c.alias("c"), d2(c).alias("d"))).otherwise(acc),
+        )["c"]
+
+    # j is a plan constant — unroll the m argmins into one array expr
+    codes = F.array(*[code_for(j) for j in range(m)])
+    return ensure_parallelism(vectors).select(
+        F.col(id_col).alias("id"), codes.alias("codes")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    codebook: list[list[list[float]]],
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: each query
+    precomputes its m×k distance table against the literal codebook
+    (query-side, tiny), then every encoded vector's distance is a pure
+    m-term table lookup — sum_j table[j][codes[j]]. One broadcast of
+    the query tables, one window per query for ranking; the N-sized
+    side never shuffles. Approximation error is the quantization error;
+    recall tuning = larger k / m, same plan."""
+    from pyspark.sql import Window as W
+
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    cb = _pq_literal(codebook)
+    enc = pq_encode(vectors, codebook, id_col=id_col, vec_col=vec_col)
+
+    qvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def qtab_for(j):
+        svec = F.slice(qvec, j * d_sub + 1, d_sub)
+        return F.transform(
+            F.get(cb, j),
+            lambda cvec: F.aggregate(
+                F.zip_with(
+                    F.zip_with(svec, cvec, lambda x, y: x - y),
+                    F.zip_with(svec, cvec, lambda x, y: x - y),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, p: a + p,
+            ),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.array(*[qtab_for(j) for j in range(m)]).alias("qtab"),
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("qtab"), lambda c, row: F.get(row, c)),
+        F.lit(0.0),
+        lambda a, p: a + p,
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", F.col("id").alias("v_id"), F.round(adc, 6).alias("adc_d2"))
+    )
+    wr = W.partitionBy("q_id").orderBy("adc_d2", "v_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "v_id", "adc_d2", F.col("rank").cast("long").alias("rank"))
+    )

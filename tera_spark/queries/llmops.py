@@ -1329,3 +1329,22 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 >= 3)
     out = incremental_dedup(corpus, incoming)
     return out.select(F.col("id").cast("long").alias("doc_id"), "verdict")
+
+
+@query("ann_pq_topk")  # rows-only: Lloyd training is iterative (driver loop)
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ scale path: train a product-quantization codebook
+    (distributed Lloyd over all subspaces at once), encode map-only,
+    search by asymmetric distance (per-query m×k lookup table). The
+    encoded side never shuffles; see operators/similarity.py."""
+    from tera_spark.operators.similarity import pq_topk, train_pq
+
+    emb = load(spark, sf, "embeddings")
+    cb = train_pq(emb, m=8, k=16, iters=2)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, cb, queries_df, k=5).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("v_id").cast("long").alias("v_id"),
+        "adc_d2",
+        "rank",
+    )

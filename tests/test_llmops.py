@@ -380,3 +380,41 @@ def test_incremental_dedup_verdicts(spark):
     assert out[0] == "exact"
     assert out[1] == "near"
     assert out[2] == "unique"
+
+
+def test_pq_encode_picks_nearest_subcentroids(spark):
+    from tera_spark.operators.similarity import pq_encode, pq_topk
+
+    # dim=4, m=2, k=2; codebook[j][c] are well-separated
+    cb = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 0.0], [-10.0, -10.0]],
+    ]
+    v = spark.createDataFrame(
+        [
+            (0, [0.1, -0.1, 0.2, 0.1]),     # codes (0, 0)
+            (1, [9.8, 10.1, -9.9, -10.2]),  # codes (1, 1)
+            (2, [10.2, 9.9, 0.3, -0.3]),    # codes (1, 0)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r.id: list(r.codes) for r in pq_encode(v, cb).collect()}
+    assert codes == {0: [0, 0], 1: [1, 1], 2: [1, 0]}
+
+    # ADC distance to a query equals the exact distance to the
+    # reconstructed (centroid) vector; vector 0 reconstructs to the
+    # origin, so a query at the origin ranks it first with d2 ~ 0
+    q = spark.createDataFrame([(100, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    out = pq_topk(v, cb, q, k=3).collect()
+    assert [r.v_id for r in out] == [0, 2, 1]
+    assert abs(out[0].adc_d2) < 1e-9  # quantized v0 == origin exactly
+
+
+def test_train_pq_deterministic_and_shaped(spark):
+    from tera_spark.operators.similarity import train_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb1 = train_pq(emb, m=4, k=4, iters=1)
+    cb2 = train_pq(emb, m=4, k=4, iters=1)
+    assert cb1 == cb2
+    assert len(cb1) == 4 and len(cb1[0]) == 4 and len(cb1[0][0]) == 16
