@@ -263,3 +263,114 @@ def tfidf_bm25_top_terms(
         .filter(F.col("rk") <= top_k)
         .select(id_col, "term", "tf", "df", "tfidf", "bm25")
     )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent character-pair frequencies over the word-frequency
+    table — round 0 of BPE merge-rule training. The corpus collapses
+    to distinct words FIRST (one shuffle, vocab-sized output), so the
+    pair explosion and every training round after it run on the
+    vocabulary, not the corpus — the property that makes tokenizer
+    training on a 100 TB corpus a small job after one corpus pass.
+    Returns (a, b, n) summed over word frequencies."""
+    words = ensure_parallelism(docs).select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pair = wf.select(
+        "freq",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.struct(
+                        F.col("w").substr(i, F.lit(1)).alias("a"),
+                        F.col("w").substr(i + 1, F.lit(1)).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+        ).alias("p"),
+    )
+    return (
+        pair.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, *, n_merges: int = 10, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn BPE merge rules: greedy highest-count adjacent symbol
+    pair, applied leftmost-first (the standard algorithm). All rounds
+    operate on the vocabulary-sized word-frequency relation; each
+    round is one pair-count aggregation (top pair via takeOrdered-1)
+    plus a map-only merge fold over the symbol arrays, checkpointed to
+    keep lineage flat. Deterministic: ties break on (count desc, a, b).
+    """
+    spark = docs.sparkSession
+    words = ensure_parallelism(docs).select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split(F.col("w"), "").alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = wf.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.get("syms", i).alias("a"), F.get("syms", i + 1).alias("b")
+                        ),
+                    ),
+                ).otherwise(F.expr("cast(array() as array<struct<a:string,b:string>>)"))
+            ).alias("p"),
+        )
+        counts = (
+            pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+        )
+        top = counts.orderBy(F.desc("n"), "a", "b").take(1)
+        if not top or top[0]["n"] is None:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        ab = a + b
+
+        def merge_fold(syms):
+            acc0 = F.struct(
+                F.expr("cast(array() as array<string>)").alias("out"),
+                F.lit(False).alias("skip"),
+            )
+
+            def step(acc, x):
+                prev = F.element_at(acc["out"], -1)
+                can = (
+                    ~acc["skip"]
+                    & (F.size(acc["out"]) > 0)
+                    & (prev == F.lit(a))
+                    & (x == F.lit(b))
+                )
+                out2 = F.when(
+                    can,
+                    F.concat(
+                        F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
+                        F.array(F.lit(ab)),
+                    ),
+                ).otherwise(F.concat(acc["out"], F.array(x)))
+                # a merged symbol cannot immediately chain as the `a`
+                # of the same rule in this round unless it IS `a`
+                return F.struct(out2.alias("out"), (can & (F.lit(ab) != F.lit(a))).alias("skip"))
+
+            return F.aggregate(syms, acc0, step)["out"]
+
+        wf = wf.select(merge_fold(F.col("syms")).alias("syms"), "freq").localCheckpoint()
+    return merges

@@ -1348,3 +1348,43 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         "adc_d2",
         "rank",
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT substring(w, i, 1) AS a, substring(w, i+1, 1) AS b, freq
+      FROM wf, unnest(range(1, length(w))) AS u(i)
+      WHERE length(w) >= 2
+    )
+    SELECT a, b, cast(sum(freq) AS bigint) AS n
+    FROM pairs GROUP BY a, b
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Round 0 of BPE merge-rule training: adjacent char-pair counts
+    over the vocabulary (word-frequency) table — the corpus collapses
+    to distinct words before any pair math."""
+    from tera_spark.operators.textops import bpe_pair_counts
+
+    docs = load(spark, sf, "documents")
+    return bpe_pair_counts(docs).select("a", "b", "n")
+
+
+@query("text_bpe_merges")  # rows-only: greedy merge loop is iterative
+def text_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned BPE merge rules (greedy top-pair, leftmost-first apply)
+    with their rank — the tokenizer-training step itself."""
+    from tera_spark.operators.textops import bpe_train_merges
+
+    docs = load(spark, sf, "documents")
+    merges = bpe_train_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )

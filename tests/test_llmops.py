@@ -418,3 +418,25 @@ def test_train_pq_deterministic_and_shaped(spark):
     cb2 = train_pq(emb, m=4, k=4, iters=1)
     assert cb1 == cb2
     assert len(cb1) == 4 and len(cb1[0]) == 4 and len(cb1[0][0]) == 16
+
+
+def test_bpe_train_merges_classic_corpus(spark):
+    from tera_spark.operators.textops import bpe_train_merges
+
+    d = spark.createDataFrame(
+        [(0, "low low low lower lowest"), (1, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    m = bpe_train_merges(d, n_merges=3)
+    # lo (6) then low (6) then ew (3, from new/newer/newest)
+    assert m == [("l", "o"), ("lo", "w"), ("e", "w")]
+
+
+def test_bpe_merge_apply_leftmost_nonoverlapping(spark):
+    from tera_spark.operators.textops import bpe_train_merges
+
+    # 'aaaa' x3: pair (a,a) counted per adjacency; leftmost-first apply
+    # must produce [aa, aa] then [aaaa], never overlap a single 'a'
+    d = spark.createDataFrame([(0, "aaaa aaaa aaaa")], "doc_id long, text string")
+    m = bpe_train_merges(d, n_merges=2)
+    assert m == [("a", "a"), ("aa", "aa")]
