@@ -64,6 +64,12 @@ def test_every_query_has_oracle_or_is_declared():
         # iterative Lloyd's k-means — the documented non-SQL-expressible
         # case; invariants covered in test_llmops.py
         "ann_kmeans_clusters",
+        # PQ training is the same iterative case (per-subspace Lloyd);
+        # encode/ADC correctness pinned in test_llmops.py
+        "ann_pq_topk",
+        # greedy BPE merge loop is iterative; round-0 pair counts ARE
+        # oracled (text_bpe_pair_counts), merges pinned in test_llmops.py
+        "text_bpe_merges",
     }
     assert missing <= allowed_weak, f"queries without oracles: {missing}"
 
