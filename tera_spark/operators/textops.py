@@ -343,34 +343,66 @@ def bpe_train_merges(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        ab = a + b
-
-        def merge_fold(syms):
-            acc0 = F.struct(
-                F.expr("cast(array() as array<string>)").alias("out"),
-                F.lit(False).alias("skip"),
-            )
-
-            def step(acc, x):
-                prev = F.element_at(acc["out"], -1)
-                can = (
-                    ~acc["skip"]
-                    & (F.size(acc["out"]) > 0)
-                    & (prev == F.lit(a))
-                    & (x == F.lit(b))
-                )
-                out2 = F.when(
-                    can,
-                    F.concat(
-                        F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
-                        F.array(F.lit(ab)),
-                    ),
-                ).otherwise(F.concat(acc["out"], F.array(x)))
-                # a merged symbol cannot immediately chain as the `a`
-                # of the same rule in this round unless it IS `a`
-                return F.struct(out2.alias("out"), (can & (F.lit(ab) != F.lit(a))).alias("skip"))
-
-            return F.aggregate(syms, acc0, step)["out"]
-
-        wf = wf.select(merge_fold(F.col("syms")).alias("syms"), "freq").localCheckpoint()
+        wf = wf.select(_apply_merge(F.col("syms"), a, b).alias("syms"), "freq").localCheckpoint()
     return merges
+
+
+def _apply_merge(syms, a: str, b: str):
+    """Apply ONE BPE merge rule (a, b) -> a+b to a symbol-array column,
+    leftmost-first and non-overlapping (the standard apply order)."""
+    ab = a + b
+    acc0 = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(False).alias("skip"),
+    )
+
+    def step(acc, x):
+        prev = F.element_at(acc["out"], -1)
+        can = (
+            ~acc["skip"]
+            & (F.size(acc["out"]) > 0)
+            & (prev == F.lit(a))
+            & (x == F.lit(b))
+        )
+        out2 = F.when(
+            can,
+            F.concat(
+                F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
+                F.array(F.lit(ab)),
+            ),
+        ).otherwise(F.concat(acc["out"], F.array(x)))
+        # a merged symbol cannot immediately chain as the `a` of the
+        # same rule in this round unless it IS `a`
+        return F.struct(out2.alias("out"), (can & (F.lit(ab) != F.lit(a))).alias("skip"))
+
+    return F.aggregate(syms, acc0, step)["out"]
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents with a learned merge list: each word starts as
+    characters and every rule applies in rank order (the exact
+    tokenizer-inference algorithm for a BPE vocab). The merge list
+    rides in the plan as chained fold expressions — map-only, no join,
+    no shuffle; token counts come out per doc.
+
+    Returns (doc_id, n_tokens, tokens) where tokens is the flattened
+    per-word token stream in document order."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def encode_word(w):
+        syms = F.split(w, "")
+        for a, b in merges:
+            syms = _apply_merge(syms, a, b)
+        return syms
+
+    toks = F.flatten(F.transform(words, encode_word))
+    return ensure_parallelism(docs).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        toks.alias("tokens"),
+    )

@@ -1388,3 +1388,37 @@ def text_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, a string, b string",
     )
+
+
+@query(
+    "pipeline_weighted_interleave",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.1 END AS wt
+      FROM documents WHERE source IN ('src0','src1','src2')
+    ),
+    pos AS (
+      SELECT doc_id, source,
+             (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 0.5) / wt
+               AS position
+      FROM w
+    )
+    SELECT cast(row_number() OVER (ORDER BY position, source, doc_id) AS bigint)
+             AS global_rank,
+           cast(doc_id AS bigint) AS doc_id, source,
+           round(position, 6) AS position
+    FROM pos
+    """,
+)
+def pipeline_weighted_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted source interleaving (stride scheduling):
+    the global read order for a 0.6/0.3/0.1 source mix, no RNG."""
+    from tera_spark.sources.sharding import weighted_interleave
+
+    docs = load(spark, sf, "documents")
+    out = weighted_interleave(docs, {"src0": 0.6, "src1": 0.3, "src2": 0.1})
+    return out.select(
+        "global_rank", F.col("doc_id").cast("long").alias("doc_id"), "source", "position"
+    )

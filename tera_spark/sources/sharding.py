@@ -58,3 +58,41 @@ def read_shard(spark, path: str, shard: int, fmt: str = "parquet") -> DataFrame:
     """Read one shard by directory (partition pruning — only that
     shard's files are listed/scanned)."""
     return spark.read.format(fmt).load(path).filter(F.col("shard") == shard)
+
+
+def weighted_interleave(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleaving of sources — the global read
+    order a trainer consumes when the data mix is specified as source
+    weights (e.g. web 0.6, code 0.3, books 0.1). Stride scheduling:
+    the i-th record of a source with weight w sits at virtual position
+    (i - 0.5) / w, and the global order sorts by that position — so a
+    weight-0.6 source contributes 6 of every 10 consecutive records,
+    deterministically, with no RNG and no coordination.
+
+    Scale shape: per-source row_number is one window partitioned by
+    source (same exchange the final range-sort would need anyway);
+    emitting `global_rank` is a total order — at 100 TB skip the rank
+    column and `repartitionByRange(position)` + sortWithinPartitions
+    instead, which is the same plan minus the global row_number.
+    Sources absent from ``weights`` are dropped (weight 0)."""
+    from pyspark.sql import Window as W
+
+    pairs = [p for kv in sorted(weights.items()) for p in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    wmap = F.create_map(*pairs)
+    wsrc = W.partitionBy(source_col).orderBy(key_col)
+    d = (
+        df.withColumn("_w", wmap[F.col(source_col)])
+        .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .withColumn("_rn", F.row_number().over(wsrc))
+        .withColumn("position", (F.col("_rn") - 0.5) / F.col("_w"))
+    )
+    wg = W.orderBy("position", source_col, key_col)
+    return d.withColumn("global_rank", F.row_number().over(wg).cast("long")).select(
+        "global_rank", F.col(key_col), F.col(source_col), F.round("position", 6).alias("position")
+    )

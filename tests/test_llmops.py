@@ -440,3 +440,34 @@ def test_bpe_merge_apply_leftmost_nonoverlapping(spark):
     d = spark.createDataFrame([(0, "aaaa aaaa aaaa")], "doc_id long, text string")
     m = bpe_train_merges(d, n_merges=2)
     assert m == [("a", "a"), ("aa", "aa")]
+
+
+def test_bpe_tokenize_applies_merges_in_rank_order(spark):
+    from tera_spark.operators.textops import bpe_tokenize
+
+    d = spark.createDataFrame([(0, "lowest newer")], "doc_id long, text string")
+    merges = [("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew"), ("e", "r")]
+    r = bpe_tokenize(d, merges).collect()[0]
+    assert list(r.tokens) == ["low", "e", "s", "t", "n", "ew", "er"] or \
+           list(r.tokens) == ["low", "e", "s", "t", "new", "er"]
+    # exact: 'newer' -> n+ew applied (rank 4) before e+r (rank 5)
+    assert list(r.tokens) == ["low", "e", "s", "t", "new", "er"]
+    assert r.n_tokens == 6
+
+
+def test_weighted_interleave_stride_mix(spark):
+    from tera_spark.sources.sharding import weighted_interleave
+
+    rows = [(i, "a") for i in range(60)] + [(100 + i, "b") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_interleave(d, {"a": 0.6, "b": 0.3}, key_col="doc_id").collect()
+    order = [r.source for r in sorted(out, key=lambda r: r.global_rank)]
+    # every consecutive window of 3 holds exactly 2 a's and 1 b
+    for i in range(0, 90, 3):
+        win = order[i : i + 3]
+        assert win.count("a") == 2 and win.count("b") == 1, (i, win)
+    # deterministic across runs
+    out2 = weighted_interleave(d, {"a": 0.6, "b": 0.3}, key_col="doc_id").collect()
+    assert sorted((r.global_rank, r.doc_id) for r in out) == sorted(
+        (r.global_rank, r.doc_id) for r in out2
+    )
