@@ -34,10 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE's 1 MB floor coalesces small-bytes/CPU-heavy shuffles (the
         # HOF view folds: ~10 MB shuffled, seconds of per-row compute) down
-        # to a handful of tasks, idling the other cores. 64k keeps
-        # parallelism for those; it never binds on big shuffles, where the
-        # parallelism-first target (total/cores) dwarfs it.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # to a handful of tasks, idling the other cores. 256k keeps
+        # parallelism for those without over-splitting wide-payload scans
+        # (64k cost ~20% on 1 KB-value folds); it never binds on big
+        # shuffles, where the parallelism-first target dwarfs it.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
