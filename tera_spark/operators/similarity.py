@@ -596,3 +596,46 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "v_id", "adc_d2", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    rank_lo: int,
+    rank_hi: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the candidates ranked [rank_lo, rank_hi] by cosine —
+    similar enough to be informative, far enough to be true negatives
+    (the standard band heuristic). Deterministic: (rounded sim DESC,
+    id) ranking, same tie rule as cosine_topk.
+
+    Scale shape: identical to brute-force top-k (anchor side
+    broadcasts, corpus side streams, WindowGroupLimit prunes partial
+    ranks map-side before the per-anchor shuffle); at 100 TB swap the
+    exact ranking for ivf_topk/pq_topk with a widened k and keep the
+    band filter — same output contract."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    v = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
+    )
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("v_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "v_id",
+            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("sim"), "v_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(wr))
+        .filter((F.col("rank") >= rank_lo) & (F.col("rank") <= rank_hi))
+        .select("q_id", "v_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

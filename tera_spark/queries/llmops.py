@@ -1422,3 +1422,31 @@ def pipeline_weighted_interleave(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "global_rank", F.col("doc_id").cast("long").alias("doc_id"), "source", "position"
     )
+
+
+@query(
+    "ann_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    sims AS (
+      SELECT q.q_id, v.vec_id AS v_id,
+             round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS sim
+      FROM embeddings v, q WHERE v.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, v_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, v_id) AS rank
+      FROM sims
+    )
+    SELECT cast(q_id AS bigint) AS q_id, cast(v_id AS bigint) AS v_id, sim,
+           cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank BETWEEN 20 AND 30
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining: per-anchor rank band [20, 30] by cosine —
+    the contrastive-training negative sampler."""
+    from tera_spark.operators.similarity import hard_negatives
+
+    emb = load(spark, sf, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 5), rank_lo=20, rank_hi=30)
