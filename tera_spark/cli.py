@@ -147,6 +147,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--cf", default="data")
     sp = sub.add_parser("export"); sp.add_argument("table"); sp.add_argument("dest")
     sp = sub.add_parser(
+        "batchput",
+        help="bulk mutations from a record file: `rowkey cf:qualifier value` per line (teracli batchput)",
+    )
+    sp.add_argument("table"); sp.add_argument("file")
+    sp = sub.add_parser(
+        "batchget", help="bulk point reads from a key file: one row key per line"
+    )
+    sp.add_argument("table"); sp.add_argument("file")
+    sp = sub.add_parser(
+        "explain", help="plan features (shuffles/joins/pushdown) for a registered query"
+    )
+    sp.add_argument("query"); sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp = sub.add_parser(
         "user",
         help="user create|changepwd|show|delete|addtogroup|deletefromgroup (teracli user)",
     )
@@ -330,6 +343,53 @@ def main(argv: list[str] | None = None) -> int:
         )
         cat.append(args.table, cells)
         print(f"imported {cells.count()} cells")
+    elif args.cmd == "batchput":
+        # record format (teracli batchput): `rowkey cf:qualifier value`,
+        # or `key value` for kv-mode tables
+        from tera_spark.operators.mutation import MutationBatch
+
+        kv = cat.get_schema(args.table).kv_mode
+        n = 0
+        if kv:
+            for line in open(args.file):
+                parts = line.rstrip("\n").split(None, 1)
+                if len(parts) == 2:
+                    cat.kv_put(args.table, parts[0], parts[1])
+                    n += 1
+        else:
+            b = MutationBatch()
+            for line in open(args.file):
+                parts = line.rstrip("\n").split(None, 2)
+                if len(parts) != 3:
+                    continue
+                cf, _, qu = parts[1].partition(":")
+                b.put(parts[0], cf, qu, parts[2])
+                n += 1
+            _apply(cat, args.table, b)
+        print(f"put {n} records")
+    elif args.cmd == "batchget":
+        from pyspark.sql import functions as F
+
+        from tera_spark.operators.scan import batch_get
+
+        keys = [ln.strip().split()[0] for ln in open(args.file) if ln.strip()]
+        kdf = spark.createDataFrame([(k,) for k in keys], "row_key string")
+        rows = batch_get(
+            cat.read_oplog(args.table), cat.get_schema(args.table), kdf
+        ).orderBy("row_key", "cf", "qualifier").collect()
+        for r in rows:
+            print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value).decode(errors='replace')}")
+    elif args.cmd == "explain":
+        import tera_spark.queries as Q
+        from tera_spark.plans import explain_features
+
+        Q.load_all()
+        if args.query not in Q.QUERIES:
+            print(f"unknown query: {args.query}", file=sys.stderr)
+            return 1
+        feats = explain_features(Q.QUERIES[args.query](spark, args.sf_dir))
+        for k in sorted(feats):
+            print(f"{k}: {feats[k]}")
     elif args.cmd == "export":
         if cat.get_schema(args.table).kv_mode:
             from pyspark.sql import functions as F

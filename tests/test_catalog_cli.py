@@ -430,3 +430,28 @@ def test_cli_sql_over_pivoted_view(cat, spark, root, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "x\t2" in out and "y\t1" in out
+
+
+def test_cli_batchput_batchget(spark, tmp_path):
+    from tera_spark.cli import main
+
+    root = str(tmp_path)
+    recs = tmp_path / "recs.txt"
+    recs.write_text("r1 cf0:q1 hello\nr2 cf0:q1 world\nr2 cf0:q2 again\n")
+    keys = tmp_path / "keys.txt"
+    keys.write_text("r1\nr2\n")
+    assert main(["--root", root, "create", "bt { cf0 }"]) == 0
+    assert main(["--root", root, "batchput", "bt", str(recs)]) == 0
+    assert main(["--root", root, "batchget", "bt", str(keys)]) == 0
+    from tera_spark.catalog import Catalog
+
+    cat = Catalog(spark, root)
+    got = {
+        (r.row_key, r.qualifier): bytes(r.value)
+        for r in cat.view("bt").collect()
+    }
+    assert got == {
+        ("r1", "q1"): b"hello",
+        ("r2", "q1"): b"world",
+        ("r2", "q2"): b"again",
+    }
