@@ -109,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     for verb in ("getint64", "get_counter"):
         sp = sub.add_parser(verb)
         sp.add_argument("table"); sp.add_argument("row"); sp.add_argument("column")
+    sp = sub.add_parser("cas", help="compare-and-set: apply new value only if current == old")
+    for a in ("table", "row", "column", "old", "new"):
+        sp.add_argument(a)
     sp = sub.add_parser("put-ttl", help="KV-mode put with per-key TTL seconds")
     for a in ("table", "key", "value"):
         sp.add_argument(a)
@@ -271,6 +274,22 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 b.delete_column(args.row, cf, qu, ts=args.ts)
         _apply(cat, args.table, b)
+        print("ok")
+    elif args.cmd == "cas":
+        from tera_spark.operators.mutation import MutationBatch, check_and_apply
+        from tera_spark.client import Table
+
+        cf, _, qu = args.column.partition(":")
+        t = Table(cat, args.table)
+        b = MutationBatch(base_seq=t._seq(1)).put(args.row, cf, qu, args.new)
+        applied = check_and_apply(
+            cat.read_oplog(args.table), cat.get_schema(args.table),
+            args.row, cf, qu, args.old.encode(), b,
+        )
+        if applied is None:
+            print("condition failed")
+            return 1
+        cat.append(args.table, applied)
         print("ok")
     elif args.cmd == "put-ttl":
         cat.kv_put(args.table, args.key, args.value, ttl_s=args.ttl or None)

@@ -455,3 +455,17 @@ def test_cli_batchput_batchget(spark, tmp_path):
         ("r2", "q1"): b"world",
         ("r2", "q2"): b"again",
     }
+
+
+def test_cli_cas(spark, tmp_path):
+    from tera_spark.cli import main
+
+    root = str(tmp_path)
+    assert main(["--root", root, "create", "ct { cf0 }"]) == 0
+    assert main(["--root", root, "put", "ct", "r1", "cf0:q", "v0"]) == 0
+    assert main(["--root", root, "cas", "ct", "r1", "cf0:q", "v0", "v1"]) == 0
+    assert main(["--root", root, "cas", "ct", "r1", "cf0:q", "stale", "v2"]) == 1
+    from tera_spark.catalog import Catalog
+
+    got = Catalog(spark, root).view("ct").collect()
+    assert len(got) == 1 and bytes(got[0].value) == b"v1"
