@@ -407,3 +407,41 @@ def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_equidepth_histogram",
+    """
+    WITH binned AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT cast(bucket AS int) AS bucket, cast(count(*) AS bigint) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM binned GROUP BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (quantile) histogram via ntile — the bucketizer a
+    curation pipeline uses to stratify by length/score with equal mass
+    per bucket (fixed-width histograms starve the tails). Deterministic
+    tie order (value, event_id).
+
+    Scale note: ntile is a single total order — fine for profiling
+    output-sized metrics; for a 100 TB stratifier use approx
+    percentile cut points (one pass) and map-side bucket assignment
+    instead, trading exact equal mass for no global sort."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    b = F.ntile(10).over(W.orderBy("value", "event_id"))
+    return (
+        ev.select("value", b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
+    )

@@ -70,3 +70,17 @@ def test_streaming_drain_with_checkpoint(spark, tmp_path):
     adm.stream(str(src), str(tmp_path / "ckpt"), DDL)
     log = {r.id: r.verdict for r in adm.decisions().select("id", "verdict").collect()}
     assert log == {1: "unique", 2: "unique", 10: "exact", 11: "unique"}
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """A re-run epoch (failure between decision write and checkpoint
+    commit) re-appends the same rows under the same batch id; the
+    decisions() view dedupes, and re-classification of an admitted doc
+    flips to 'exact' only in the RE-APPENDED rows, which dedup drops."""
+    adm = DedupAdmission(spark, str(tmp_path / "admr"))
+    b = spark.createDataFrame([(1, T1), (2, T2)], DDL)
+    first = {r.id: r.verdict for r in adm.admit(b, 0).collect()}
+    assert first == {1: "unique", 2: "unique"}
+    adm.admit(b, 0)  # replay same epoch
+    log = adm.decisions().collect()
+    assert len(log) == 2  # one decision per (batch, id) after dedup
