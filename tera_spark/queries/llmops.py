@@ -1450,3 +1450,24 @@ def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 5), rank_lo=20, rank_hi=30)
+
+
+@query(
+    "pipeline_pseudonymize_users",
+    """
+    SELECT DISTINCT user_id,
+           substring(md5('corpus-v1:' || cast(user_id AS varchar)), 1, 16) AS pseudo_id
+    FROM events
+    """,
+)
+def pipeline_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic pseudonymization of user identifiers: a salted
+    md5 prefix replaces the raw id, stable across runs/engines so
+    joins on the pseudonym still line up, with no reversible mapping
+    stored. Map-only; the distinct is the only shuffle (and in a real
+    pipeline you'd apply the expression in place, shuffle-free)."""
+    ev = load(spark, sf, "events")
+    pseudo = F.substring(
+        F.md5(F.concat(F.lit("corpus-v1:"), F.col("user_id").cast("string"))), 1, 16
+    )
+    return ev.select("user_id", pseudo.alias("pseudo_id")).distinct()

@@ -445,3 +445,57 @@ def events_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("bucket").cast("int").alias("bucket"), "n", "lo", "hi")
     )
+
+
+@query(
+    "events_session_transcripts",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, cast(session_no AS bigint) AS session_no,
+           cast(count(*) AS bigint) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts_us, event_id) AS transcript
+    FROM sess GROUP BY user_id, session_no HAVING count(*) >= 2
+    """,
+)
+def events_session_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    """Assemble per-session event transcripts (the conversation/
+    trajectory-assembly step of a behavioral training pipeline):
+    sessionize by 30-min gaps, then concatenate the event-type stream
+    in time order per session. One exchange on user_id serves the lag
+    window, the running session number, AND the final per-session
+    aggregation (all partition on user_id prefixes)."""
+    ev = load(spark, sf, "events")
+    ev = ev.withColumn("ts_us", epoch_micros(ev, "ts"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000), 1).otherwise(0)
+    sess_no = F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    d = ev.select("user_id", "event_id", "event_type", "ts_us", sess_no.alias("session_no"))
+    return (
+        d.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("transcript"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select("user_id", F.col("session_no").cast("long").alias("session_no"), "n_events", "transcript")
+    )
