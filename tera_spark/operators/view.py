@@ -329,17 +329,25 @@ def changes_between(
     snapshot reads (SnapshotIDToSeq, src/io/tablet_io.cc:698-706) give
     the two endpoints, this computes the delta set between them.
 
-    Scale shape: two view folds over the SAME hash clustering
-    (row_key) feed a full-outer join on the same key — Catalyst
-    co-partitions all three wide ops on one exchange per side; output
-    is change-set-sized. At 100 TB, bound the fold input by reading
-    only files whose max(seq) >= seq_start for the "new" side (the
-    selective-compaction footer planning in catalog.compact_ranges
-    already demonstrates that file-group pruning)."""
-    v0 = latest_view(cells, schema, snapshot_seq=seq_start, now_us=now_us).select(
+    Scale shape: only rows whose row_key saw a write AFTER seq_start
+    can appear in the diff, so both endpoint folds are restricted to
+    those *dirty keys* first — a column-pruned scan of (row_key, seq)
+    finds them (Parquet row-group min/max on seq skips old files,
+    since an append-only op-log correlates seq with file order), and a
+    semi-join bounds both folds by dirty history instead of the full
+    table. The folds and the full-outer diff then share one hash
+    clustering on row_key; output is change-set-sized."""
+    if "seq" not in cells.columns:
+        cells = cells.withColumn("seq", F.lit(0).cast("long"))
+    dirty_pred = F.col("seq") > F.lit(seq_start)
+    if seq_end is not None:
+        dirty_pred = dirty_pred & (F.col("seq") <= F.lit(seq_end))
+    dirty = cells.filter(dirty_pred).select("row_key").distinct()
+    scoped = cells.join(dirty, "row_key", "left_semi")
+    v0 = latest_view(scoped, schema, snapshot_seq=seq_start, now_us=now_us).select(
         "row_key", "cf", "qualifier", F.col("value").alias("old_value")
     )
-    v1 = latest_view(cells, schema, snapshot_seq=seq_end, now_us=now_us).select(
+    v1 = latest_view(scoped, schema, snapshot_seq=seq_end, now_us=now_us).select(
         "row_key", "cf", "qualifier", F.col("value").alias("new_value")
     )
     j = v0.join(v1, ["row_key", "cf", "qualifier"], "full_outer")
