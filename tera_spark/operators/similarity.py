@@ -639,3 +639,33 @@ def hard_negatives(
         .filter((F.col("rank") >= rank_lo) & (F.col("rank") <= rank_hi))
         .select("q_id", "v_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def semantic_drop_list(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Semantic dedup (the SemDeDup pattern): assign every vector to a
+    centroid, find within-cluster pairs with cosine >= threshold, and
+    emit the DROP list — for each near-duplicate pair the higher id
+    drops, transitively (a doc survives only if no kept lower-id
+    near-duplicate exists; with the min-id keeper rule, dropping every
+    doc that has ANY lower-id neighbor is exactly that closure).
+
+    Scale shape: identical to ivf_near_pairs (map-only assignment +
+    one shuffle on cluster id, pair cost N²/k) plus a per-id distinct
+    on the pair output. Returns (id, kept_neighbor) — kept_neighbor is
+    the smallest lower-id near-duplicate, as drop-reason evidence."""
+    pairs = ivf_near_pairs(
+        vectors, centroids, threshold=threshold,
+        id_col=id_col, vec_col=vec_col, cid_col=cid_col,
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("id_a").alias("kept_neighbor"))
+    )

@@ -1471,3 +1471,49 @@ def pipeline_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.concat(F.lit("corpus-v1:"), F.col("user_id").cast("string"))), 1, 16
     )
     return ev.select("user_id", pseudo.alias("pseudo_id")).distinct()
+
+
+_SQL_L2 = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "({a}[i]::double - {b}[i]::double) * ({a}[i]::double - {b}[i]::double)), (x, y) -> x + y)"
+)
+
+
+@query(
+    "dedup_semantic_drop_list",
+    f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id AS id, v.embedding AS vec, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_SQL_L2.format(a='v.embedding', b='c.c_vec')}, c.cid
+             ) AS rn
+      FROM embeddings v, cents c
+    ),
+    assigned AS (SELECT id, vec, cid AS cluster FROM scored WHERE rn = 1),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM assigned a JOIN assigned b USING (cluster)
+      WHERE a.id < b.id
+        AND round({_sql_cos('a.vec', 'b.vec')}, 6) >= 0.35
+    )
+    SELECT cast(id_b AS bigint) AS id, cast(min(id_a) AS bigint) AS kept_neighbor
+    FROM pairs GROUP BY id_b
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster by nearest centroid
+    (deterministic fixture centroids: vec_id < 8), within-cluster
+    cosine >= 0.35 pairs, min-id keeper rule -> drop list."""
+    from tera_spark.operators.similarity import semantic_drop_list
+
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = semantic_drop_list(emb, cents, threshold=0.35)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("kept_neighbor").cast("long").alias("kept_neighbor"),
+    )
