@@ -45,6 +45,11 @@ from tera_spark.session import get_spark
 
 N_ROWS = int(os.environ.get("TERA_OLTP_ROWS", "300000"))
 N_GETS = int(os.environ.get("TERA_OLTP_GETS", "10000"))
+# "uniform" = evenly spaced keys; "zipf" = YCSB-style skewed access
+# (the reference ships a YCSB adapter with zipfian knobs,
+# benchmark/ycsb4tera.md) — ranks drawn as floor(N * u^4), so ~76% of
+# requests hit the hottest 50% of the keyspace and rank 0 is hot.
+DIST = os.environ.get("TERA_OLTP_DIST", "uniform")
 VALUE_BYTES = 1000
 
 
@@ -78,10 +83,27 @@ def main() -> None:
         oplog = spark.read.schema(CELL_SCHEMA).parquet(path)
 
         # ---- random read: K point gets as one broadcast semi-join ---
-        step = max(N_ROWS // N_GETS, 1)
-        keys = spark.range(0, N_ROWS, step).select(
-            F.format_string("row%016d", F.col("id")).alias("row_key")
-        )
+        if DIST == "zipf":
+            # deterministic skewed ranks: u = hash-uniform in [0,1),
+            # rank = floor(N * u^4) concentrates mass on low ranks (the
+            # zipfian-ish shape YCSB drives); duplicate hot keys
+            # collapse in the distinct — the engine serves a hot-key
+            # storm as ONE lookup per distinct key, which is precisely
+            # why the batched path absorbs skew that would hotspot a
+            # per-RPC server (no single tablet takes the storm).
+            u = (F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(1_000_003)).cast("double")
+                 / F.lit(1_000_003.0))
+            rank = F.floor(F.pow(u, F.lit(4.0)) * N_ROWS).cast("long")
+            keys = (
+                spark.range(N_GETS)
+                .select(F.format_string("row%016d", rank).alias("row_key"))
+                .distinct()
+            )
+        else:
+            step = max(N_ROWS // N_GETS, 1)
+            keys = spark.range(0, N_ROWS, step).select(
+                F.format_string("row%016d", F.col("id")).alias("row_key")
+            )
         t0 = time.monotonic()
         got = current_view(
             oplog.join(F.broadcast(keys), "row_key", "left_semi"), None
@@ -113,6 +135,7 @@ def main() -> None:
                 {
                     "metric": "oltp_microbench",
                     "unit": "mixed",
+                    "key_dist": DIST,
                     "rows": N_ROWS,
                     "value_bytes": VALUE_BYTES,
                     "write_mb_s": round(write_mb_s, 2),
