@@ -72,3 +72,24 @@ def test_lineitem_filter_pushdown(spark):
     block = _scan_block(_formatted(spark, "q6_forecast_revenue"), "lineitem")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
     assert m and "l_shipdate" in m.group(1), "q6: shipdate filter not pushed to scan"
+
+
+def test_pq_encode_is_map_only(spark):
+    """The PQ scale claim: with the codebook inlined as a literal,
+    encoding is a pure projection — zero exchanges when the input is
+    already parallel enough (ensure_parallelism no-ops)."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.similarity import pq_encode
+    from tera_spark.plans import explain_features
+
+    v = spark.range(1000).repartition(32).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda i: (F.col("id") % 7 + i).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    cb = [[[0.0] * 4, [5.0] * 4], [[0.0] * 4, [9.0] * 4]]  # m=2, k=2, d_sub=4
+    feats = explain_features(pq_encode(v, cb))
+    assert feats["exchanges"] <= 1  # the repartition itself at most
+    assert feats["python"] == 0
