@@ -119,10 +119,21 @@ class Catalog:
         return str(self.root / name / "oplog")
 
     def read_oplog(self, name: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         from tera_spark.model import KV_OPLOG_SCHEMA
 
         schema = KV_OPLOG_SCHEMA if self.get_schema(name).kv_mode else CELL_SCHEMA
-        return self.spark.read.schema(schema).parquet(self.oplog_path(name))
+        df = self.spark.read.schema(schema).parquet(self.oplog_path(name))
+        for r in self._rollbacks(name):
+            # RollbackDrop semantics (reference leveldb dbformat.h:156):
+            # entries written inside a rolled-back seq window vanish
+            df = df.filter(~((F.col("seq") > r["after"]) & (F.col("seq") <= r["upto"])))
+        return df
+
+    def _rollbacks(self, name: str) -> list[dict]:
+        p = self.root / name / "rollbacks.json"
+        return json.loads(p.read_text()) if p.exists() else []
 
     def append(self, name: str, cells: DataFrame) -> None:
         self._check_enabled(name)
@@ -192,8 +203,13 @@ class Catalog:
                 .parquet(str(out))
             )
             return sid
-        folded = compact(self.read_oplog(name), schema, now_us=now_us)
+        oplog = self.read_oplog(name)
+        folded = compact(oplog, schema, now_us=now_us)
         write_cell_table(folded, str(out))
+        top = oplog.agg({"seq": "max"}).collect()[0][0]
+        (self.root / name / "snapshots" / f"{sid}.json").write_text(
+            json.dumps({"seq": int(top) if top is not None else -1})
+        )
         return sid
 
     def read_snapshot(self, name: str, snapshot_id: str) -> DataFrame:
@@ -201,7 +217,16 @@ class Catalog:
 
     def list_snapshots(self, name: str) -> list[str]:
         d = self.root / name / "snapshots"
-        return sorted(p.name for p in d.iterdir()) if d.exists() else []
+        return sorted(p.name for p in d.iterdir() if p.is_dir()) if d.exists() else []
+
+    def raw_max_seq(self, name: str) -> int | None:
+        """Max write seq in the op-log INCLUDING rolled-back windows —
+        seq allocation must stay above them, or new writes would land
+        inside an invalidated range and vanish."""
+        top = (
+            self.spark.read.parquet(self.oplog_path(name)).agg({"seq": "max"}).collect()[0][0]
+        )
+        return int(top) if top is not None else None
 
     def delete_snapshot(self, name: str, snapshot_id: str) -> None:
         """Drop one snapshot (reference: snapshot set management,
@@ -210,6 +235,7 @@ class Catalog:
         if not d.exists():
             raise ValueError(f"no such snapshot: {name}/{snapshot_id}")
         shutil.rmtree(d)
+        (self.root / name / "snapshots" / f"{snapshot_id}.json").unlink(missing_ok=True)
 
     def expire_snapshots(self, name: str, *, keep_last: int) -> list[str]:
         """Retention GC: drop all but the newest ``keep_last``
@@ -266,7 +292,10 @@ class Catalog:
 
     def compact_inplace(self, name: str, *, now_us: int | None = None) -> None:
         """Fold the op-log (tera `compact`): snapshot, then swap it in
-        as the new base op-log."""
+        as the new base op-log. Rolled-back seq windows are physically
+        dropped by the fold (read_oplog filters them), so the rollback
+        registry clears afterwards — the reference drops rolled-back
+        entries during compaction the same way (RollbackDrop)."""
         sid = self.snapshot(name, now_us=now_us)
         snap = self.root / name / "snapshots" / sid
         oplog = self.root / name / "oplog"
@@ -274,6 +303,28 @@ class Catalog:
         oplog.rename(bak)
         shutil.copytree(snap, oplog)
         shutil.rmtree(bak)
+        (self.root / name / "rollbacks.json").unlink(missing_ok=True)
+
+    def rollback(self, name: str, snapshot_id: str) -> None:
+        """Roll the table back to a snapshot: writes after the
+        snapshot's recorded seq become invisible (seq-window
+        invalidation, the reference's rollback model — leveldb fork
+        dbformat.h RollbackDrop) without touching the files; the next
+        major compaction drops them physically. New writes continue
+        with fresh seqs above the old maximum."""
+        self._authorize("admin", name)
+        meta = self.root / name / "snapshots" / f"{snapshot_id}.json"
+        if not meta.exists():
+            raise ValueError(f"no seq-pinned snapshot: {name}/{snapshot_id}")
+        snap_seq = json.loads(meta.read_text())["seq"]
+        top = (
+            self.spark.read.parquet(self.oplog_path(name)).agg({"seq": "max"}).collect()[0][0]
+        )
+        if top is None or top <= snap_seq:
+            return
+        ranges = self._rollbacks(name)
+        ranges.append({"after": int(snap_seq), "upto": int(top)})
+        (self.root / name / "rollbacks.json").write_text(json.dumps(ranges))
 
     def compact_ranges(self, name: str, *, now_us: int | None = None) -> dict:
         """Selective (minor) compaction: fold only the row-key ranges

@@ -87,7 +87,9 @@ class Table:
     # -- sequence bookkeeping (LevelDB sequence analog) ---------------
     def _seq(self, n: int) -> int:
         if self._next_seq is None:
-            top = self._cat.read_oplog(self.name).agg(F.max("seq")).collect()[0][0]
+            # raw max, not the rollback-filtered view: a fresh seq must
+            # sit above any rolled-back window or the write vanishes
+            top = self._cat.raw_max_seq(self.name)
             self._next_seq = (top + 1) if top is not None else 0
         base = self._next_seq
         self._next_seq += n

@@ -469,3 +469,36 @@ def test_cli_cas(spark, tmp_path):
 
     got = Catalog(spark, root).view("ct").collect()
     assert len(got) == 1 and bytes(got[0].value) == b"v1"
+
+
+def test_snapshot_rollback_seq_window(spark, tmp_path):
+    """Rollback = seq-window invalidation (reference RollbackDrop):
+    post-snapshot writes vanish from the view, fresh writes allocate
+    above the rolled-back window, and major compaction drops the
+    window physically and clears the registry."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.client import Table
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_table("rb { cf0 }")
+    t = Table(cat, "rb")
+    t.apply_mutation(MutationBatch().put("r1", "cf0", "q", "v1", ts=1))
+    sid = cat.snapshot("rb", now_us=10**18)
+    t.apply_mutation(MutationBatch().put("r1", "cf0", "q", "v2", ts=2).put("r2", "cf0", "q", "x", ts=2))
+
+    cat.rollback("rb", sid)
+    vis = {r.row_key: bytes(r.value) for r in cat.view("rb").collect()}
+    assert vis == {"r1": b"v1"}
+
+    # a fresh write after rollback is visible (seq above the window)
+    t2 = Table(cat, "rb")
+    t2.apply_mutation(MutationBatch().put("r3", "cf0", "q", "new", ts=3))
+    vis = {r.row_key: bytes(r.value) for r in cat.view("rb").collect()}
+    assert vis == {"r1": b"v1", "r3": b"new"}
+
+    # compaction materializes the rollback and clears the registry
+    cat.compact_inplace("rb", now_us=10**18)
+    assert not (tmp_path / "rb" / "rollbacks.json").exists()
+    vis = {r.row_key: bytes(r.value) for r in cat.view("rb").collect()}
+    assert vis == {"r1": b"v1", "r3": b"new"}
