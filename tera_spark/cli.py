@@ -134,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--delete", metavar="SID", help="drop one snapshot")
     sp.add_argument("--expire-keep", type=int, metavar="N",
                     help="retention GC: keep only the newest N snapshots")
+    sp.add_argument("--rollback", metavar="SID",
+                    help="roll the table back to snapshot SID (teracli snapshot rollback)")
     sp = sub.add_parser("sql", help="run SQL over a table's pivoted view")
     sp.add_argument("table"); sp.add_argument("query")
     sp.add_argument("--limit", type=int, default=100)
@@ -350,6 +352,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.expire_keep is not None:
             for sid in cat.expire_snapshots(args.table, keep_last=args.expire_keep):
                 print(f"expired {sid}")
+        elif args.rollback:
+            cat.rollback(args.table, args.rollback); print("rolled back")
         else:
             print(cat.snapshot(args.table))
     elif args.cmd == "optimize":
