@@ -406,3 +406,39 @@ def bpe_tokenize(
         F.size(toks).cast("long").alias("n_tokens"),
         toks.alias("tokens"),
     )
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document zlib compression ratio — the classic redundancy
+    quality signal (boilerplate and degenerate repetition compress far
+    better than natural text; curation pipelines drop the extremes).
+    Genuinely inexpressible in SQL, so this is one of the few
+    deliberate Python paths: an Arrow-batched pandas UDF (never a
+    row-at-a-time UDF), map-only at any corpus size.
+
+    Returns (doc_id, n_bytes, ratio) with ratio = compressed/original
+    truncated to 6 places (floor-truncation: bit-stable across runs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _batch(texts):
+        import zlib
+
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, 6))
+            return float(int(comp / len(raw) * 1_000_000)) / 1_000_000
+
+        return texts.map(one)
+
+    # annotation-free form: `from __future__ import annotations` turns
+    # hints into strings the decorator cannot resolve here
+    _ratio = pandas_udf(_batch, "double")
+
+    t = F.col(text_col)
+    return ensure_parallelism(docs).select(
+        "doc_id",
+        F.octet_length(t).cast("long").alias("n_bytes"),
+        _ratio(t).alias("ratio"),
+    )

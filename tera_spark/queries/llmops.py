@@ -1517,3 +1517,13 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.col("kept_neighbor").cast("long").alias("kept_neighbor"),
     )
+
+
+@query("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
+def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib redundancy signal per document (Arrow-batched pandas UDF —
+    the deliberate Python path; see operators/textops.py)."""
+    from tera_spark.operators.textops import compression_ratio
+
+    docs = load(spark, sf, "documents")
+    return compression_ratio(docs)

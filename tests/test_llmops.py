@@ -471,3 +471,23 @@ def test_weighted_interleave_stride_mix(spark):
     assert sorted((r.global_rank, r.doc_id) for r in out) == sorted(
         (r.global_rank, r.doc_id) for r in out2
     )
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from tera_spark.operators.textops import compression_ratio
+
+    d = spark.createDataFrame(
+        [
+            (0, "spam " * 200),               # highly redundant
+            (1, "k9#Qz@xv!M2$wL7&pR4^tB8*yH6%dN3(jF5)gS1-cV0_eA"),  # ~incompressible
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(d).collect()}
+    assert out[0].ratio < 0.1            # repetition compresses hard
+    assert out[1].ratio > 0.5            # random-ish stays large
+    assert out[2].ratio == 1.0 and out[2].n_bytes == 0
+    # deterministic across runs
+    again = {r.doc_id: r.ratio for r in compression_ratio(d).collect()}
+    assert again == {k: v.ratio for k, v in out.items()}

@@ -70,6 +70,9 @@ def test_every_query_has_oracle_or_is_declared():
         # greedy BPE merge loop is iterative; round-0 pair counts ARE
         # oracled (text_bpe_pair_counts), merges pinned in test_llmops.py
         "text_bpe_merges",
+        # zlib is not SQL-expressible; ordering/determinism pinned in
+        # test_llmops.py
+        "text_compression_ratio",
     }
     assert missing <= allowed_weak, f"queries without oracles: {missing}"
 
