@@ -1,0 +1,61 @@
+"""Persistent IVF-PQ index: build → save → load → search, with
+partition-pruned probes and sane recall against brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tera_spark.operators.similarity import cosine_topk
+from tera_spark.operators.vector_index import VectorIndex
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_build_load_search_deterministic(spark, tmp_path):
+    emb = _emb(spark)
+    idx = VectorIndex.build(emb, str(tmp_path / "vi"), k_coarse=4, m=8, k_codes=8, iters=1)
+    q = emb.filter(F.col("vec_id") < 3)
+    r1 = idx.topk(q, k=5, nprobe=2).collect()
+    # reload from disk -> identical results
+    idx2 = VectorIndex.load(spark, str(tmp_path / "vi"))
+    r2 = idx2.topk(q, k=5, nprobe=2).collect()
+    key = lambda r: (r.q_id, r.rank)
+    assert sorted(((r.q_id, r.rank, r.v_id, r.adc_d2) for r in r1)) == sorted(
+        ((r.q_id, r.rank, r.v_id, r.adc_d2) for r in r2)
+    )
+    per_q = {}
+    for r in r1:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for rows in per_q.values():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        assert all(r.v_id != r.q_id for r in rows)
+
+
+def test_codes_layout_is_cluster_partitioned(spark, tmp_path):
+    emb = _emb(spark)
+    VectorIndex.build(emb, str(tmp_path / "vi2"), k_coarse=4, m=4, k_codes=4, iters=1)
+    parts = sorted(p.name for p in (tmp_path / "vi2" / "codes").iterdir() if p.is_dir())
+    assert parts and all(p.startswith("cluster=") for p in parts)
+
+
+def test_recall_vs_brute_force(spark, tmp_path):
+    emb = _emb(spark)
+    idx = VectorIndex.build(emb, str(tmp_path / "vi3"), k_coarse=4, m=16, k_codes=64, iters=2)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = idx.topk(q, k=10, nprobe=4).collect()  # nprobe=k_coarse: scan all lists
+    exact = cosine_topk(emb, q, k=10).collect()
+    a = {}
+    for r in approx:
+        a.setdefault(r.q_id, set()).add(r.v_id)
+    e = {}
+    for r in exact:
+        e.setdefault(r.q_id, set()).add(r.v_id)
+    recalls = [len(a[qid] & e[qid]) / 10 for qid in e]
+    # near-random synthetic vectors are PQ's worst case (neighbor gaps
+    # are tiny); measured: m=8/k=16 -> 0.18, m=16/k=64 -> 0.55,
+    # m=32/k=64 -> 0.75. Chance is 10/499 ~ 0.02 — require the
+    # mid-resolution codebook to land where it measures.
+    assert sum(recalls) / len(recalls) > 0.4, recalls
