@@ -177,3 +177,88 @@ def extract_audio_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
     from tera_spark.sources.tables import ensure_parallelism
 
     return ensure_parallelism(media).mapInPandas(op, schema=AUDIO_SCHEMA)
+
+
+def phash64(payload: bytes, *, fake: bool = False) -> int:
+    """Perceptual hash of an image payload. A real deployment decodes
+    pixels and DCT-hashes them (pHash); the container has no codecs,
+    so the decode is the stubbed deterministic fake — but the hash
+    math downstream of "pixels" is real: an 8x8 mean-threshold bit
+    matrix packed into 64 bits. Near-identical payloads (e.g. the
+    same image re-encoded with small byte diffs) land within a small
+    Hamming distance; unrelated payloads differ in ~32 bits."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this container")
+    if not payload:
+        return 0
+    # fake "pixels": average byte value per 8x8 grid cell over the raw
+    # payload (stands in for decoded luma; deterministic)
+    n = len(payload)
+    cell = max(n // 64, 1)
+    cells = [
+        sum(payload[i * cell : (i + 1) * cell]) / max(len(payload[i * cell : (i + 1) * cell]), 1)
+        for i in range(64)
+    ]
+    mean = sum(cells) / 64
+    bits = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            bits |= 1 << i
+    # two's-complement wrap: column type is signed int64 (Arrow rejects
+    # uint64 values above 2^63-1); XOR/bit_count are sign-agnostic
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash_duplicates(
+    media: DataFrame, *, max_hamming: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: compute the
+    64-bit pHash per asset (mapInPandas, Arrow-batched), band the hash
+    into four 16-bit keys, and pair assets sharing a band whose full
+    Hamming distance <= max_hamming — the SimHash/LSH banding trick
+    applied to images (a pair within distance 4 must agree exactly on
+    at least one of 4 bands). One shuffle on the band key; the payload
+    never travels past the hash stage."""
+    from collections.abc import Iterator as _It
+
+    def op(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for b in batches:
+            out = pd.DataFrame(
+                {
+                    "asset_id": b["asset_id"],
+                    "phash": [
+                        phash64(bytes(p) if p is not None else b"", fake=fake_decode)
+                        for p in b["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    imgs = media.filter(F.col("media_type") == "image")
+    hashed = imgs.mapInPandas(op, "asset_id long, phash long")
+    banded = hashed.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("asset_id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b2 = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b2, ["band", "key"])
+        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -491,3 +491,24 @@ def test_compression_ratio_orders_redundancy(spark):
     # deterministic across runs
     again = {r.doc_id: r.ratio for r in compression_ratio(d).collect()}
     assert again == {k: v.ratio for k, v in out.items()}
+
+
+def test_phash_duplicates_near_and_far(spark):
+    from tera_spark.operators.multimodal import phash_duplicates
+
+    base = bytes(range(256)) * 8
+    nearly = bytearray(base)
+    nearly[5] = 250  # tiny byte-level perturbation
+    other = bytes((i * 37 + 11) % 256 for i in range(2048))
+    rows = [
+        (1, "image", base, None),
+        (2, "image", bytes(nearly), None),
+        (3, "image", other, None),
+        (4, "audio", base, None),  # non-image: excluded
+    ]
+    from tera_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_duplicates(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert all({a, b} == {1, 2} for a, b in pairs)  # no far pair, no audio
