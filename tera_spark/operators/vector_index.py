@@ -177,3 +177,39 @@ class VectorIndex:
             .filter(F.col("rank") <= k)
             .select("q_id", "v_id", "adc_d2", F.col("rank").cast("long").alias("rank"))
         )
+
+    # -- incremental maintenance ---------------------------------------
+    def append(
+        self,
+        vectors: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Encode new vectors against the EXISTING codebook/centroids
+        (map-only — both ride as literals) and append them to their
+        cluster partitions. This is the steady-state ingestion path:
+        the corpus grows without retraining; rebuild only on codebook
+        drift. Appends are partition-local, so a batch touches only
+        the clusters it lands in."""
+        vecs = _l2_normalize(vectors, vec_col)
+        cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in self.centroids])
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+        def cdist(c):
+            diff = F.zip_with(v, c, lambda x, y: x - y)
+            return F.aggregate(
+                F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p
+            )
+
+        scored = F.transform(cents, lambda c, i: F.struct(cdist(c).alias("d"), i.alias("cid")))
+        cluster = F.get(F.array_sort(scored), 0)["cid"]
+        assigned = vecs.select(F.col(id_col).alias("id"), cluster.alias("cluster"), F.col(vec_col))
+        codes = pq_encode(
+            assigned.select(F.col("id").alias(id_col), F.col(vec_col)),
+            self.codebook,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        table = assigned.select("id", "cluster").join(codes, "id")
+        table.write.mode("append").partitionBy("cluster").parquet(str(self.path / "codes"))

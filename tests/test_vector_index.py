@@ -59,3 +59,18 @@ def test_recall_vs_brute_force(spark, tmp_path):
     # m=32/k=64 -> 0.75. Chance is 10/499 ~ 0.02 — require the
     # mid-resolution codebook to land where it measures.
     assert sum(recalls) / len(recalls) > 0.4, recalls
+
+
+def test_incremental_append_searchable(spark, tmp_path):
+    emb = _emb(spark)
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    idx = VectorIndex.build(first, str(tmp_path / "vi4"), k_coarse=4, m=8, k_codes=16, iters=1)
+    idx.append(rest)
+    q = emb.filter(F.col("vec_id") < 2)
+    hits = idx.topk(q, k=200, nprobe=4).collect()
+    ids = {r.v_id for r in hits}
+    assert any(i >= 250 for i in ids), "appended vectors never surface in search"
+    # total corpus searchable = everything minus the queries themselves
+    total = spark.read.parquet(str(tmp_path / "vi4" / "codes")).count()
+    assert total == emb.count()
