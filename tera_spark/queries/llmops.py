@@ -1527,3 +1527,67 @@ def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return compression_ratio(docs)
+
+
+@query(
+    "text_bigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(range(1, greatest(len(t)-1, 0)+1)) AS u(i)
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+    ucnt AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w2)::double AS v FROM bi)
+    SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+           cast(sum(floor(-ln((c2 + 1.0) / (c1 + v)) * 1000000)::bigint) AS bigint)
+             AS nll_micro
+    FROM bi JOIN bcnt USING (w1, w2) JOIN ucnt USING (w1) CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained BIGRAM language model with add-one smoothing:
+    each doc's total -ln P(w2|w1) where P = (c(w1,w2)+1)/(c(w1)+V) —
+    the stronger perplexity-style filter (context-aware; flags
+    shuffled/unnatural word order that the unigram model cannot see).
+    Per-bigram surprisal floor-quantized to integer micro-nats before
+    summing (associative, engine-stable).
+
+    Scale shape: bigram and left-context tables are vocabulary²-bounded
+    but practically Zipf-small -> broadcast onto the bigram stream
+    while they fit, degrade to shuffle joins automatically past the
+    threshold; one final shuffle keyed by doc_id. Same two-pass
+    (train, score) structure as the unigram filter."""
+    docs = load(spark, sf, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    base = docs.select("doc_id", t.alias("t"))
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.get(F.col("t"), i - 1).alias("w1"), F.get(F.col("t"), i).alias("w2")
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string>>)"))
+    bi = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ucnt = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bi.agg(F.countDistinct("w2").cast("double").alias("v"))
+    nll = F.floor(-F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))) * 1_000_000).cast("long")
+    return (
+        bi.join(F.broadcast(bcnt), ["w1", "w2"])
+        .join(F.broadcast(ucnt), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(nll).cast("long").alias("nll_micro"),
+        )
+    )
