@@ -10,12 +10,17 @@ relational layer (joins/aggs/windows/sorts) via Spark SQL, which the
 reference delegates to MySQL (see SURVEY.md §2.4).
 """
 
+from tera_spark.access import AccessControl
+from tera_spark.catalog import Catalog
 from tera_spark.client import Client, KvTable, Table
 from tera_spark.model import CellOp, CELL_SCHEMA, KV_SCHEMA
+from tera_spark.operators.vector_index import VectorIndex
 from tera_spark.registry import ColumnFamilySchema, LocalityGroupSchema, TableSchema
 from tera_spark.session import get_spark
 
 __all__ = [
+    "AccessControl",
+    "Catalog",
     "Client",
     "KvTable",
     "Table",
@@ -25,6 +30,7 @@ __all__ = [
     "ColumnFamilySchema",
     "LocalityGroupSchema",
     "TableSchema",
+    "VectorIndex",
     "get_spark",
 ]
 
