@@ -106,3 +106,40 @@ def counter_stream(cells: DataFrame, *, encoding: str = "le") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def counter_stream_compat(cells: DataFrame, *, encoding: str = "le") -> DataFrame:
+    """Same streaming counter fold on the applyInPandasWithState API
+    (Spark 3.4+): identical semantics to counter_stream — PUT resets
+    the base, deltas accumulate in seq order, state is the running
+    total per (row_key, cf, qualifier). Use this form where the
+    transformWithState runtime (protobuf state server) is unavailable;
+    it executes in this container and its tests run end-to-end."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ops = counter_ops(cells, encoding=encoding)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        total = int(state.get[0]) if state.exists else 0
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values("seq")
+            for is_base, delta in zip(pdf["is_base"], pdf["delta"]):
+                total = int(delta) if is_base else total + int(delta)
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "row_key": [key[0]],
+                "cf": [key[1]],
+                "qualifier": [key[2]],
+                "total": [total],
+            }
+        )
+
+    return ops.groupBy("row_key", "cf", "qualifier").applyInPandasWithState(
+        fn,
+        OUTPUT_SCHEMA,
+        "total bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -158,3 +158,49 @@ def test_counter_ops_projection_and_plan_builds(spark, tmpdir):
     assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
         ("row_key", "string"), ("cf", "string"), ("qualifier", "string"), ("total", "bigint"),
     ]
+
+
+def test_counter_stream_compat_executes(spark, tmp_path):
+    """The applyInPandasWithState form runs END-TO-END here: base +
+    deltas fold across micro-batches, a later PUT resets the base, and
+    checkpointed state survives the second drain."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.model import CELL_SCHEMA, CellOp
+    from tera_spark.functions.codecs import py_encode_le_i64
+    from tera_spark.streaming.counter_state import counter_stream_compat
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(rows):
+        spark.createDataFrame(rows, CELL_SCHEMA).write.mode("append").parquet(str(src))
+
+    def cell(row, op, val, seq):
+        return (row, "c", "cnt", seq, op, bytearray(py_encode_le_i64(val)), seq)
+
+    write([cell("r1", CellOp.PUT, 100, 1), cell("r1", CellOp.ADDINT64, 5, 2),
+           cell("r2", CellOp.ADDINT64, 7, 1)])
+
+    out: dict[str, int] = {}
+
+    def drain():
+        stream = spark.readStream.schema(CELL_SCHEMA).parquet(str(src))
+        q = (
+            counter_stream_compat(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _e: out.update({r.row_key: r.total for r in df.collect()}))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert out == {"r1": 105, "r2": 7}
+
+    # batch 2: more deltas + a PUT reset on r1 (seq-ordered within batch)
+    write([cell("r1", CellOp.ADDINT64, 1, 3), cell("r1", CellOp.PUT, 50, 4),
+           cell("r1", CellOp.ADDINT64, 2, 5), cell("r2", CellOp.ADDINT64, 3, 2)])
+    drain()
+    assert out == {"r1": 52, "r2": 10}
