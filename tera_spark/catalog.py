@@ -311,7 +311,14 @@ class Catalog:
         invalidation, the reference's rollback model — leveldb fork
         dbformat.h RollbackDrop) without touching the files; the next
         major compaction drops them physically. New writes continue
-        with fresh seqs above the old maximum."""
+        with fresh seqs above the old maximum.
+
+        Interplay: batch readers (view/scan/diff) all route through
+        read_oplog and see the rollback immediately; a continuously-
+        maintained MaterializedCurrentView streams raw op-log files,
+        so after a rollback rebuild it from scratch (drop its view dir
+        + checkpoint) — the same rule tera applies to observers
+        replaying from a rolled-back tablet."""
         self._authorize("admin", name)
         meta = self.root / name / "snapshots" / f"{snapshot_id}.json"
         if not meta.exists():
