@@ -442,3 +442,23 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.octet_length(t).cast("long").alias("n_bytes"),
         _ratio(t).alias("ratio"),
     )
+
+
+def language_id_confidence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID with a confidence margin: marker-vote winner plus
+    (top_hits - second_hits). Margin 0 = ambiguous (tie or no
+    evidence); curation pipelines route low-margin docs to a heavier
+    classifier instead of trusting the heuristic. Map-only."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    hits = [
+        _marker_hits(toks, ws).alias(code) for code, ws in sorted(LANG_MARKERS.items())
+    ]
+    d = ensure_parallelism(docs).select("doc_id", t.alias("_t"), *hits)
+    arr = F.array(*[F.col(c) for c in sorted(LANG_MARKERS)])
+    ranked = F.reverse(F.array_sort(arr))
+    return d.select(
+        "doc_id",
+        language_id(F.col("_t")).alias("lang_guess"),
+        (F.get(ranked, 0) - F.get(ranked, 1)).cast("long").alias("margin"),
+    )

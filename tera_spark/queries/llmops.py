@@ -1591,3 +1591,28 @@ def text_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(nll).cast("long").alias("nll_micro"),
         )
     )
+
+
+def _sql_lang_margin() -> str:
+    from tera_spark.operators.textops import LANG_MARKERS
+
+    hits = [_sql_marker_hits(ws) for _, ws in sorted(LANG_MARKERS.items())]
+    arr = "list_reverse_sort([" + ", ".join(hits) + "])"
+    return f"cast(({arr})[1] - ({arr})[2] AS bigint)"
+
+
+@query(
+    "text_language_id_margin",
+    f"""
+    SELECT cast(doc_id AS bigint) AS doc_id, {_sql_lang_case()} AS lang_guess,
+           {_sql_lang_margin()} AS margin
+    FROM documents
+    """,
+)
+def text_langid_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID + confidence margin (top-vote minus runner-up);
+    zero-margin docs are the ones to send to a heavier classifier."""
+    from tera_spark.operators.textops import language_id_confidence
+
+    docs = load(spark, sf, "documents")
+    return language_id_confidence(docs)
