@@ -451,6 +451,23 @@ class Catalog:
             out.append({"file": f.name, "start_key": lo, "end_key": hi, "rows": rows})
         return out
 
+    def find_tablet(self, name: str, row_key: str) -> list[dict]:
+        """Route a key to its tablet(s) — teracli `findtablet`
+        (src/teracli_main.cc FindTabletOp): which range-sorted op-log
+        files can contain the key, by footer bounds. The planner does
+        the same pruning implicitly; this is the observable version."""
+        def as_str(v):
+            return v.decode() if isinstance(v, (bytes, bytearray)) else v
+
+        hits = []
+        for info in self.tablet_info(name):
+            lo, hi = as_str(info["start_key"]), as_str(info["end_key"])
+            if lo is None or hi is None:
+                continue
+            if lo <= row_key <= hi:
+                hits.append(info)
+        return hits
+
     def optimize(self, name: str, *, buckets: int | None = None) -> int:
         """Re-shard the op-log into ``buckets`` range partitions sorted
         by row_key — the split/merge-tablet analog (TabletIO::Split

@@ -117,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument(a)
     sp.add_argument("ttl", type=int, help="seconds until the key expires (0 = never)")
     sub.add_parser("showts", help="tablet (partition) layout per table")
+    sp = sub.add_parser("findtablet", help="route a row key to its tablet file(s)")
+    sp.add_argument("table"); sp.add_argument("row")
     sp = sub.add_parser("delete")
     sp.add_argument("table"); sp.add_argument("row")
     sp.add_argument("column", nargs="?", default=None)  # cf | cf:qu
@@ -252,6 +254,12 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         for r in rows:
             print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {dec(bytes(r.value))}")
+    elif args.cmd == "findtablet":
+        hits = cat.find_tablet(args.table, args.row)
+        if not hits:
+            print("no tablet holds this key")
+        for h in hits:
+            print(f"{h['file']}\t[{h['start_key']}, {h['end_key']}]\t{h['rows']} rows")
     elif args.cmd == "showts":
         # tablet-server/tablet listing analog: partition layout per table
         for t in cat.list_tables():

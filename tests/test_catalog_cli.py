@@ -502,3 +502,28 @@ def test_snapshot_rollback_seq_window(spark, tmp_path):
     assert not (tmp_path / "rb" / "rollbacks.json").exists()
     vis = {r.row_key: bytes(r.value) for r in cat.view("rb").collect()}
     assert vis == {"r1": b"v1", "r3": b"new"}
+
+
+def test_find_tablet_routes_key(spark, tmp_path):
+    from tera_spark.catalog import Catalog
+    from tera_spark.client import Table
+    from tera_spark.operators.mutation import MutationBatch
+    from tera_spark.sources.tables import write_cell_table
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_table("ft { cf0 }")
+    b = MutationBatch()
+    for i in range(1000):
+        b.put(f"r{i:05d}", "cf0", "q", f"v{i}")
+    Table(cat, "ft").apply_mutation(b)
+    # re-sort into multiple range files so bounds are meaningful
+    df = cat.read_oplog("ft")
+    write_cell_table(df, cat.oplog_path("ft"), buckets=4)
+    hits = cat.find_tablet("ft", "r00500")
+    assert hits, "key not routed to any tablet"
+    for h in hits:
+        assert h["start_key"] <= "r00500" <= h["end_key"]
+    # every tablet_info file that doesn't contain the key is excluded
+    all_files = {i["file"] for i in cat.tablet_info("ft")}
+    hit_files = {h["file"] for h in hits}
+    assert hit_files < all_files or len(all_files) == 1
