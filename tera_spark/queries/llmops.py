@@ -1616,3 +1616,40 @@ def text_langid_margin(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return language_id_confidence(docs)
+
+
+@query(
+    "text_quality_calibrated",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_SQL_QSCORE} AS quality_score
+      FROM documents
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id, lang,
+           quality_score,
+           {_t6('percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id)')}
+             AS lang_pct
+    FROM scored
+    """,
+)
+def text_quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language calibration of the quality score: percent-rank
+    within each language, so one global threshold (e.g. keep top 70%)
+    applies fairly across languages whose raw-score distributions
+    differ (stopword lists are language-biased). The standard fix for
+    heuristic-score skew in multilingual curation.
+
+    Scale shape: one window shuffle keyed by lang; ties broken by
+    doc_id so the rank is deterministic. At 100 TB swap percent_rank
+    for approx-percentile cut points per language (same note as the
+    equi-depth histogram)."""
+    from pyspark.sql import Window as W
+
+    from tera_spark.operators.textops import quality_features
+
+    docs = load(spark, sf, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    d = docs.select("doc_id", "lang").join(q, "doc_id")
+    w = W.partitionBy("lang").orderBy("quality_score", "doc_id")
+    pct = F.floor(F.percent_rank().over(w) * 1_000_000).cast("double") / 1_000_000
+    return d.select("doc_id", "lang", "quality_score", pct.alias("lang_pct"))
