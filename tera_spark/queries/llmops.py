@@ -1653,3 +1653,54 @@ def text_quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
     w = W.partitionBy("lang").orderBy("quality_score", "doc_id")
     pct = F.floor(F.percent_rank().over(w) * 1_000_000).cast("double") / 1_000_000
     return d.select("doc_id", "lang", "quality_score", pct.alias("lang_pct"))
+
+
+@query(
+    "pipeline_contamination_report",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({X.sql_shingles('text')}) AS g
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    cand AS (
+      SELECT doc_id, unnest(list_distinct({X.sql_shingles('text')})) AS g
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    flagged AS (
+      SELECT doc_id, count(*) AS n_hits FROM cand JOIN ev USING (g) GROUP BY doc_id
+    )
+    SELECT d.source,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(count(f.doc_id) AS bigint) AS n_contaminated,
+           {_t6('count(f.doc_id)::double / count(*)')} AS contamination_rate
+    FROM documents d LEFT JOIN flagged f USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source
+    """,
+)
+def pipeline_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source contamination audit: what fraction of each ingestion
+    source overlaps the held-out eval slice — the report that decides
+    which source needs upstream filtering (rates localize the
+    problem; doc-level flags alone don't). Composition of the
+    decontamination flagger with a source rollup."""
+    from tera_spark.operators.dedup import decontaminate_ngrams
+
+    docs = load(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = decontaminate_ngrams(corpus, docs.filter(F.col("doc_id") % 97 == 0)).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("_hit")
+    )
+    rate = F.floor(
+        (F.count("_hit").cast("double") / F.count(F.lit(1))) * 1_000_000
+    ).cast("double") / 1_000_000
+    return (
+        corpus.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("_hit").cast("long").alias("n_contaminated"),
+            rate.alias("contamination_rate"),
+        )
+    )
