@@ -74,7 +74,12 @@ def main() -> None:
         (
             cells.repartitionByRange(32, "row_key")
             .sortWithinPartitions("row_key", "cf", "qualifier", F.desc("ts"))
+            # point-read-friendly row groups: the LG blocksize knob
+            # (table_schema.proto:21, reference default 4 KB blocks) —
+            # a seek reads one row group, so group size bounds read
+            # amplification; 2 MB keeps scan throughput intact.
             .write.mode("overwrite")
+            .option("parquet.block.size", str(2 * 1024 * 1024))
             .parquet(path)
         )
         w_s = time.monotonic() - t0
@@ -111,6 +116,35 @@ def main() -> None:
         g_s = time.monotonic() - t0
         point_keys_s = got / g_s
 
+        # ---- random read, seek path (LowLevelSeek analog) -----------
+        # Driver-side footer-routed row-group reads + Python fold — no
+        # Spark job. This is the latency-serving shape: tera's 32k QPS
+        # measures many concurrent point gets; here one client thread
+        # resolves a batch via row-group-grouped reads.
+        from tera_spark.operators.seek import Seeker
+
+        key_list = [r.row_key for r in keys.limit(N_GETS).collect()]
+        seeker = Seeker(path=path, cache_groups=256)
+        seeker._route(key_list[:1])  # warm the footer meta cache
+        t0 = time.monotonic()
+        hit = seeker.multi_get(key_list)
+        seek_s = time.monotonic() - t0
+        seek_keys_s = len(hit) / seek_s
+        # single-get latency: cold = row-group read per get; hot = the
+        # block-cache-resident working set (tera's 2 ms random read is
+        # measured against its flash LG + block cache)
+        lat_n = 200
+        t0 = time.monotonic()
+        for k in key_list[:lat_n]:
+            seeker.get(k)
+        seek_get_hot_ms = (time.monotonic() - t0) / lat_n * 1000
+        cold = Seeker(path=path)
+        cold._route(key_list[:1])
+        t0 = time.monotonic()
+        for k in key_list[:lat_n]:
+            cold.get(k)
+        seek_get_ms = (time.monotonic() - t0) / lat_n * 1000
+
         # ---- sequential read: ordered full scan, touch every byte ---
         # Per-value content verification rides the same pass — the
         # tera_mark --verify analog (benchmark/tera_mark.md:44-47
@@ -142,6 +176,9 @@ def main() -> None:
                     "write_rows_s": round(N_ROWS / w_s),
                     "point_gets": got,
                     "point_keys_s": round(point_keys_s),
+                    "seek_keys_s": round(seek_keys_s),
+                    "seek_get_ms": round(seek_get_ms, 2),
+                    "seek_get_hot_ms": round(seek_get_hot_ms, 2),
                     "scan_mb_s": round(scan_mb_s, 2),
                     "verify_failures": n_bad,
                     "baseline_reference": {

@@ -1,0 +1,155 @@
+"""Seek fast path ≡ Spark scan path.
+
+The reference keeps LowLevelSeek (src/io/tablet_io.cc:1148-1343) and
+LowLevelScan (:939-1137) behavior-identical by sharing CompactStrategy;
+we pin the same invariant between `operators/seek.Seeker` (driver-side
+pyarrow reads + Python fold) and `operators/scan.get` (Spark fold) on
+random op-logs, plus the footer-bounds routing itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tera_spark.catalog import Catalog
+from tera_spark.model import CELL_SCHEMA, CellOp
+from tera_spark.operators.scan import get as spark_get
+from tera_spark.operators.seek import Seeker, fold_row
+from tera_spark.operators.view import current_view
+
+from tests.test_view_model import NOW, _gen_oplog, _schema
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "cat"))
+
+
+def _mk_table(cat, spark, rows, name="seek_t"):
+    cat.create_table(
+        f"{name} {{cf0 <maxversions=1>, cf1 <maxversions=3>, "
+        f"cfttl <maxversions=2,ttl=1000>}}"
+    )
+    # three appends → three op-log files (multi-tablet layout)
+    third = len(rows) // 3 or 1
+    for i in range(0, len(rows), third):
+        cat.append(name, spark.createDataFrame(rows[i : i + third], CELL_SCHEMA))
+    return name
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_seek_matches_spark_fold(cat, spark, seed):
+    rows = _gen_oplog(seed, n=400)
+    name = _mk_table(cat, spark, rows, name=f"seek_{seed}")
+    oplog = cat.read_oplog(name)
+    schema = cat.get_schema(name)
+
+    want = {}
+    for r in current_view(oplog, schema, now_us=NOW).collect():
+        want.setdefault(r.row_key, set()).add(
+            (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+        )
+
+    seeker = Seeker(cat, name)
+    keys = sorted({r[0] for r in rows}) + ["row_missing"]
+    got = seeker.multi_get(keys, now_us=NOW)
+    assert "row_missing" not in got
+    got_sets = {k: {(c[0], c[1], c[2], c[3], bytes(c[4])) for c in v} for k, v in got.items()}
+    assert got_sets == want
+
+
+def test_seek_scan_level_options_match(cat, spark):
+    rows = _gen_oplog(99, n=400)
+    name = _mk_table(cat, spark, rows, name="seek_opts")
+    oplog = cat.read_oplog(name)
+    schema = cat.get_schema(name)
+    seeker = Seeker(cat, name)
+    key = sorted({r[0] for r in rows})[3]
+
+    for kw in (
+        dict(columns={"cf1": ["log"], "cf0": []}),
+        dict(max_versions=1),
+        dict(ts_range=(NOW - 40, NOW - 10)),
+        dict(columns={"cf1": []}, max_versions=2, ts_range=(NOW - 50, NOW)),
+    ):
+        want = {
+            (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+            for r in spark_get(oplog, schema, key, now_us=NOW, **kw).collect()
+        }
+        got = {
+            (c[0], c[1], c[2], c[3], bytes(c[4]))
+            for c in seeker.get(key, now_us=NOW, **kw)
+        }
+        assert got == want, kw
+
+
+def test_seek_snapshot_and_rollback(cat, spark):
+    rows = _gen_oplog(5, n=300)
+    name = _mk_table(cat, spark, rows, name="seek_snap")
+    schema = cat.get_schema(name)
+    seeker = Seeker(cat, name)
+    key = sorted({r[0] for r in rows})[0]
+    snap_seq = 150
+
+    want = {
+        (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+        for r in spark_get(
+            cat.read_oplog(name), schema, key, now_us=NOW
+        ).collect()
+    }
+    # snapshot read: only writes with seq <= 150 visible
+    v0 = current_view(cat.read_oplog(name), schema, now_us=NOW, snapshot_seq=snap_seq)
+    want_snap = {
+        (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+        for r in v0.filter(v0.row_key == key).collect()
+    }
+    got_snap = {
+        (c[0], c[1], c[2], c[3], bytes(c[4]))
+        for c in seeker.get(key, now_us=NOW, snapshot_seq=snap_seq)
+    }
+    assert got_snap == want_snap
+    got_full = {
+        (c[0], c[1], c[2], c[3], bytes(c[4])) for c in seeker.get(key, now_us=NOW)
+    }
+    assert got_full == want
+
+
+def test_footer_routing_prunes_files(cat, spark):
+    cat.create_table("seek_route {cf0}")
+    for prefix in ("a", "m", "z"):
+        batch = [
+            (f"{prefix}{i:03d}", "cf0", "q", 100 + i, CellOp.PUT, f"v{i}".encode(), i)
+            for i in range(50)
+        ]
+        cat.append("seek_route", spark.createDataFrame(batch, CELL_SCHEMA).coalesce(1))
+    seeker = Seeker(cat, "seek_route")
+    plan = seeker._route(["z010"])
+    # footer bounds route the key to exactly the one file holding z-keys
+    assert len(plan) == 1
+    assert seeker.get("z010")[0][4] == b"v10"
+    # meta cache populated once per file
+    assert len(seeker._meta) == len(seeker._files()) >= 3
+
+
+def test_get_kv_fast_path(cat, spark):
+    cat.create_table("seek_kv")
+    cat.kv_put("seek_kv", "k1", b"old")
+    cat.kv_put("seek_kv", "k1", b"new")
+    cat.kv_put("seek_kv", "k2", b"gone")
+    cat.kv_delete("seek_kv", "k2")
+    cat.kv_put("seek_kv", "k3", b"short", ttl_s=1)
+    seeker = Seeker(cat, "seek_kv")
+    assert seeker.get_kv("k1") == b"new"
+    assert seeker.get_kv("k2") is None
+    far_future = 4_000_000_000_000_000
+    assert seeker.get_kv("k3", now_us=far_future) is None
+    with pytest.raises(ValueError):
+        seeker.multi_get(["k1"])
+
+
+def test_fold_row_empty_and_marks_only():
+    assert fold_row([], _schema(), now_us=NOW) == []
+    marks = [("r", "", "", 10, CellOp.DEL_ROW, None, 0)]
+    assert fold_row(marks, _schema(), now_us=NOW) == []
