@@ -462,3 +462,37 @@ def language_id_confidence(docs: DataFrame, text_col: str = "text") -> DataFrame
         language_id(F.col("_t")).alias("lang_guess"),
         (F.get(ranked, 0) - F.get(ranked, 1)).cast("long").alias("margin"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window chunking stage every pretraining pipeline runs
+    before packing (see pipeline_token_packing for the next stage).
+    Window w starts at token w*stride and takes chunk_tokens tokens;
+    stride < chunk_tokens yields the standard overlap so no boundary
+    context is lost. The final window may be short.
+
+    Map-only: sequence+transform+explode inside one projection — no
+    shuffle, no UDF; at 100 TB this is pure scan throughput and the
+    output stays partition-local for the downstream packer."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    d = ensure_parallelism(docs).withColumn("_toks", toks)
+    n = F.size(F.col("_toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    d = d.withColumn("_start", F.explode(starts)).filter(F.col("_start") < n)
+    return d.select(
+        "doc_id",
+        (F.col("_start") / stride).cast("long").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), n - F.col("_start")).cast("long").alias("chunk_len"),
+        F.array_join(F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -1704,3 +1704,31 @@ def pipeline_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
             rate.alias("contamination_rate"),
         )
     )
+
+
+@query(
+    "pipeline_doc_chunking",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM t
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           cast(start // 48 AS bigint) AS chunk_idx,
+           cast(least(64, len(toks) - start) AS bigint) AS chunk_len,
+           array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text
+    FROM s WHERE start < len(toks)
+    """,
+)
+def pipeline_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    — the context-window split stage ahead of sequence packing. See
+    operators/textops.chunk_documents for the map-only plan shape."""
+    from tera_spark.operators.textops import chunk_documents
+
+    docs = load(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)

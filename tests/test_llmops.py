@@ -512,3 +512,26 @@ def test_phash_duplicates_near_and_far(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in phash_duplicates(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert all({a, b} == {1, 2} for a, b in pairs)  # no far pair, no audio
+
+
+def test_chunk_documents_windows(spark):
+    from tera_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_len, r.chunk_text))
+    # 10 tokens, window 4, stride 3 → starts 0,3,6,9; overlap of 1 token
+    assert [c[2] for c in sorted(by_doc[1])] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [c[1] for c in sorted(by_doc[1])] == [4, 4, 4, 1]
+    # short docs yield one (possibly short) chunk
+    assert by_doc[2] == [(0, 2, "a b")]
+    assert by_doc[3] == [(0, 1, "solo")]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
