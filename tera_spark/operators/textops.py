@@ -496,3 +496,75 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def dsir_importance(
+    candidates: DataFrame,
+    target: DataFrame,
+    *,
+    buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score each candidate document by how target-like its
+    hashed-unigram features are — log p_target(doc) - log p_raw(doc)
+    under two bucket-hashed unigram LMs with add-one smoothing. High
+    log-weight docs resemble the target corpus; resampling by these
+    weights shifts the raw mix toward the target distribution.
+
+    Returns doc_id, n_tokens, logw_micro (integer micro-nats;
+    per-token scores are floor-quantized BEFORE summing so the
+    aggregate is associative and engine-stable, same stance as
+    text_unigram_surprisal).
+
+    Scale shape: both LMs are bucket-count tables of fixed size B —
+    trivially broadcast; candidates stream through one explode +
+    broadcast join + per-doc aggregation. Two corpus passes total
+    (train target LM on the target slice, raw LM on the candidate
+    stream itself); the 100 TB version materializes the two count
+    tables between passes.
+    """
+    from tera_spark.functions.text import h60
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.explode(tokens(F.col(text_col))).alias("_tok")
+        ).select("doc_id", F.pmod(h60(F.col("_tok")), F.lit(buckets)).alias("b"))
+
+    spark = candidates.sparkSession
+    cand_toks = bucketed(ensure_parallelism(candidates))
+    tgt_cnt = bucketed(target).groupBy("b").agg(F.count("*").alias("t_cnt"))
+    raw_cnt = cand_toks.groupBy("b").agg(F.count("*").alias("r_cnt"))
+
+    spine = spark.range(buckets).select(F.col("id").alias("b"))
+    lm = (
+        spine.join(tgt_cnt, "b", "left")
+        .join(raw_cnt, "b", "left")
+        .select(
+            "b",
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+        )
+    )
+    t_tot = lm.agg(F.sum("t_cnt").cast("double").alias("t_tot"))
+    r_tot = lm.agg(F.sum("r_cnt").cast("double").alias("r_tot"))
+    score = F.floor(
+        (
+            F.log((F.col("t_cnt") + 1) / (F.col("t_tot") + buckets))
+            - F.log((F.col("r_cnt") + 1) / (F.col("r_tot") + buckets))
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        lm.crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select("b", score.alias("tok_score"))
+    )
+    return (
+        cand_toks.join(F.broadcast(scored), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("tok_score").cast("long").alias("logw_micro"),
+        )
+    )

@@ -1732,3 +1732,47 @@ def pipeline_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@query(
+    "pipeline_dsir_importance",
+    rf"""
+    WITH cand_toks AS (
+      SELECT doc_id, {X.sql_h60('tok')} % 256 AS b
+      FROM documents, unnest({X.sql_tokens('text')}) AS u(tok)
+    ),
+    tgt_toks AS (
+      SELECT {X.sql_h60('tok')} % 256 AS b
+      FROM documents, unnest({X.sql_tokens('text')}) AS u(tok)
+      WHERE lang = 'en'
+    ),
+    lm AS (
+      SELECT s.b,
+             coalesce(t.c, 0) AS t_cnt,
+             coalesce(r.c, 0) AS r_cnt
+      FROM range(0, 256) AS s(b)
+      LEFT JOIN (SELECT b, count(*) AS c FROM tgt_toks GROUP BY b) t USING (b)
+      LEFT JOIN (SELECT b, count(*) AS c FROM cand_toks GROUP BY b) r USING (b)
+    ),
+    scored AS (
+      SELECT b,
+             cast(floor((ln((t_cnt + 1) / ((SELECT sum(t_cnt) FROM lm)::double + 256))
+                       - ln((r_cnt + 1) / ((SELECT sum(r_cnt) FROM lm)::double + 256)))
+                        * 1000000) AS bigint) AS tok_score
+      FROM lm
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           cast(count(*) AS bigint) AS n_tokens,
+           cast(sum(tok_score) AS bigint) AS logw_micro
+    FROM cand_toks JOIN scored USING (b)
+    GROUP BY doc_id
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection: importance log-weights of every document
+    against an English-slice target distribution (hashed-unigram LMs,
+    256 buckets). See operators/textops.dsir_importance."""
+    from tera_spark.operators.textops import dsir_importance
+
+    docs = load(spark, sf, "documents")
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))

@@ -535,3 +535,21 @@ def test_chunk_documents_windows(spark):
     assert by_doc[3] == [(0, 1, "solo")]
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=0)
+
+
+def test_dsir_importance_prefers_target_like(spark):
+    from tera_spark.operators.textops import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta"), (1, "zz yy xx ww vv uu")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_importance(cands, target).collect()}
+    # per-token importance: target-vocabulary doc must outscore the
+    # off-distribution doc
+    assert out[0].logw_micro / out[0].n_tokens > out[1].logw_micro / out[1].n_tokens
+    assert out[0].n_tokens == 5 and out[1].n_tokens == 6
