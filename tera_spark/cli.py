@@ -126,6 +126,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="delete only the newest version of cf:qu")
     sp.add_argument("--ts", type=int)
     sp = sub.add_parser("get"); sp.add_argument("table"); sp.add_argument("row")
+    sp.add_argument("--seek", action="store_true",
+                    help="client-side seek fast path (no Spark job)")
     sp = sub.add_parser("scan")
     sp.add_argument("table"); sp.add_argument("--start"); sp.add_argument("--end")
     sp.add_argument("--limit", type=int, default=100)
@@ -305,6 +307,18 @@ def main(argv: list[str] | None = None) -> int:
         cat.kv_put(args.table, args.key, args.value, ttl_s=args.ttl or None)
         print("ok")
     elif args.cmd == "get":
+        if getattr(args, "seek", False):
+            from tera_spark.operators.seek import Seeker
+
+            seeker = Seeker(cat, args.table)
+            if cat.get_schema(args.table).kv_mode:
+                v = seeker.get_kv(args.row)
+                if v is not None:
+                    print(f"{args.row} {bytes(v)!r}")
+                return 0
+            for rk, cf, qu, ts, value in seeker.get(args.row):
+                print(f"{rk} {cf}:{qu} @{ts} {bytes(value or b'')!r}")
+            return 0
         if cat.get_schema(args.table).kv_mode:
             from pyspark.sql import functions as F
 

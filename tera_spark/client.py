@@ -153,9 +153,27 @@ class Table:
         max_versions: int | None = None,
         ts_range: tuple[int, int] | None = None,
         now_us: int | None = None,
+        seek: bool = False,
     ) -> dict[str, dict[str, list[tuple[int, bytes]]]]:
         """Point read, nested RowReader::ToMap-style:
-        {cf: {qualifier: [(ts, value) newest-first]}}."""
+        {cf: {qualifier: [(ts, value) newest-first]}}.
+
+        ``seek=True`` takes the LowLevelSeek-analog fast path
+        (operators/seek.py): footer-routed pyarrow row-group reads +
+        Python fold on the client — no Spark job, ~ms latency. Same
+        result by property test (tests/test_seek.py)."""
+        if seek:
+            cells = self._seeker().get(
+                row_key,
+                columns=columns,
+                max_versions=max_versions,
+                ts_range=ts_range,
+                now_us=now_us,
+            )
+            out: dict[str, dict[str, list[tuple[int, bytes]]]] = {}
+            for _, cf, qu, ts, value in cells:
+                out.setdefault(cf, {}).setdefault(qu, []).append((ts, bytes(value)))
+            return out
         rows = get(
             self._cat.read_oplog(self.name),
             self._cat.get_schema(self.name),
@@ -172,6 +190,13 @@ class Table:
             for versions in cfd.values():
                 versions.sort(key=lambda tv: -tv[0])
         return out
+
+    def _seeker(self):
+        if getattr(self, "_seek_client", None) is None:
+            from tera_spark.operators.seek import Seeker
+
+            self._seek_client = Seeker(self._cat, self.name)
+        return self._seek_client
 
     def batch_get(self, row_keys: list[str], *, now_us: int | None = None) -> DataFrame:
         return batch_get(
@@ -242,7 +267,14 @@ class KvTable:
     def put(self, key: str, value, *, ttl_s: int | None = None) -> None:
         self._cat.kv_put(self.name, key, value, ttl_s=ttl_s)
 
-    def get(self, key: str, *, now_us: int | None = None) -> bytes | None:
+    def get(self, key: str, *, now_us: int | None = None, seek: bool = False) -> bytes | None:
+        if seek:
+            from tera_spark.operators.seek import Seeker
+
+            if getattr(self, "_seek_client", None) is None:
+                self._seek_client = Seeker(self._cat, self.name)
+            v = self._seek_client.get_kv(key, now_us=now_us)
+            return bytes(v) if v is not None else None
         from tera_spark.operators.view import kv_current_view
 
         rows = (

@@ -153,3 +153,23 @@ def test_fold_row_empty_and_marks_only():
     assert fold_row([], _schema(), now_us=NOW) == []
     marks = [("r", "", "", 10, CellOp.DEL_ROW, None, 0)]
     assert fold_row(marks, _schema(), now_us=NOW) == []
+
+
+def test_client_and_cli_seek_paths(cat, spark, capsys):
+    from tera_spark.client import Client
+
+    client = Client(spark, str(cat.root))
+    client.create_table("sdk_seek {c <maxversions=2>}")
+    t = client.open_table("sdk_seek")
+    t.put("r1", "c", "q", b"v1", ts=10)
+    t.put("r1", "c", "q", b"v2", ts=20)
+    t.put("r2", "c", "q", b"other", ts=5)
+    assert t.get("r1", seek=True) == t.get("r1", seek=False)
+    assert t.get("r1", seek=True) == {"c": {"q": [(20, b"v2"), (10, b"v1")]}}
+
+    # CLI --seek prints the same cells as the Spark path
+    from tera_spark.cli import main as cli_main
+
+    rc = cli_main(["--root", str(cat.root), "get", "sdk_seek", "r1", "--seek"])
+    seek_out = capsys.readouterr().out
+    assert rc == 0 and "c:q @20 b'v2'" in seek_out
