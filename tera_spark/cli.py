@@ -131,6 +131,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("scan")
     sp.add_argument("table"); sp.add_argument("--start"); sp.add_argument("--end")
     sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("--seek", action="store_true",
+                    help="client-side range scan (no Spark job; small ranges)")
     sp = sub.add_parser("compact"); sp.add_argument("table")
     sp.add_argument("--minor", action="store_true", help="selective: fold only dirty row-range groups")
     sp = sub.add_parser("snapshot"); sp.add_argument("table")
@@ -331,6 +333,15 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
     elif args.cmd == "scan":
+        if getattr(args, "seek", False) and not cat.get_schema(args.table).kv_mode:
+            from tera_spark.operators.seek import Seeker
+
+            cells = Seeker(cat, args.table).scan_range(
+                args.start, args.end, number_limit=args.limit
+            )
+            for rk, cf, qu, ts, value in cells:
+                print(f"{rk} {cf}:{qu} @{ts} {bytes(value or b'')!r}")
+            return 0
         if cat.get_schema(args.table).kv_mode:
             from pyspark.sql import functions as F
 

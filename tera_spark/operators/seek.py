@@ -353,6 +353,84 @@ class Seeker:
                 out[k] = cells
         return out
 
+    def scan_range(
+        self,
+        start: str | None = None,
+        end: str | None = None,
+        *,
+        columns: dict[str, list[str]] | None = None,
+        max_versions: int | None = None,
+        ts_range: tuple[int, int] | None = None,
+        number_limit: int | None = None,
+        now_us: int | None = None,
+        snapshot_seq: int | None = None,
+    ):
+        """Client-side bounded ordered scan — the per-RPC
+        `LowLevelScan` shape (src/io/tablet_io.cc:939-1137) for small
+        ranges: footer bounds prune to the row groups overlapping
+        [start, end), the rows fold locally, and cells stream back in
+        (row_key, cf, qualifier, ts desc) order. Use the Spark `scan`
+        operator for large ranges — this path is for interactive
+        range reads (teracli scan ergonomics) where job latency
+        dominates."""
+        if self._kv:
+            raise ValueError("scan_range serves table-mode; use kv view for KV scans")
+        if now_us is None:
+            import time as _t
+
+            now_us = int(_t.time() * 1_000_000)
+        columns_arg = ["key", "value", "expire_ts", "seq"] if self._kv else _CELL_COLS
+        rollbacks = self._get_rollbacks()
+        by_key: dict[str, list[tuple]] = defaultdict(list)
+        for f in self._files():
+            for rg, lo, hi, _ in self._file_meta(f):
+                if lo is not None and hi is not None:
+                    if (end is not None and lo >= end) or (
+                        start is not None and hi < start
+                    ):
+                        continue
+                t = pq.ParquetFile(str(f)).read_row_group(rg, columns=columns_arg)
+                m = None
+                if start is not None:
+                    m = pc.greater_equal(t["row_key"], start)
+                if end is not None:
+                    lt = pc.less(t["row_key"], end)
+                    m = lt if m is None else pc.and_(m, lt)
+                if m is not None:
+                    t = t.filter(m)
+                for row in zip(*(t[c].to_pylist() for c in columns_arg)):
+                    seq = row[-1]
+                    if any(r["after"] < seq <= r["upto"] for r in rollbacks):
+                        continue
+                    if snapshot_seq is not None and seq > snapshot_seq:
+                        continue
+                    by_key[row[0]].append(row)
+
+        out: list[tuple] = []
+        for k in sorted(by_key):
+            cells = fold_row(by_key[k], self.schema, now_us=now_us)
+            if max_versions is not None:
+                per_col: dict[tuple, int] = defaultdict(int)
+                kept = []
+                for c in sorted(cells, key=lambda c: (c[1], c[2], -c[3])):
+                    per_col[(c[1], c[2])] += 1
+                    if per_col[(c[1], c[2])] <= max_versions:
+                        kept.append(c)
+                cells = kept
+            if columns:
+                cells = [
+                    c
+                    for c in cells
+                    if c[1] in columns and (not columns[c[1]] or c[2] in columns[c[1]])
+                ]
+            if ts_range is not None:
+                cells = [c for c in cells if ts_range[0] <= c[3] <= ts_range[1]]
+            cells.sort(key=lambda c: (c[1], c[2], -c[3]))
+            out.extend(cells)
+            if number_limit is not None and len(out) >= number_limit:
+                return out[:number_limit]
+        return out
+
     def get_kv(self, key: str, *, now_us: int | None = None):
         """KV-mode point read: newest write by seq wins, NULL value is
         a tombstone, expired TTL keys invisible (kv_current_view twin)."""

@@ -173,3 +173,53 @@ def test_client_and_cli_seek_paths(cat, spark, capsys):
     rc = cli_main(["--root", str(cat.root), "get", "sdk_seek", "r1", "--seek"])
     seek_out = capsys.readouterr().out
     assert rc == 0 and "c:q @20 b'v2'" in seek_out
+
+
+def test_scan_range_matches_spark_scan(cat, spark):
+    from tera_spark.operators.scan import ScanDescriptor, scan
+
+    rows = _gen_oplog(13, n=400)
+    name = _mk_table(cat, spark, rows, name="seek_scan")
+    oplog = cat.read_oplog(name)
+    schema = cat.get_schema(name)
+    seeker = Seeker(cat, name)
+
+    for desc in (
+        ScanDescriptor(start="row02", end="row07"),
+        ScanDescriptor(start="row05"),
+        ScanDescriptor(end="row03", max_versions=1),
+        ScanDescriptor(start="row00", end="row09", ts_start=NOW - 40, ts_end=NOW),
+    ):
+        want = {
+            (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+            for r in scan(oplog, schema, desc, now_us=NOW).collect()
+        }
+        got = seeker.scan_range(
+            desc.start,
+            desc.end,
+            max_versions=desc.max_versions,
+            ts_range=(desc.ts_start, desc.ts_end) if desc.ts_start else None,
+            now_us=NOW,
+        )
+        assert {(c[0], c[1], c[2], c[3], bytes(c[4])) for c in got} == want
+
+    # ordered emission + number_limit truncates deterministically
+    full = seeker.scan_range(now_us=NOW)
+    assert [c[0] for c in full] == sorted(c[0] for c in full)
+    assert seeker.scan_range(now_us=NOW, number_limit=5) == full[:5]
+
+
+def test_cli_scan_seek(cat, spark, capsys):
+    from tera_spark.client import Client
+    from tera_spark.cli import main as cli_main
+
+    client = Client(spark, str(cat.root))
+    client.create_table("cli_scan {c}")
+    t = client.open_table("cli_scan")
+    for i in range(5):
+        t.put(f"r{i}", "c", "q", f"v{i}".encode(), ts=1)
+    rc = cli_main(["--root", str(cat.root), "scan", "cli_scan",
+                   "--start", "r1", "--end", "r4", "--seek"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert [l.split()[0] for l in out] == ["r1", "r2", "r3"]
