@@ -1776,3 +1776,47 @@ def pipeline_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
+_SQL_INT8 = (
+    "CASE WHEN list_max(list_transform({v}, x -> abs(x::double))) = 0 "
+    "THEN list_transform({v}, x -> 0.0::double) "
+    "ELSE list_transform({v}, x -> round(x::double / "
+    "(list_max(list_transform({v}, y -> abs(y::double))) / 127.0))) END"
+)
+
+
+@query(
+    "ann_int8_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, {_SQL_INT8.format(v='embedding')} AS q_codes
+      FROM embeddings WHERE vec_id < 10
+    ),
+    v AS (
+      SELECT vec_id AS v_id, {_SQL_INT8.format(v='embedding')} AS v_codes
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.q_id, v.v_id,
+             round({_sql_cos('q.q_codes', 'v.v_codes')}, 6) AS sim_q
+      FROM v, q WHERE v.v_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, v_id, sim_q,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, v_id) AS rank
+      FROM sims
+    )
+    SELECT cast(q_id AS bigint) AS q_id, cast(v_id AS bigint) AS v_id, sim_q,
+           cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings — the 4×-compressed
+    vector-store path; cosine is scale-invariant so integer codes feed
+    the similarity directly. See operators/similarity.int8_topk."""
+    from tera_spark.operators.similarity import int8_topk
+
+    emb = load(spark, sf, "embeddings")
+    return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -553,3 +553,21 @@ def test_dsir_importance_prefers_target_like(spark):
     # off-distribution doc
     assert out[0].logw_micro / out[0].n_tokens > out[1].logw_micro / out[1].n_tokens
     assert out[0].n_tokens == 5 and out[1].n_tokens == 6
+
+
+def test_int8_quantization_roundtrip(spark):
+    from tera_spark.operators.similarity import int8_topk, quantize_int8
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]),
+         (3, [-0.5, -0.5, 0.7]), (4, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = {r.vec_id: r for r in quantize_int8(vecs).collect()}
+    assert q[0].codes == [127.0, 0.0, 0.0]
+    assert q[4].codes == [0.0, 0.0, 0.0] and q[4].scale == 0.0
+    # codes stay in int8 range
+    assert all(abs(c) <= 127 for r in q.values() for c in r.codes)
+    # quantized neighbours preserve the obvious ranking
+    top = int8_topk(vecs.filter("vec_id < 4"), vecs.filter("vec_id = 0"), k=2).collect()
+    assert [r.v_id for r in sorted(top, key=lambda r: r.rank)] == [1, 2]
