@@ -206,6 +206,38 @@ class Table:
             now_us=now_us,
         )
 
+    def multi_get(
+        self, row_keys: list[str], *, now_us: int | None = None, mode: str = "auto"
+    ) -> dict[str, list[tuple]]:
+        """Batched point reads with path routing (the access-path
+        choice the reference makes per-read, tablet_io.cc:1439-1451):
+
+        - ``seek``: client-side footer-routed reads (operators/seek) —
+          wins while the key count is small relative to the table's
+          row-group count (each get touches ~1 row group).
+        - ``join``: the Spark broadcast-semi-join scan path — wins
+          once the batch would touch most row groups anyway (the batch
+          degenerates to a full read, so do it as one distributed
+          scan; see SCALE.md "OLTP verbs").
+        - ``auto``: seek iff len(keys) < total row groups / 2.
+
+        Returns row_key → [(row_key, cf, qualifier, ts, value)]."""
+        if mode == "auto":
+            groups = sum(len(self._seeker()._file_meta(f)) for f in self._seeker()._files())
+            mode = "seek" if len(row_keys) < max(groups, 1) / 2 else "join"
+        if mode == "seek":
+            return self._seeker().multi_get(row_keys, now_us=now_us)
+        if mode != "join":
+            raise ValueError(f"unknown mode: {mode!r}")
+        out: dict[str, list[tuple]] = {}
+        for r in self.batch_get(row_keys, now_us=now_us).collect():
+            out.setdefault(r.row_key, []).append(
+                (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+            )
+        for cells in out.values():
+            cells.sort(key=lambda c: (c[1], c[2], -c[3]))
+        return out
+
     def scan(
         self, desc: ScanDescriptor | None = None, *, now_us: int | None = None
     ) -> Iterator:

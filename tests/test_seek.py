@@ -223,3 +223,25 @@ def test_cli_scan_seek(cat, spark, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0
     assert [l.split()[0] for l in out] == ["r1", "r2", "r3"]
+
+
+def test_multi_get_auto_routing(cat, spark):
+    from tera_spark.client import Client
+
+    client = Client(spark, str(cat.root))
+    client.create_table("route_t {c}")
+    t = client.open_table("route_t")
+    for i in range(8):
+        t.put(f"r{i}", "c", "q", f"v{i}".encode(), ts=1)
+
+    few = t.multi_get(["r1", "r3"])                     # auto → seek
+    assert {k: [c[4] for c in v] for k, v in few.items()} == {
+        "r1": [b"v1"], "r3": [b"v3"],
+    }
+    # both explicit paths agree
+    many = [f"r{i}" for i in range(8)] + ["missing"]
+    via_seek = t.multi_get(many, mode="seek")
+    via_join = t.multi_get(many, mode="join")
+    assert via_seek == via_join and "missing" not in via_seek
+    with pytest.raises(ValueError):
+        t.multi_get(["r1"], mode="bogus")
