@@ -121,9 +121,11 @@ class Catalog:
     def read_oplog(self, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
-        from tera_spark.model import KV_OPLOG_SCHEMA
+        from tera_spark.model import CELL_TTL_SCHEMA, KV_OPLOG_SCHEMA
 
-        schema = KV_OPLOG_SCHEMA if self.get_schema(name).kv_mode else CELL_SCHEMA
+        # table mode reads the TTL-extended layout: files written
+        # without expire_ts null-fill, so both layouts coexist
+        schema = KV_OPLOG_SCHEMA if self.get_schema(name).kv_mode else CELL_TTL_SCHEMA
         df = self.spark.read.schema(schema).parquet(self.oplog_path(name))
         for r in self._rollbacks(name):
             # RollbackDrop semantics (reference leveldb dbformat.h:156):

@@ -100,8 +100,21 @@ class Table:
         batch._base_seq = self._seq(len(batch))
         self._cat.append(self.name, batch.to_df(self._cat.spark))
 
-    def put(self, row_key: str, cf: str, qualifier: str, value, ts: int | None = None) -> None:
-        self.apply_mutation(MutationBatch().put(row_key, cf, qualifier, value, ts=ts))
+    def put(
+        self,
+        row_key: str,
+        cf: str,
+        qualifier: str,
+        value,
+        ts: int | None = None,
+        *,
+        ttl_s: int | None = None,
+    ) -> None:
+        """Cell put; ``ttl_s`` = per-cell TTL (Put(value, ttl),
+        mutation.h:30-33)."""
+        self.apply_mutation(
+            MutationBatch().put(row_key, cf, qualifier, value, ts=ts, ttl_s=ttl_s)
+        )
 
     def delete_row(self, row_key: str, ts: int | None = None) -> None:
         self.apply_mutation(MutationBatch().delete_row(row_key, ts=ts))

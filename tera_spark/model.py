@@ -64,6 +64,15 @@ CELL_SCHEMA = T.StructType(
     ]
 )
 
+# CELL_SCHEMA plus per-cell expiry — `RowMutation::Put(value, ttl)`
+# (include/tera/mutation.h:30-33): a put may carry its own TTL on top
+# of the column family's. NULL/0 = never expires. Old op-log files
+# without the column read as NULL under this schema, so the two layouts
+# coexist in one table.
+CELL_TTL_SCHEMA = T.StructType(
+    CELL_SCHEMA.fields + [T.StructField("expire_ts", T.LongType(), True)]
+)
+
 # Visible-cell view produced by operators/view.py.
 VISIBLE_SCHEMA = T.StructType(
     [

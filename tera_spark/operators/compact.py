@@ -33,7 +33,7 @@ def compact(
 ) -> DataFrame:
     """op-log → compacted op-log (all PUTs, seq=0)."""
     v = current_view(cells, schema, now_us=now_us, snapshot_seq=snapshot_seq)
-    return v.select(
+    out = v.select(
         "row_key",
         "cf",
         "qualifier",
@@ -42,3 +42,21 @@ def compact(
         "value",
         F.lit(0).cast("long").alias("seq"),
     )
+    if "expire_ts" in cells.columns:
+        # per-cell TTL survives compaction: a put whose TTL has not yet
+        # fired must still expire later (the reference re-encodes the
+        # expiry into the compacted SST; here the column rides along).
+        # The surviving value at a coordinate is the max-seq put, so
+        # max_by(seq) picks its expiry. Corner: two same-ts versions of
+        # one column (maxversions>1) share the newer put's expiry.
+        exp = (
+            cells.filter(
+                (F.col("op") == CellOp.PUT)
+                & F.col("expire_ts").isNotNull()
+                & (F.col("expire_ts") > 0)
+            )
+            .groupBy("row_key", "cf", "qualifier", "ts")
+            .agg(F.max_by("expire_ts", "seq").alias("expire_ts"))
+        )
+        out = out.join(exp, ["row_key", "cf", "qualifier", "ts"], "left")
+    return out

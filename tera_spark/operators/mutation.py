@@ -30,8 +30,21 @@ class MutationBatch:
         self._base_seq = base_seq
 
     # --- RowMutation ops (mutation.h:37-77) ---------------------------
-    def put(self, row_key: str, cf: str, qualifier: str, value: bytes | str, ts: int | None = None):
-        self._emit(row_key, cf, qualifier, ts, CellOp.PUT, _b(value))
+    def put(
+        self,
+        row_key: str,
+        cf: str,
+        qualifier: str,
+        value: bytes | str,
+        ts: int | None = None,
+        *,
+        ttl_s: int | None = None,
+    ):
+        """Cell put; ``ttl_s`` is the per-cell TTL of
+        `RowMutation::Put(value, int32 ttl)` (mutation.h:30-33) — the
+        cell expires ttl_s seconds after commit, independent of the
+        column family's TTL."""
+        self._emit(row_key, cf, qualifier, ts, CellOp.PUT, _b(value), ttl_s=ttl_s)
         return self
 
     def put_int64(self, row_key: str, cf: str, qualifier: str, v: int, ts: int | None = None):
@@ -85,16 +98,23 @@ class MutationBatch:
         return self
 
     # --- commit -------------------------------------------------------
-    def _emit(self, row_key, cf, qualifier, ts, op, value):
-        self._rows.append((row_key, cf, qualifier, ts, op, value))
+    def _emit(self, row_key, cf, qualifier, ts, op, value, *, ttl_s=None):
+        self._rows.append((row_key, cf, qualifier, ts, op, value, ttl_s))
 
     def to_df(self, spark: SparkSession, *, now_us: int | None = None) -> DataFrame:
+        from tera_spark.model import CELL_TTL_SCHEMA
+
         now = now_us if now_us is not None else int(time.time() * 1_000_000)
+        with_ttl = any(ttl is not None for *_, ttl in self._rows)
         data = [
             (r, c, q, ts if ts is not None else now, op, v, self._base_seq + i)
-            for i, (r, c, q, ts, op, v) in enumerate(self._rows)
+            + ((now + ttl * 1_000_000 if ttl is not None else None,) if with_ttl else ())
+            for i, (r, c, q, ts, op, v, ttl) in enumerate(self._rows)
         ]
-        return spark.createDataFrame(data, CELL_SCHEMA)
+        # plain batches keep the 7-column layout byte-identical; a batch
+        # with any per-cell TTL writes the extended schema (mixed files
+        # in one op-log read fine — see CELL_TTL_SCHEMA)
+        return spark.createDataFrame(data, CELL_TTL_SCHEMA if with_ttl else CELL_SCHEMA)
 
     def append_to(self, spark: SparkSession, path: str, **kw) -> None:
         """Group commit: one atomic append job (micro-batch ≙ WAL+memtable

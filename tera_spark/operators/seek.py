@@ -240,9 +240,13 @@ class Seeker:
                     plan.setdefault(f, {}).setdefault(rg, []).extend(hit)
         return plan
 
-    def _read_cells(self, keys: list[str]) -> dict[str, list[tuple]]:
+    def _read_cells(
+        self, keys: list[str], *, now_us: int | None = None
+    ) -> dict[str, list[tuple]]:
         """Read all op-log cells for the given keys, pruned to the row
-        groups whose footer bounds admit them."""
+        groups whose footer bounds admit them. Table-mode rows come
+        back as 7-tuples; per-cell TTL (expire_ts column, present only
+        in files written by TTL puts) is applied here."""
         key_col = self._key_col()
         columns = ["key", "value", "expire_ts", "seq"] if self._kv else _CELL_COLS
         rollbacks = self._get_rollbacks()
@@ -254,7 +258,11 @@ class Seeker:
             if t is not None:
                 self._rg_cache.move_to_end(ck)
                 return t
-            t = pq.ParquetFile(str(f)).read_row_group(rg, columns=columns)
+            pf = pq.ParquetFile(str(f))
+            cols = columns
+            if not self._kv and "expire_ts" in pf.schema_arrow.names:
+                cols = columns + ["expire_ts"]
+            t = pf.read_row_group(rg, columns=cols)
             if self._cache_groups > 0:
                 self._rg_cache[ck] = t
                 while len(self._rg_cache) > self._cache_groups:
@@ -276,10 +284,17 @@ class Seeker:
             t = t.filter(pc.is_in(t[key_col], value_set=pa.array(set(rg_keys))))
             if t.num_rows == 0:
                 continue
-            for row in zip(*(t[c].to_pylist() for c in columns)):
-                seq = row[-1]
+            has_ttl = not self._kv and "expire_ts" in t.column_names
+            read_cols = columns + (["expire_ts"] if has_ttl else [])
+            for row in zip(*(t[c].to_pylist() for c in read_cols)):
+                seq = row[len(columns) - 1]
                 if any(r["after"] < seq <= r["upto"] for r in rollbacks):
                     continue  # RollbackDrop (dbformat.h:156)
+                if has_ttl:
+                    exp = row[-1]
+                    if exp is not None and 0 < exp <= (now_us or 0):
+                        continue  # per-cell TTL (mutation.h:30-33)
+                    row = row[: len(columns)]
                 by_key[row[0]].append(row)
         return by_key
 
@@ -324,7 +339,7 @@ class Seeker:
             import time as _t
 
             now_us = int(_t.time() * 1_000_000)
-        by_key = self._read_cells(list(dict.fromkeys(keys)))
+        by_key = self._read_cells(list(dict.fromkeys(keys)), now_us=now_us)
         out: dict[str, list[tuple]] = {}
         for k, rows in by_key.items():
             if snapshot_seq is not None:
@@ -389,7 +404,10 @@ class Seeker:
                         start is not None and hi < start
                     ):
                         continue
-                t = pq.ParquetFile(str(f)).read_row_group(rg, columns=columns_arg)
+                pf = pq.ParquetFile(str(f))
+                has_ttl = "expire_ts" in pf.schema_arrow.names
+                read_cols = columns_arg + (["expire_ts"] if has_ttl else [])
+                t = pf.read_row_group(rg, columns=read_cols)
                 m = None
                 if start is not None:
                     m = pc.greater_equal(t["row_key"], start)
@@ -398,12 +416,17 @@ class Seeker:
                     m = lt if m is None else pc.and_(m, lt)
                 if m is not None:
                     t = t.filter(m)
-                for row in zip(*(t[c].to_pylist() for c in columns_arg)):
-                    seq = row[-1]
+                for row in zip(*(t[c].to_pylist() for c in read_cols)):
+                    seq = row[len(columns_arg) - 1]
                     if any(r["after"] < seq <= r["upto"] for r in rollbacks):
                         continue
                     if snapshot_seq is not None and seq > snapshot_seq:
                         continue
+                    if has_ttl:
+                        exp = row[-1]
+                        if exp is not None and 0 < exp <= now_us:
+                            continue
+                        row = row[: len(columns_arg)]
                     by_key[row[0]].append(row)
 
         out: list[tuple] = []

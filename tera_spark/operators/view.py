@@ -109,6 +109,14 @@ def current_view(
         df = df.withColumn("seq", F.lit(0).cast("long"))
     if snapshot_seq is not None:
         df = df.filter(F.col("seq") <= F.lit(snapshot_seq))
+    if "expire_ts" in df.columns:
+        # per-cell TTL (RowMutation::Put(value, ttl), mutation.h:30-33):
+        # only puts carry it; NULL/0 = eternal
+        df = df.filter(
+            F.col("expire_ts").isNull()
+            | (F.col("expire_ts") <= 0)
+            | (F.col("expire_ts") > F.lit(now_us))
+        ).drop("expire_ts")
 
     op, ts = F.col("op"), F.col("ts")
 

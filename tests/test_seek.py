@@ -245,3 +245,42 @@ def test_multi_get_auto_routing(cat, spark):
     assert via_seek == via_join and "missing" not in via_seek
     with pytest.raises(ValueError):
         t.multi_get(["r1"], mode="bogus")
+
+
+def test_per_cell_ttl_view_compact_seek(cat, spark):
+    """RowMutation::Put(value, ttl) — per-cell TTL on top of CF TTL
+    (mutation.h:30-33): visibility at read, survival through
+    compaction, and seek-path agreement."""
+    import time as _t
+
+    from tera_spark.client import Client
+
+    client = Client(spark, str(cat.root))
+    client.create_table("ttl_t {c}")
+    t = client.open_table("ttl_t")
+    t.put("r1", "c", "q", b"eternal", ts=1)
+    t.put("r2", "c", "q", b"fresh", ts=1, ttl_s=24 * 3600)
+    t.put("r3", "c", "q", b"stale", ts=1, ttl_s=60)
+    # generous horizons so slow boxes can't race the clock: the puts
+    # stamp expiry at commit wall time, checks sit 30 min / 48 h out
+    now = int(_t.time() * 1_000_000)
+    soon = now + 30 * 60 * 1_000_000
+    later = now + 48 * 3600 * 1_000_000
+
+    def visible(now_us):
+        return {r.row_key for r in cat.view("ttl_t", now_us=now_us).collect()}
+
+    assert visible(soon) == {"r1", "r2"}                   # r3 already expired
+    assert visible(later) == {"r1"}                        # r2 expires too
+
+    # seek path agrees on both horizons
+    seeker = Seeker(cat, "ttl_t")
+    assert set(seeker.multi_get(["r1", "r2", "r3"], now_us=soon)) == {"r1", "r2"}
+    assert set(seeker.multi_get(["r1", "r2", "r3"], now_us=later)) == {"r1"}
+    assert {c[0] for c in seeker.scan_range(now_us=later)} == {"r1"}
+
+    # compaction preserves the pending expiry: r2 folds in as live,
+    # but still vanishes once its TTL fires
+    cat.compact_inplace("ttl_t", now_us=soon)
+    assert visible(soon + 60 * 1_000_000) == {"r1", "r2"}
+    assert visible(later) == {"r1"}
