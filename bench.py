@@ -35,7 +35,10 @@ BENCH_QUERIES = [
     "dedup_exact_hash",
     "dedup_lsh_verified",
     "ann_cosine_topk",
+    "ann_int8_topk",
     "text_quality_score",
+    "pipeline_doc_chunking",
+    "pipeline_dsir_importance",
 ]
 
 

@@ -122,3 +122,72 @@ def binned_range_join(
         .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
         .drop("__bin")
     )
+
+
+def subsequence_topk(
+    series: DataFrame,
+    pattern: list[float],
+    *,
+    k: int = 20,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Distributed top-k z-normalized subsequence similarity search:
+    find the k subsequences (any series, any offset) closest to the
+    query pattern under z-normalized squared Euclidean distance — the
+    motif/pattern-matching primitive of time-series stores (the shape
+    tera clients hand-roll with ordered scans + client loops).
+
+    Plan shape: one hash aggregation collects each key's ordered
+    series (per-key series must fit an executor — the same bound every
+    sessionization/window op in this engine assumes; shard long series
+    by time range first if not). Sliding windows, per-window moments,
+    z-norm and the distance fold all run JVM-side as higher-order
+    array functions — no UDFs, no second shuffle; the global top-k is
+    a TakeOrdered over window-count rows. Left-fold order is element
+    order, so sums are bit-stable across engines (the DuckDB oracle
+    folds identically).
+
+    Flat (zero-variance) windows carry no shape and are excluded, as
+    is standard for z-normalized distance. Ties break on
+    (dist, id, start).
+    """
+    L = len(pattern)
+    if L < 2:
+        raise ValueError("pattern must have at least 2 points")
+    mu = sum(pattern) / L
+    sd = (sum((x - mu) ** 2 for x in pattern) / L) ** 0.5
+    if sd == 0:
+        raise ValueError("flat query pattern has no shape under z-normalization")
+    qz = [(x - mu) / sd for x in pattern]
+    qz_arr = F.array(*[F.lit(float(x)) for x in qz])
+
+    s = series.groupBy(F.col(id_col).alias("sid")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(val_col).alias("v")))),
+            lambda p: p["v"].cast("double"),
+        ).alias("vals")
+    )
+    n = F.size("vals")
+    s = s.filter(n >= L).withColumn(
+        "start", F.explode(F.sequence(F.lit(0), n - L))
+    )
+    w = F.slice("vals", F.col("start") + 1, L)
+    s = s.withColumn("w", w)
+    mean = F.aggregate("w", F.lit(0.0), lambda a, x: a + x) / L
+    s = s.withColumn("m", mean)
+    var = F.aggregate("w", F.lit(0.0), lambda a, x: a + (x - F.col("m")) * (x - F.col("m"))) / L
+    s = s.withColumn("sd", F.sqrt(var)).filter(F.col("sd") > 0)
+    z = F.transform("w", lambda x: (x - F.col("m")) / F.col("sd"))
+    diff2 = F.zip_with(z, qz_arr, lambda a, b: (a - b) * (a - b))
+    dist = F.round(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x), 6)
+    return (
+        s.select(
+            F.col("sid").alias(id_col),
+            F.col("start").cast("long").alias("start"),
+            dist.alias("dist"),
+        )
+        .orderBy("dist", id_col, "start")
+        .limit(k)
+    )

@@ -499,3 +499,96 @@ def events_session_transcripts(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_events") >= 2)
         .select("user_id", F.col("session_no").cast("long").alias("session_no"), "n_events", "transcript")
     )
+
+
+@query(
+    "events_ohlc_bars",
+    """
+    SELECT cast(epoch(time_bucket(INTERVAL 15 MINUTE, ts)) AS bigint) AS win_start,
+           event_type,
+           round(arg_min(value, ts), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(arg_max(value, ts), 4) AS close,
+           cast(count(*) AS bigint) AS n
+    FROM events
+    GROUP BY win_start, event_type
+    """,
+)
+def events_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC resampling: open/high/low/close per 15-minute bar per
+    event type — the time-series downsampling shape every metrics
+    store serves. One hash aggregation with min_by/max_by picking the
+    boundary values; no window functions, no second shuffle.
+
+    Tie stance: open/close break equal timestamps arbitrarily but
+    deterministically IF timestamps are unique per group; the driver
+    events table has unique ts per (bar, type), which the oracle
+    relies on (arg_min/arg_max on raw ts)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type", "open", "high", "low", "close", "n",
+        )
+    )
+
+
+def _znorm_pattern(pattern: list[float]) -> list[float]:
+    L = len(pattern)
+    mu = sum(pattern) / L
+    sd = (sum((x - mu) ** 2 for x in pattern) / L) ** 0.5
+    return [(x - mu) / sd for x in pattern]
+
+
+_SUBSEQ_PATTERN = [0.0, 0.0, 3.0, 3.0, 0.0, 0.0]  # a 6-point square pulse
+_SUBSEQ_QZ = _znorm_pattern(_SUBSEQ_PATTERN)
+_SUBSEQ_QZ_SQL = "[" + ", ".join(repr(x) for x in _SUBSEQ_QZ) + "]::double[]"
+
+
+@query(
+    "events_subseq_topk",
+    f"""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts) AS vals
+      FROM events GROUP BY user_id
+    ),
+    winds AS (
+      SELECT user_id, i AS start, vals[i + 1:i + 6] AS w
+      FROM s, unnest(range(0, greatest(len(vals) - 5, 0))) t(i)
+    ),
+    m AS (
+      SELECT user_id, start, w,
+             list_reduce(w, (x, y) -> x + y) / 6.0 AS mean
+      FROM winds
+    ),
+    sdv AS (
+      SELECT user_id, start, w, mean,
+             sqrt(list_reduce(list_transform(w, x -> (x - mean) * (x - mean)),
+                              (x, y) -> x + y) / 6.0) AS sd
+      FROM m
+    )
+    SELECT user_id, cast(start AS bigint) AS start,
+           round(list_reduce(list_transform(range(1, 7), j ->
+             ((w[j] - mean) / sd - ({_SUBSEQ_QZ_SQL})[j])
+             * ((w[j] - mean) / sd - ({_SUBSEQ_QZ_SQL})[j])), (x, y) -> x + y), 6) AS dist
+    FROM sdv WHERE sd > 0
+    ORDER BY dist, user_id, start LIMIT 20
+    """,
+)
+def events_subseq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 z-normalized subsequence matches of a square-pulse
+    pattern across every user's event-value series — distributed
+    time-series pattern search. See operators/temporal.subsequence_topk."""
+    from tera_spark.operators.temporal import subsequence_topk
+
+    ev = load(spark, sf, "events")
+    return subsequence_topk(ev, _SUBSEQ_PATTERN, k=20)

@@ -121,3 +121,26 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert got_left == {(1, 10, 1): 100, (1, 30, 2): None, (2, 5, 3): None}
+
+
+def test_subsequence_topk_finds_planted_pattern(spark):
+    from tera_spark.operators.temporal import subsequence_topk
+
+    # user A carries an exact square pulse at offset 3; user B is a ramp
+    a_vals = [5.0, 5.0, 5.0, 0.0, 0.0, 3.0, 3.0, 0.0, 0.0, 5.0]
+    b_vals = [float(i) for i in range(10)]
+    rows = [("A", i, v) for i, v in enumerate(a_vals)] + [
+        ("B", i, v) for i, v in enumerate(b_vals)
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts long, value double")
+    top = subsequence_topk(ev, [0.0, 0.0, 3.0, 3.0, 0.0, 0.0], k=3).collect()
+    assert (top[0].user_id, top[0].start, top[0].dist) == ("A", 3, 0.0)
+    # flat windows (zero variance) are excluded entirely
+    flat = spark.createDataFrame(
+        [("C", i, 1.0) for i in range(8)], "user_id string, ts long, value double"
+    )
+    assert subsequence_topk(flat, [0.0, 1.0, 0.0, 1.0, 0.0, 1.0]).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        subsequence_topk(ev, [1.0, 1.0, 1.0])
