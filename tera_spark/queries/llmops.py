@@ -1820,3 +1820,59 @@ def ann_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Unrolled integer-PageRank oracle over the minhash-LSH pair
+    graph — the same fixed-point recurrence as operators/graph.pagerank
+    (floor divisions on bigints, so both engines are bit-identical)."""
+    unit = 1_000_000_000_000
+    head = f"""
+    WITH sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT u, cast({unit} // n AS bigint) AS r FROM deg, nn)
+    """
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f""",
+    r{i} AS (
+      SELECT e.v AS u,
+             cast((SELECT ((15 * {unit}) // 100) // n FROM nn)
+                  + (85 * sum(r{i-1}.r // deg.deg)) // 100 AS bigint) AS r
+      FROM e JOIN r{i-1} ON e.u = r{i-1}.u JOIN deg ON e.u = deg.u
+      GROUP BY e.v
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT cast(u AS bigint) AS id, r AS rank_units FROM r{iterations}
+    """
+    )
+
+
+@query("graph_pagerank_neardup", _pagerank_sql())
+def graph_pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality over the minhash-LSH near-duplicate graph:
+    high-rank docs are the hubs of big duplicate clusters (boilerplate
+    detectors / cluster representatives). Integer fixed-point rank —
+    see operators/graph.pagerank."""
+    from tera_spark.operators.dedup import minhash_lsh_pairs
+    from tera_spark.operators.graph import pagerank
+
+    docs = load(spark, sf, "documents")
+    return pagerank(minhash_lsh_pairs(docs), iterations=5)

@@ -571,3 +571,23 @@ def test_int8_quantization_roundtrip(spark):
     # quantized neighbours preserve the obvious ranking
     top = int8_topk(vecs.filter("vec_id < 4"), vecs.filter("vec_id = 0"), k=2).collect()
     assert [r.v_id for r in sorted(top, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_pagerank_hub_and_symmetry(spark):
+    from tera_spark.operators.graph import UNIT, pagerank
+
+    # star: hub 0 connected to 1..4 — hub must dominate
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    r = {row.id: row.rank_units for row in pagerank(star).collect()}
+    assert r[0] > r[1] and len(set(r[i] for i in range(1, 5))) == 1
+    # triangle: perfect symmetry → identical integer ranks, mass ≈ 1
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    rt = [row.rank_units for row in pagerank(tri).collect()]
+    assert len(set(rt)) == 1
+    assert abs(sum(rt) - UNIT) < 1000  # floor-division dust only
+    # empty graph → empty result
+    assert pagerank(star.limit(0)).count() == 0
