@@ -76,3 +76,37 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return rank.select(F.col("u").alias("id"), F.col("r").alias("rank_units"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair table —
+    the local clustering signal: near-dup clusters are triangle-dense,
+    chains of coincidental LSH collisions are not, so triangle counts
+    separate "real" duplicate clusters from bucket noise before the
+    expensive verify pass.
+
+    Canonical enumeration: each triangle {a<b<c} found exactly once by
+    joining ordered edges (a,b)+(b,c) and closing with (a,c). Two
+    equi-joins + one aggregation — no explosion beyond the wedge count;
+    at scale the ordered-edge convention halves the join inputs, and
+    skewed hub nodes are exactly the AQE skew-join case.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # one row per triangle a<b<c
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_node

@@ -1876,3 +1876,71 @@ def graph_pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return pagerank(minhash_lsh_pairs(docs), iterations=5)
+
+
+@query(
+    "graph_triangles_neardup",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    e AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    x AS (
+      SELECT unnest([a, b, c]) AS id FROM tri
+    )
+    SELECT cast(id AS bigint) AS id, cast(count(*) AS bigint) AS n_triangles
+    FROM x GROUP BY id
+    """,
+)
+def graph_triangles_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle participation per document in the LSH near-dup graph —
+    separates triangle-dense true duplicate clusters from chains of
+    coincidental bucket collisions. See operators/graph.triangle_counts."""
+    from tera_spark.operators.dedup import minhash_lsh_pairs
+    from tera_spark.operators.graph import triangle_counts
+
+    docs = load(spark, sf, "documents")
+    return triangle_counts(minhash_lsh_pairs(docs))
+
+
+@query(
+    "events_k_anonymity_audit",
+    """
+    SELECT event_type,
+           cast(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS bigint) AS hour_start,
+           cast(json_extract(props, '$.k') AS bigint) // 10 AS k_band,
+           cast(count(DISTINCT user_id) AS bigint) AS n_users,
+           cast(count(*) AS bigint) AS n_events
+    FROM events
+    GROUP BY event_type, hour_start, k_band
+    HAVING count(DISTINCT user_id) < 5
+    """,
+)
+def events_k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (event_type, hour,
+    banded props.k): combinations identifying fewer than k=5 distinct
+    users are re-identification risks — the governance gate run before
+    exporting behavioral data into a training corpus (complements
+    pipeline_pseudonymize_users: pseudonyms don't help if a QI combo
+    isolates one user). Plain groupBy/having — Catalyst shape."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+            F.expr("get_json_object(props, '$.k') div 10").alias("k_band"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_users") < 5)
+    )

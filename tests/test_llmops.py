@@ -591,3 +591,15 @@ def test_pagerank_hub_and_symmetry(spark):
     assert abs(sum(rt) - UNIT) < 1000  # floor-division dust only
     # empty graph → empty result
     assert pagerank(star.limit(0)).count() == 0
+
+
+def test_triangle_counts_canonical(spark):
+    from tera_spark.operators.graph import triangle_counts
+
+    # triangle 1-2-3 plus a dangling chain 3-4-5: only the triangle counts
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 1)],  # dup edge reversed
+        "id_a long, id_b long",
+    )
+    r = {row.id: row.n_triangles for row in triangle_counts(edges).collect()}
+    assert r == {1: 1, 2: 1, 3: 1}
