@@ -40,6 +40,7 @@ class Catalog:
         self.root.mkdir(parents=True, exist_ok=True)
         self.access = access
         self.user = user
+        self._tail_checked: set[str] = set()  # per-process WAL-recovery memo
 
     def _authorize(self, action: str, table: str) -> None:
         if self.access is not None:
@@ -131,17 +132,79 @@ class Catalog:
             # RollbackDrop semantics (reference leveldb dbformat.h:156):
             # entries written inside a rolled-back seq window vanish
             df = df.filter(~((F.col("seq") > r["after"]) & (F.col("seq") <= r["upto"])))
+        w = self.commit_watermark(name)
+        if w is not None:
+            # group-commit visibility: rows above the committed
+            # watermark are a torn batch (crash between file write and
+            # commit record) — never visible
+            df = df.filter(F.col("seq") <= F.lit(w))
         return df
 
     def _rollbacks(self, name: str) -> list[dict]:
         p = self.root / name / "rollbacks.json"
         return json.loads(p.read_text()) if p.exists() else []
 
-    def append(self, name: str, cells: DataFrame) -> None:
+    def _add_rollback(self, name: str, after: int, upto: int) -> None:
+        ranges = self._rollbacks(name) + [{"after": after, "upto": upto}]
+        p = self.root / name / "rollbacks.json"
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(ranges))
+        tmp.replace(p)
+
+    def commit_watermark(self, name: str) -> int | None:
+        """Highest committed write sequence — the group-commit
+        durability point (tera: a batch is visible only once its WAL
+        append returns, tablet_writer.cc). Readers mask rows above it,
+        so a crash mid-append never exposes a torn batch. None = table
+        has no commit records (legacy/direct-written layout): reads are
+        unfiltered."""
+        d = self.root / name / "commits"
+        if not d.exists():
+            return None
+        marks = [int(p.stem) for p in d.glob("*.json")]
+        return max(marks) if marks else None
+
+    def _record_commit(self, name: str, hi: int) -> None:
+        d = self.root / name / "commits"
+        d.mkdir(exist_ok=True)
+        p = d / f"{hi}.json"
+        tmp = d / f"{hi}.json.tmp"
+        tmp.write_text(json.dumps({"seq": int(hi)}))
+        tmp.replace(p)  # atomic rename = the commit point
+
+    def append(self, name: str, cells: DataFrame, *, commit_seq: int | None = None) -> None:
+        """Group commit: parquet append, then an atomic commit record.
+        The record (commits/<max_seq>.json, written via rename) is the
+        visibility point — the WAL-append-returns moment of the
+        reference's TabletWriter. ``commit_seq`` is the batch's max
+        seq when the caller knows it (MutationBatch does); otherwise
+        one small aggregation computes it.
+
+        Crash recovery is the WAL discard-uncommitted-tail step: if
+        raw data exists above the watermark at the next append (a
+        previous writer died between file write and commit record),
+        that seq window becomes a rollback range — permanently masked,
+        never resurrected by the rising watermark. Single committing
+        writer per table, as everywhere in this engine."""
         self._check_enabled(name)
         self._authorize("write", name)
         self._consume(name, "write")
+        # recovery runs once per table per writer process: a torn tail
+        # can only come from a PREVIOUS writer's crash, and this
+        # writer's own appends are ordered behind their records
+        if name not in self._tail_checked:
+            self._tail_checked.add(name)
+            w = self.commit_watermark(name)
+            if w is not None:
+                raw = self.raw_max_seq(name)
+                if raw is not None and raw > w:
+                    self._add_rollback(name, w, raw)
         cells.write.mode("append").parquet(self.oplog_path(name))
+        if commit_seq is None:
+            top = cells.agg({"seq": "max"}).collect()[0][0]
+            commit_seq = int(top) if top is not None else None
+        if commit_seq is not None:
+            self._record_commit(name, commit_seq)
 
     def view(self, name: str, **kw) -> DataFrame:
         from tera_spark.operators.view import current_view, kv_current_view
@@ -179,8 +242,9 @@ class Catalog:
 
         if not self.get_schema(name).kv_mode:
             raise ValueError(f"not a kv-mode table: {name}")
-        row = [(key, value, expire, time.time_ns())]
-        self.append(name, self.spark.createDataFrame(row, KV_OPLOG_SCHEMA))
+        seq = time.time_ns()
+        row = [(key, value, expire, seq)]
+        self.append(name, self.spark.createDataFrame(row, KV_OPLOG_SCHEMA), commit_seq=seq)
 
     # --- snapshots / compaction --------------------------------------
     def snapshot(self, name: str, *, now_us: int | None = None) -> str:
@@ -306,6 +370,10 @@ class Catalog:
         shutil.copytree(snap, oplog)
         shutil.rmtree(bak)
         (self.root / name / "rollbacks.json").unlink(missing_ok=True)
+        # the compacted base is all-committed (the fold read only
+        # committed rows) and restarts seq at 0 — stale high watermarks
+        # would stop masking torn tails, so clear the records with it
+        shutil.rmtree(self.root / name / "commits", ignore_errors=True)
 
     def rollback(self, name: str, snapshot_id: str) -> None:
         """Roll the table back to a snapshot: writes after the

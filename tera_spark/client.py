@@ -98,7 +98,11 @@ class Table:
     # -- writes (table.h:58-77, 128-142) ------------------------------
     def apply_mutation(self, batch: MutationBatch) -> None:
         batch._base_seq = self._seq(len(batch))
-        self._cat.append(self.name, batch.to_df(self._cat.spark))
+        self._cat.append(
+            self.name,
+            batch.to_df(self._cat.spark),
+            commit_seq=batch._base_seq + len(batch) - 1,
+        )
 
     def put(
         self,

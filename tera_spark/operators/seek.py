@@ -178,10 +178,12 @@ class Seeker:
             self.schema = catalog.get_schema(table)
             self._root = Path(catalog.oplog_path(table))
             self._get_rollbacks = lambda: catalog._rollbacks(table)
+            self._get_watermark = lambda: catalog.commit_watermark(table)
         else:
             self.schema = schema
             self._root = Path(path)
             self._get_rollbacks = lambda: []
+            self._get_watermark = lambda: None
         self._meta: dict[str, tuple[float, list[tuple[int, str, str, int]]]] = {}
         # decoded-row-group LRU — the block-cache analog (reference:
         # per-LG block cache + persistent_cache; a hot point-read
@@ -250,6 +252,7 @@ class Seeker:
         key_col = self._key_col()
         columns = ["key", "value", "expire_ts", "seq"] if self._kv else _CELL_COLS
         rollbacks = self._get_rollbacks()
+        watermark = self._get_watermark()
         by_key: dict[str, list[tuple]] = defaultdict(list)
 
         def _load(f: Path, rg: int):
@@ -290,6 +293,8 @@ class Seeker:
                 seq = row[len(columns) - 1]
                 if any(r["after"] < seq <= r["upto"] for r in rollbacks):
                     continue  # RollbackDrop (dbformat.h:156)
+                if watermark is not None and seq > watermark:
+                    continue  # torn batch above the commit watermark
                 if has_ttl:
                     exp = row[-1]
                     if exp is not None and 0 < exp <= (now_us or 0):
@@ -396,6 +401,7 @@ class Seeker:
             now_us = int(_t.time() * 1_000_000)
         columns_arg = ["key", "value", "expire_ts", "seq"] if self._kv else _CELL_COLS
         rollbacks = self._get_rollbacks()
+        watermark = self._get_watermark()
         by_key: dict[str, list[tuple]] = defaultdict(list)
         for f in self._files():
             for rg, lo, hi, _ in self._file_meta(f):
@@ -419,6 +425,8 @@ class Seeker:
                 for row in zip(*(t[c].to_pylist() for c in read_cols)):
                     seq = row[len(columns_arg) - 1]
                     if any(r["after"] < seq <= r["upto"] for r in rollbacks):
+                        continue
+                    if watermark is not None and seq > watermark:
                         continue
                     if snapshot_seq is not None and seq > snapshot_seq:
                         continue

@@ -65,6 +65,19 @@ def sync_replica(src: Catalog, dst: Catalog, table: str) -> int:
         if f.name not in have:
             shutil.copy2(f, d_dir / f.name)
             copied += 1
+    # mirror the commit records (group-commit watermark) and rollback
+    # windows with the data — replicated rows above the replica's
+    # watermark would otherwise read as a torn batch
+    s_commits = s_dir.parent / "commits"
+    if s_commits.exists():
+        d_commits = d_dir.parent / "commits"
+        d_commits.mkdir(exist_ok=True)
+        for f in s_commits.glob("*.json"):
+            if not (d_commits / f.name).exists():
+                shutil.copy2(f, d_commits / f.name)
+    s_rb = s_dir.parent / "rollbacks.json"
+    if s_rb.exists():
+        shutil.copy2(s_rb, d_dir.parent / "rollbacks.json")
     return copied
 
 
