@@ -130,6 +130,38 @@ def windowed_event_stream(
     )
 
 
+def ohlc_stream(
+    events: DataFrame,
+    *,
+    window: str = "15 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Streaming OHLC bars: open/high/low/close per window per event
+    type, incrementally maintained under a watermark — the stream twin
+    of queries/streaming_batch.events_ohlc_bars. min_by/max_by are
+    declarative aggregates, so state per (window, type) is four
+    scalars; late data past the watermark drops deterministically."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    v, t = F.col(val_col), F.col(ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.min_by(v, t).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, t).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type", "open", "high", "low", "close", "n",
+        )
+    )
+
+
 def attribution_join_stream(
     clicks: DataFrame,
     purchases: DataFrame,

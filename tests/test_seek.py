@@ -284,3 +284,40 @@ def test_per_cell_ttl_view_compact_seek(cat, spark):
     cat.compact_inplace("ttl_t", now_us=soon)
     assert visible(soon + 60 * 1_000_000) == {"r1", "r2"}
     assert visible(later) == {"r1"}
+
+
+@pytest.mark.parametrize("seed", [3, 21])
+def test_seek_matches_spark_fold_with_random_ttl(cat, spark, seed):
+    """Cross-path property check including per-cell TTL: random
+    op-logs where puts carry expire_ts in {past, future, NULL} must
+    fold identically through the Spark view and the seek path."""
+    import random
+
+    from tera_spark.model import CELL_TTL_SCHEMA
+
+    rng = random.Random(seed)
+    rows = []
+    for base in _gen_oplog(seed, n=300):
+        exp = None
+        if base[4] == CellOp.PUT and rng.random() < 0.4:
+            exp = NOW - 5 if rng.random() < 0.5 else NOW + 10_000_000
+        rows.append(base + (exp,))
+    name = f"seek_ttl_{seed}"
+    cat.create_table(
+        f"{name} {{cf0 <maxversions=1>, cf1 <maxversions=3>, "
+        f"cfttl <maxversions=2,ttl=1000>}}"
+    )
+    third = len(rows) // 3 or 1
+    for i in range(0, len(rows), third):
+        cat.append(name, spark.createDataFrame(rows[i : i + third], CELL_TTL_SCHEMA))
+
+    want = {}
+    for r in cat.view(name, now_us=NOW).collect():
+        want.setdefault(r.row_key, set()).add(
+            (r.row_key, r.cf, r.qualifier, r.ts, bytes(r.value))
+        )
+    got = Seeker(cat, name).multi_get(sorted({r[0] for r in rows}), now_us=NOW)
+    got_sets = {
+        k: {(c[0], c[1], c[2], c[3], bytes(c[4])) for c in v} for k, v in got.items()
+    }
+    assert got_sets == want

@@ -231,3 +231,39 @@ def test_observer_maintains_secondary_index(spark, tmpdir):
     assert len(all_idx) == 3  # would be 5 if u1/u2 re-fired
     d = tget(cat.read_oplog("email_index"), cat.get_schema("email_index"), "d@x")
     assert [r.qualifier for r in d.collect()] == ["u3"]
+
+
+def test_ohlc_stream_matches_batch(spark, tmpdir):
+    from tera_spark.streaming.observer import ohlc_stream
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("ts", "event_type", "value")
+    expect = (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "open", "high", "low", "close", "n")
+    )
+    exp = {(r.win_start, r.event_type): (r.open, r.high, r.low, r.close, r.n) for r in expect.collect()}
+
+    src = f"{tmpdir}/events_ohlc"
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        ohlc_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.win_start, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.sql("select * from ohlc_out").collect()
+    }
+    assert got == exp
