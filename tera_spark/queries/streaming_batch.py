@@ -592,3 +592,131 @@ def events_subseq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events")
     return subsequence_topk(ev, _SUBSEQ_PATTERN, k=20)
+
+
+def _t6s(expr: str) -> str:
+    """floor-truncation to 6 decimals (bit-stable vs Spark)."""
+    return f"(floor(({expr}) * 1000000)::double / 1000000)"
+
+
+@query(
+    "events_ab_test_lift",
+    f"""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, count(*) AS n_users, sum(converted) AS n_conv
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        max(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+        max(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        max(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+      FROM arms
+    )
+    SELECT cast(n_a AS bigint) AS n_a, cast(conv_a AS bigint) AS conv_a,
+           cast(n_b AS bigint) AS n_b, cast(conv_b AS bigint) AS conv_b,
+           {_t6s('conv_a::double / n_a')} AS rate_a,
+           {_t6s('conv_b::double / n_b')} AS rate_b,
+           {_t6s('conv_b::double / n_b - conv_a::double / n_a')} AS lift,
+           {_t6s('''(conv_b::double / n_b - conv_a::double / n_a)
+             / sqrt(((conv_a + conv_b)::double / (n_a + n_b))
+                    * (1 - (conv_a + conv_b)::double / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))''')} AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion A/B test on conversion (a high-value purchase):
+    per-arm rates, lift, and the pooled z-score — the experiment
+    readout an analytics engine serves daily. Deterministic variant
+    assignment (user_id parity stands in for the experiment's hash
+    bucket); one aggregation tree, scalar output."""
+    ev = load(spark, sf, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 180), 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("conv_b"),
+    )
+    t6 = lambda c: (F.floor(c * 1_000_000).cast("double") / 1_000_000)  # noqa: E731
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (rb - ra) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        t6(ra).alias("rate_a"),
+        t6(rb).alias("rate_b"),
+        t6(rb - ra).alias("lift"),
+        t6(z).alias("z_score"),
+    )
+
+
+@query(
+    "events_value_trend",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             cast((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 60000000 AS bigint) AS x,
+             cast(floor(value * 100) AS bigint) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY user_id
+    )
+    SELECT cast(user_id AS bigint) AS user_id, cast(n AS bigint) AS n,
+           cast(n * sxy - sx * sy AS bigint) AS slope_num,
+           cast(n * sxx - sx * sx AS bigint) AS slope_den
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def events_value_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user linear trend of event values over time, as the exact
+    least-squares slope RATIONAL (numerator/denominator): inputs
+    quantize to integer minutes × integer cents, so the sums — and
+    therefore the slope — are bit-exact on any engine and any
+    aggregation order. One hash aggregation; the caller divides when a
+    float is wanted."""
+    ev = load(spark, sf, "events")
+    epoch0 = F.lit(1704067200000000)  # 2024-01-01 in epoch micros
+    pts = ev.select(
+        "user_id",
+        ((F.unix_micros(F.col("ts").cast("timestamp")) - epoch0) / 60_000_000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(den != 0).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+    )
