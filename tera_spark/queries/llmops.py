@@ -1944,3 +1944,41 @@ def events_k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_users") < 5)
     )
+
+
+@query(
+    "pipeline_mixture_allocation",
+    r"""
+    WITH src AS (
+      SELECT source,
+             cast(count(*) AS bigint) AS n_docs,
+             cast(sum(len(string_split_regex(trim(text), '\s+'))) AS bigint) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, cast(floor(sqrt(n_tokens)) AS bigint) AS weight FROM src
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           cast((1000000 * weight) // (SELECT sum(weight) FROM w) AS bigint) AS alloc_tokens
+    FROM w
+    """,
+)
+def pipeline_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based data-mix allocation (alpha = 0.5, the
+    multilingual-sampling standard): each source's share of a
+    1M-token training budget is proportional to sqrt(its token
+    count), flattening the head sources and up-weighting the tail.
+    Integer weights + floor division keep the allocation bit-exact on
+    any engine. Two aggregations over source — the mix planner that
+    feeds weighted_interleave (sources/sharding.py)."""
+    docs = load(spark, sf, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("long").alias("n_tokens"),
+    )
+    w = src.withColumn("weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    total = w.agg(F.sum("weight").alias("_tw"))
+    return w.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", "n_tokens", "weight",
+        F.expr("(1000000 * weight) div _tw").cast("long").alias("alloc_tokens"),
+    )

@@ -720,3 +720,80 @@ def events_value_trend(spark: SparkSession, sf: str) -> DataFrame:
         num.cast("long").alias("slope_num"),
         den.cast("long").alias("slope_den"),
     )
+
+
+@query(
+    "events_type_correlation",
+    f"""
+    WITH hourly AS (
+      SELECT cast(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS bigint) AS h,
+             event_type, cast(count(*) AS bigint) AS c
+      FROM events GROUP BY h, event_type
+    ),
+    grid AS (
+      SELECT h.h, t.event_type, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT h FROM hourly) h
+      CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+      LEFT JOIN hourly c ON c.h = h.h AND c.event_type = t.event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n, sum(a.c) AS sx, sum(b.c) AS sy,
+             sum(a.c * b.c) AS sxy, sum(a.c * a.c) AS sxx, sum(b.c * b.c) AS syy
+      FROM grid a JOIN grid b USING (h)
+      WHERE a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, cast(n AS bigint) AS n,
+           {_t6s('''(n * sxy - sx * sy)::double
+             / sqrt((n * sxx - sx * sx)::double)
+             / sqrt((n * syy - sy * sy)::double)''')} AS pearson_r
+    FROM pairs
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def events_type_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation between event types' hourly volumes — the
+    co-movement matrix behind anomaly triage (types that normally rise
+    together flag independent incidents when they diverge). Counts are
+    integers, so the moment sums are exact; only the final ratio is a
+    float, truncated to 6 decimals identically on both engines. The
+    hour × type grid densifies missing cells to 0 before correlating."""
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hours = hourly.select("h").distinct()
+    types = hourly.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(types)
+        .join(hourly, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = grid.select(F.col("h"), F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    b = grid.select(F.col("h"), F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    r = (n * F.col("sxy") - sx * sy).cast("double") / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double"))
+    return (
+        pairs.filter((vx > 0) & (vy > 0))
+        .select(
+            "type_a", "type_b", n.cast("long").alias("n"),
+            (F.floor(r * 1_000_000).cast("double") / 1_000_000).alias("pearson_r"),
+        )
+    )
