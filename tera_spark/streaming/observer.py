@@ -70,9 +70,16 @@ class ObserverPipeline:
         self.oplog_path = oplog_path
         self.checkpoint_path = checkpoint_path
         self.observers: list[Observer] = []
+        self.scan_hooks: list = []
 
     def observe(self, name: str, cf: str, qualifier: str, fn) -> "ObserverPipeline":
         self.observers.append(Observer(name, cf, qualifier, fn))
+        return self
+
+    def add_scan_hook(self, hook) -> "ObserverPipeline":
+        """Register a ScanHook invoked around every micro-batch round
+        (ScanHook::Before/After, include/observer/scanner.h:28-42)."""
+        self.scan_hooks.append(hook)
         return self
 
     def _dispatch(self, batch: DataFrame, epoch_id: int) -> None:
@@ -99,8 +106,13 @@ class ObserverPipeline:
             .option("maxFilesPerTrigger", 64)
             .parquet(self.oplog_path)
         )
+        dispatch = self._dispatch
+        if self.scan_hooks:
+            from tera_spark.streaming.hooks import HookedDispatch
+
+            dispatch = HookedDispatch("oplog", self._dispatch, self.scan_hooks)
         writer = (
-            stream.writeStream.foreachBatch(self._dispatch)
+            stream.writeStream.foreachBatch(dispatch)
             .option("checkpointLocation", self.checkpoint_path)
         )
         if trigger_once:

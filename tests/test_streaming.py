@@ -267,3 +267,59 @@ def test_ohlc_stream_matches_batch(spark, tmpdir):
         for r in spark.sql("select * from ohlc_out").collect()
     }
     assert got == exp
+
+
+def test_scan_hooks_wrap_each_round(spark, tmpdir):
+    """ScanHook::Before/After parity (include/observer/scanner.h:28-42):
+    hooks fire once per micro-batch round with the round's row count;
+    the engine-level listener independently meters the same rounds."""
+    from tera_spark.streaming.hooks import RecordingScanHook, ScanMetricsListener
+
+    oplog = f"{tmpdir}/oplog"
+    ckpt = f"{tmpdir}/ckpt"
+    seen: list[tuple] = []
+
+    b1 = MutationBatch()
+    b1.put("r1", "Data", "qu0", "v1", ts=100)
+    b1.put("r2", "Data", "qu0", "v2", ts=101)
+    _write_batch_with_notify(spark, oplog, b1, "Data", "qu0")
+
+    hook = RecordingScanHook()
+    listener = ScanMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        pipe = ObserverPipeline(spark, oplog, ckpt)
+        pipe.observe(
+            "collector", "Data", "qu0",
+            lambda df, epoch: seen.extend(r.row_key for r in df.collect()),
+        ).add_scan_hook(hook)
+        q = pipe.start(trigger_once=True)
+        q.awaitTermination(120)
+
+        # before fired, then after, for the same round; observer saw the batch
+        assert hook.befores == [("oplog", 0)]
+        assert [(r.batch_id, r.rows) for r in hook.rounds] == [(0, 4)]  # 2 puts + 2 marks
+        assert hook.rounds[0].duration_s >= 0
+        assert sorted(seen) == ["r1", "r2"]
+
+        # second round: batch_id advances, only new rows counted
+        b2 = MutationBatch(base_seq=10)
+        b2.put("r3", "Data", "qu0", "v3", ts=200)
+        _write_batch_with_notify(spark, oplog, b2, "Data", "qu0")
+        q2 = pipe.start(trigger_once=True)
+        q2.awaitTermination(120)
+        assert [(r.batch_id, r.rows) for r in hook.rounds] == [(0, 4), (1, 2)]
+
+        # listener-side after-round records agree on input rows
+        # (listener events are delivered async — poll briefly)
+        import time as _time
+
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            rows_by_batch = {r.batch_id: r.rows for r in listener.rounds}
+            if rows_by_batch.get(0) == 4 and rows_by_batch.get(1) == 2:
+                break
+            _time.sleep(0.5)
+        assert rows_by_batch.get(0) == 4 and rows_by_batch.get(1) == 2
+    finally:
+        spark.streams.removeListener(listener)
