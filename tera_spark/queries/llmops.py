@@ -666,6 +666,64 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pipeline_leakage_safe_split",
+    f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS s FROM documents),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.s, sb.s))::double /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON w.id = e.v
+    )
+    SELECT cast(id AS bigint) AS doc_id,
+           cast(min(comp) AS bigint) AS component,
+           CASE WHEN ((min(comp) % 1000000) * 2654435761) % 4294967296 % 100 < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM walk GROUP BY id
+    """,
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/eval split: hash-gate on the near-duplicate
+    COMPONENT representative, not the doc id, so a whole near-dup
+    cluster always lands in one split — an eval doc can never have a
+    near-copy in train. Plain per-doc hash splits leak: any split that
+    separates two near-duplicates inflates eval scores. Deterministic
+    (Knuth multiplicative hash on the component id, ~10% eval) and
+    replayable across runs/engines."""
+    from tera_spark.operators.dedup import connected_components, verified_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    pairs = verified_near_duplicates(docs, threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    )
+    nodes = docs.select(F.col("doc_id").cast("long").alias("id"))
+    cc = connected_components(pairs, nodes=nodes)
+    hkey = ((F.col("component") % 1_000_000) * F.lit(2654435761)) % F.lit(4294967296)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(hkey % 100 < 10, F.lit("eval")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+@query(
     "pipeline_dedup_drop_list",
     f"""
     WITH RECURSIVE sigs AS (
