@@ -74,3 +74,42 @@ def test_incremental_append_searchable(spark, tmp_path):
     # total corpus searchable = everything minus the queries themselves
     total = spark.read.parquet(str(tmp_path / "vi4" / "codes")).count()
     assert total == emb.count()
+
+
+def test_streaming_append_maintains_index(spark, tmp_path):
+    """Steady-state ingestion as a stream: new embedding batches arrive
+    in a directory, foreachBatch encodes them against the frozen
+    codebook (map-only) and appends to the cluster partitions — the
+    index is continuously searchable without retraining, and the
+    checkpoint makes each batch append exactly once."""
+    emb = _emb(spark)
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    idx = VectorIndex.build(first, str(tmp_path / "vi5"), k_coarse=4, m=8, k_codes=16, iters=1)
+
+    inbox = str(tmp_path / "inbox")
+    rest.write.mode("overwrite").parquet(inbox)
+    stream = spark.readStream.schema(emb.schema).parquet(inbox)
+    q = (
+        stream.writeStream.foreachBatch(lambda batch, epoch: idx.append(batch))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    total = spark.read.parquet(str(tmp_path / "vi5" / "codes")).count()
+    assert total == emb.count()
+    hits = idx.topk(emb.filter(F.col("vec_id") < 2), k=200, nprobe=4).collect()
+    assert any(r.v_id >= 250 for r in hits), "streamed vectors never surface in search"
+
+    # re-running the drained stream appends nothing (ack = checkpoint)
+    q2 = (
+        spark.readStream.schema(emb.schema).parquet(inbox)
+        .writeStream.foreachBatch(lambda batch, epoch: idx.append(batch))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "vi5" / "codes")).count() == emb.count()
