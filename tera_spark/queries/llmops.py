@@ -379,6 +379,81 @@ def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok),
+    ranked AS (
+      SELECT source, tok, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rnk
+      FROM freq
+    ),
+    q AS (
+      SELECT source,
+             cast(round(ln(rnk) * 1000000) AS bigint) AS x,
+             cast(round(ln(cnt) * 1000000) AS bigint) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM q GROUP BY source
+    )
+    SELECT source, cast(n AS bigint) AS n_types,
+           round((n::double * sxy::double - sx::double * sy::double)
+                 / (n::double * sxx::double - sx::double * sx::double), 6)
+             AS zipf_slope
+    FROM s WHERE n >= 2
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf exponent per ingestion source: least-squares slope of
+    ln(freq) vs ln(rank) over each source's token frequency table — a
+    corpus-health diagnostic (natural text tracks slope ≈ -1; spammy/
+    templated sources skew shallower, truncated vocabularies steeper).
+    ln values are quantized to integer micro-nats BEFORE the moment
+    sums, so aggregation is associative and bit-identical on any
+    engine/summation order; the closed-form slope then divides two
+    deterministic doubles.
+
+    Scale shape: moments are per (source, token) — vocabulary-sized,
+    sublinear in corpus; the rank window partitions by source over
+    that small relation. One token-explode pass, one vocab-sized
+    shuffle, one tiny final agg."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("source").orderBy(F.desc("cnt"), "tok")
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    q = ranked.select(
+        "source",
+        F.round(F.log(F.col("rnk").cast("double")) * 1_000_000).cast("long").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000).cast("long").alias("y"),
+    )
+    s = q.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return s.filter(F.col("n") >= 2).select(
+        "source",
+        F.col("n").cast("long").alias("n_types"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
+
+
+@query(
     "text_unigram_surprisal",
     """
     WITH toks AS (
