@@ -164,15 +164,50 @@ class Catalog:
         marks = [int(p.stem) for p in d.glob("*.json")]
         return max(marks) if marks else None
 
-    def _record_commit(self, name: str, hi: int) -> None:
+    def _record_commit(self, name: str, hi: int, op_kinds: list[int] | None = None) -> None:
         d = self.root / name / "commits"
         d.mkdir(exist_ok=True)
         p = d / f"{hi}.json"
         tmp = d / f"{hi}.json.tmp"
-        tmp.write_text(json.dumps({"seq": int(hi)}))
+        rec: dict = {"seq": int(hi)}
+        if op_kinds is not None:
+            # distinct CellOp codes in the batch — lets reads prove the
+            # table PUT-only and take the fast fold (view.py put_only)
+            rec["op_kinds"] = sorted(int(k) for k in op_kinds)
+        tmp.write_text(json.dumps(rec))
         tmp.replace(p)  # atomic rename = the commit point
 
-    def append(self, name: str, cells: DataFrame, *, commit_seq: int | None = None) -> None:
+    def _put_only(self, name: str) -> bool:
+        """True iff every commit record proves its batch held only PUT
+        ops. Conservative: any record without op_kinds (legacy/unknown
+        writer) or any non-PUT code disqualifies; an empty table
+        qualifies (the fold is vacuous)."""
+        from tera_spark.model import CellOp
+
+        d = self.root / name / "commits"
+        if not d.is_dir():
+            return False
+        recs = sorted(d.glob("*.json"))
+        if not recs:
+            return False
+        for p in recs:
+            try:
+                rec = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                return False
+            kinds = rec.get("op_kinds")
+            if kinds is None or any(k != CellOp.PUT for k in kinds):
+                return False
+        return True
+
+    def append(
+        self,
+        name: str,
+        cells: DataFrame,
+        *,
+        commit_seq: int | None = None,
+        op_kinds: list[int] | None = None,
+    ) -> None:
         """Group commit: parquet append, then an atomic commit record.
         The record (commits/<max_seq>.json, written via rename) is the
         visibility point — the WAL-append-returns moment of the
@@ -201,10 +236,16 @@ class Catalog:
                     self._add_rollback(name, w, raw)
         cells.write.mode("append").parquet(self.oplog_path(name))
         if commit_seq is None:
-            top = cells.agg({"seq": "max"}).collect()[0][0]
+            import pyspark.sql.functions as _F
+
+            top, kinds = cells.agg(
+                _F.max("seq"), _F.sort_array(_F.collect_set("op"))
+            ).collect()[0]
             commit_seq = int(top) if top is not None else None
+            if op_kinds is None:
+                op_kinds = [int(k) for k in kinds]
         if commit_seq is not None:
-            self._record_commit(name, commit_seq)
+            self._record_commit(name, commit_seq, op_kinds)
 
     def view(self, name: str, **kw) -> DataFrame:
         from tera_spark.operators.view import current_view, kv_current_view
@@ -215,6 +256,10 @@ class Catalog:
         schema = self.get_schema(name)
         if schema.kv_mode:
             return kv_current_view(self.read_oplog(name), **kw)
+        if "put_only" not in kw:
+            # commit records prove the op mix; a PUT-only history takes
+            # the fast fold (max_by / sliced sort — view.py put_only)
+            kw["put_only"] = self._put_only(name)
         return current_view(self.read_oplog(name), schema, **kw)
 
     # --- KV mode (RawKey=GeneralKv/TTLKv) ----------------------------

@@ -102,6 +102,7 @@ class Table:
             self.name,
             batch.to_df(self._cat.spark),
             commit_seq=batch._base_seq + len(batch) - 1,
+            op_kinds=batch.op_kinds,
         )
 
     def put(

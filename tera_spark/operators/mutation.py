@@ -124,6 +124,13 @@ class MutationBatch:
     def __len__(self) -> int:
         return len(self._rows)
 
+    @property
+    def op_kinds(self) -> list[int]:
+        """Distinct op codes in the batch (known without a Spark job);
+        commit records carry them so the catalog can prove a table is
+        PUT-only and route reads through the fast fold."""
+        return sorted({r[4] for r in self._rows})
+
 
 def check_and_apply(
     cells: DataFrame,

@@ -55,6 +55,7 @@ def scan(
     *,
     now_us: int | None = None,
     snapshot_seq: int | None = None,
+    put_only: bool = False,
 ) -> DataFrame:
     desc = desc or ScanDescriptor()
     df = cells
@@ -69,8 +70,11 @@ def scan(
         cf_set = set(desc.column_families or []) | set((desc.columns or {}).keys())
         df = df.filter(F.col("cf").isin(list(cf_set)) | (F.col("op") == CellOp.DEL_ROW))
 
-    # 2. fold to visible cells
-    v = current_view(df, schema, now_us=now_us, snapshot_seq=snapshot_seq)
+    # 2. fold to visible cells (put_only = caller's PUT-only promise,
+    # routes the fast fold — see current_view)
+    v = current_view(
+        df, schema, now_us=now_us, snapshot_seq=snapshot_seq, put_only=put_only
+    )
 
     # 3. scan-level version / qualifier caps
     if desc.max_versions is not None:

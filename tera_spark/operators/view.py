@@ -93,6 +93,7 @@ def current_view(
     now_us: int | None = None,
     default_max_versions: int = 1,
     snapshot_seq: int | None = None,
+    put_only: bool = False,
 ) -> DataFrame:
     """Fold an op-log cell DataFrame into the visible-cell view.
 
@@ -101,7 +102,19 @@ def current_view(
 
     ``snapshot_seq`` reads the table as of a write sequence (reference:
     snapshot reads, SnapshotIDToSeq src/io/tablet_io.cc:698-706).
-    """
+
+    ``put_only=True`` is a caller PROMISE that the op-log contains
+    only PUT ops (no tombstones, no atomic merges) — the dominant
+    case (tera defaults to maxversions=1 tables written by plain
+    Puts; the reference's compact strategy likewise short-circuits
+    when no merge/delete records exist). The fold then skips the
+    delete-mask/merge machinery: maxversions=1 collapses to one
+    map-side-partial ``max_by`` hash aggregation (no arrays, no
+    windows); K>1 keeps the collect but slices the sorted entries
+    directly. Catalog-managed tables set this automatically from the
+    op kinds recorded at commit time (Catalog.append); hand-built
+    op-logs may declare it. Results are identical to the general
+    path on any PUT-only log (property-tested)."""
     if now_us is None:
         now_us = int(time.time() * 1_000_000)
     df = cells
@@ -133,6 +146,9 @@ def current_view(
         df = df.filter(~expired)
 
     maxv_map = _cf_prop_map(schema, "max_versions", default_max_versions)
+
+    if put_only:
+        return _put_only_fold(df, schema, maxv_map, default_max_versions)
 
     # --- phase B: one hash aggregation collects each qualifier's ops
     # AND its delete-mark maxima; row/cf-granularity masks then spread
@@ -279,6 +295,66 @@ def current_view(
     return (
         grouped.select("row_key", "cf", "qualifier", F.explode(versions).alias("v"))
         .select("row_key", "cf", "qualifier", F.col("v.ts").alias("ts"), F.col("v.value").alias("value"))
+    )
+
+
+def _put_only_fold(
+    df: DataFrame,
+    schema: TableSchema | None,
+    maxv_map: Column,
+    default_max_versions: int,
+) -> DataFrame:
+    """Visible view of a PUT-only op-log (pre-filtered by phase A).
+
+    K=1 everywhere → one hash aggregation with map-side partial
+    ``max_by(struct(ts,value), struct(ts,seq))`` — the newest write
+    wins, ties by seq, exactly the general path's sort order with sop
+    constant. No per-group arrays, no windows: at 100 TB this is the
+    same shape as any partial+final agg and the map-side combine
+    collapses hot qualifiers before the exchange.
+
+    Mixed/larger K → collect+sort as the general path does, but slice
+    the top-K entries directly (no delete masks, no merge-run
+    scanning)."""
+    all_k1 = (
+        all(cf.max_versions == 1 for cf in schema.column_families.values())
+        if schema is not None and schema.column_families
+        else default_max_versions == 1
+    )
+    if all_k1:
+        best = F.max_by(
+            F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
+            F.struct(F.col("ts"), F.col("seq")),
+        )
+        return (
+            df.groupBy("row_key", "cf", "qualifier")
+            .agg(best.alias("_b"))
+            .select(
+                "row_key", "cf", "qualifier",
+                F.col("_b.ts").alias("ts"), F.col("_b.value").alias("value"),
+            )
+        )
+    entries = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("ts")).alias("nts"),
+                    (-F.col("seq")).alias("nseq"),
+                    F.col("value").alias("value"),
+                )
+            )
+        ),
+        1,
+        F.coalesce(maxv_map[F.col("cf")], F.lit(default_max_versions)),
+    )
+    return (
+        df.groupBy("row_key", "cf", "qualifier")
+        .agg(entries.alias("_e"))
+        .select("row_key", "cf", "qualifier", F.explode("_e").alias("v"))
+        .select(
+            "row_key", "cf", "qualifier",
+            (-F.col("v.nts")).alias("ts"), F.col("v.value").alias("value"),
+        )
     )
 
 

@@ -113,7 +113,9 @@ def cell_multiversion(spark: SparkSession, sf: str) -> DataFrame:
         F.floor("l_quantity").cast("long").cast("string").cast("binary").alias("value"),
         F.row_number().over(wv).cast("long").alias("seq"),
     )
-    v = current_view(cells, _schema("li", maxv=2), now_us=NOW)
+    # the op-log is pure PUTs by construction → declare it and take
+    # the fast fold (what the catalog derives from commit records)
+    v = current_view(cells, _schema("li", maxv=2), now_us=NOW, put_only=True)
     return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
 
 

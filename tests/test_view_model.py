@@ -317,3 +317,67 @@ def test_kv_view_model_property_hypothesis(spark, rows):
         ).collect()
     }
     assert got == _kv_model(rows, NOW)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("maxv", [1, 2, 3])
+def test_put_only_fast_path_matches_general(spark, seed, maxv):
+    """view.py put_only promise: on any PUT-only op-log the fast fold
+    (max_by for K=1, sliced sort for K>1) is cell-identical to the
+    general delete/merge-aware fold — including ts ties broken by seq,
+    per-cell TTL expiry, and snapshot_seq bounds."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(400):
+        rk = f"r{rng.randrange(20):03d}"
+        cf = rng.choice(["A", "B"])
+        qu = f"q{rng.randrange(4)}"
+        ts = rng.randrange(1, 8)  # dense → plenty of ts ties
+        ttl = rng.choice([None, None, None, 1])  # some already-expired cells
+        exp = (NOW - 10) if ttl else None
+        rows.append((rk, cf, qu, ts, CellOp.PUT, f"v{i}".encode(), i, exp))
+    df = spark.createDataFrame(
+        rows,
+        "row_key string, cf string, qualifier string, ts long, op int, "
+        "value binary, seq long, expire_ts long",
+    )
+    schema = (
+        TableSchema(name="t")
+        .add_column_family("A", max_versions=maxv)
+        .add_column_family("B", max_versions=1)  # mixed K exercises the map
+    )
+    for snap in (None, 200):
+        kw = dict(now_us=NOW, snapshot_seq=snap)
+        fast = {tuple(r) for r in current_view(df, schema, put_only=True, **kw).collect()}
+        slow = {tuple(r) for r in current_view(df, schema, put_only=False, **kw).collect()}
+        assert fast == slow
+    # no-schema path (default_max_versions governs)
+    fast = {tuple(r) for r in current_view(df, None, put_only=True, now_us=NOW,
+                                           default_max_versions=maxv).collect()}
+    slow = {tuple(r) for r in current_view(df, None, put_only=False, now_us=NOW,
+                                           default_max_versions=maxv).collect()}
+    assert fast == slow
+
+
+def test_catalog_routes_put_only_tables_to_fast_fold(spark, tmp_path):
+    """Commit records carry the batch's op kinds; a table whose whole
+    history is PUT-only reads through the fast fold, and the first
+    non-PUT commit permanently demotes it to the general fold."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t { A }")
+    b = MutationBatch(base_seq=1)
+    b.put("r1", "A", "q", "v1", ts=5).put("r1", "A", "q", "v2", ts=9)
+    assert b.op_kinds == [CellOp.PUT]
+    cat.append("t", b.to_df(spark), commit_seq=2, op_kinds=b.op_kinds)
+    assert cat._put_only("t")
+    got = {(r.row_key, r.ts, bytes(r.value)) for r in cat.view("t").collect()}
+    assert got == {("r1", 9, b"v2")}
+
+    d = MutationBatch(base_seq=3)
+    d.delete_column("r1", "A", "q", ts=9)
+    cat.append("t", d.to_df(spark), commit_seq=3, op_kinds=d.op_kinds)
+    assert not cat._put_only("t")
+    assert cat.view("t").count() == 0  # the delete is honored
