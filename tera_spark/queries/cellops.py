@@ -74,7 +74,7 @@ def cell_scan_range(spark: SparkSession, sf: str) -> DataFrame:
     desc = ScanDescriptor(
         start="0000000100", end="0000000500", columns={"profile": ["name"]}
     )
-    v = scan(cells, _schema("profile"), desc, now_us=NOW)
+    v = scan(cells, _schema("profile"), desc, now_us=NOW, put_only=True)
     return v.select("row_key", "qualifier", F.col("value").cast("string").alias("val"))
 
 
@@ -364,6 +364,7 @@ def sec_index(spark: SparkSession, sf: str) -> DataFrame:
         _schema("idx"),
         ScanDescriptor(start="BUILDING|00005", end="BUILDING|00005\x00"),
         now_us=NOW,
+        put_only=True,
     ).select(F.col("qualifier").cast("long").alias("c_custkey"))
     return (
         cust.join(F.broadcast(hits), "c_custkey", "left_semi")
@@ -492,7 +493,7 @@ def cell_max_qualifiers(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_partkey").alias("seq"),
         )
     )
-    v = scan(cells, _schema("q"), ScanDescriptor(max_qualifiers=5), now_us=NOW)
+    v = scan(cells, _schema("q"), ScanDescriptor(max_qualifiers=5), now_us=NOW, put_only=True)
     return v.select("row_key", "qualifier")
 
 
@@ -540,7 +541,7 @@ def cell_check_and_apply(spark: SparkSession, sf: str) -> DataFrame:
         now_us=NOW,
     )
     assert no is None
-    v = current_view(cells.unionByName(ok), schema, now_us=NOW)
+    v = current_view(cells.unionByName(ok), schema, now_us=NOW, put_only=True)
     return v.filter(F.col("row_key") <= "0000000005").select(
         "row_key", F.col("value").cast("string").alias("val")
     )
@@ -632,7 +633,7 @@ def cell_snapshot_read(spark: SparkSession, sf: str) -> DataFrame:
     in_snap = upd(F.col("c_custkey") < 100, "UPDATED", F.lit(1_000_000))
     after_snap = upd(F.col("c_custkey") >= 100, "TOO_LATE", F.lit(9_000_000))
     cells = base.unionByName(in_snap).unionByName(after_snap)
-    v = scan(cells, _schema("acct"), now_us=NOW, snapshot_seq=2_000_000)
+    v = scan(cells, _schema("acct"), now_us=NOW, snapshot_seq=2_000_000, put_only=True)
     return v.select("row_key", F.col("value").cast("string").alias("val"))
 
 
@@ -662,7 +663,7 @@ def cell_time_range(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
     )
     desc = ScanDescriptor(ts_start=820_454_400_000_000, ts_end=852_076_799_000_000)
-    v = scan(cells, _schema("o"), desc, now_us=NOW)
+    v = scan(cells, _schema("o"), desc, now_us=NOW, put_only=True)
     return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
 
 
