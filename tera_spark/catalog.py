@@ -419,6 +419,14 @@ class Catalog:
         # committed rows) and restarts seq at 0 — stale high watermarks
         # would stop masking torn tails, so clear the records with it
         shutil.rmtree(self.root / name / "commits", ignore_errors=True)
+        # ... and re-seed one record for the base: compact() emits
+        # "all PUTs, seq=0", so major compaction UPGRADES the table to
+        # the PUT-only fast fold (the reference likewise has no
+        # delete/merge records in a freshly major-compacted SST) —
+        # until the next non-PUT commit demotes it again
+        from tera_spark.model import CellOp
+
+        self._record_commit(name, 0, [CellOp.PUT])
 
     def rollback(self, name: str, snapshot_id: str) -> None:
         """Roll the table back to a snapshot: writes after the

@@ -381,3 +381,28 @@ def test_catalog_routes_put_only_tables_to_fast_fold(spark, tmp_path):
     cat.append("t", d.to_df(spark), commit_seq=3, op_kinds=d.op_kinds)
     assert not cat._put_only("t")
     assert cat.view("t").count() == 0  # the delete is honored
+
+
+def test_major_compaction_upgrades_to_fast_fold(spark, tmp_path):
+    """compact() emits an all-PUT seq-0 base, so major compaction
+    re-seeds the commit history and upgrades a previously demoted
+    table back to the PUT-only fast fold — with identical visible
+    cells before and after."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t { A }")
+    b = MutationBatch(base_seq=1)
+    b.put("r1", "A", "q", "v1", ts=5).put("r2", "A", "q", "vx", ts=5)
+    cat.append("t", b.to_df(spark), commit_seq=2, op_kinds=b.op_kinds)
+    d = MutationBatch(base_seq=3)
+    d.delete_row("r2", ts=9)
+    cat.append("t", d.to_df(spark), commit_seq=3, op_kinds=d.op_kinds)
+    assert not cat._put_only("t")
+    before = {(r.row_key, r.ts, bytes(r.value)) for r in cat.view("t").collect()}
+
+    cat.compact_inplace("t", now_us=NOW)
+    assert cat._put_only("t")
+    after = {(r.row_key, r.ts, bytes(r.value)) for r in cat.view("t").collect()}
+    assert after == before == {("r1", 5, b"v1")}
