@@ -177,28 +177,36 @@ class Catalog:
         tmp.write_text(json.dumps(rec))
         tmp.replace(p)  # atomic rename = the commit point
 
-    def _put_only(self, name: str) -> bool:
-        """True iff every commit record proves its batch held only PUT
-        ops. Conservative: any record without op_kinds (legacy/unknown
-        writer) or any non-PUT code disqualifies; an empty table
-        qualifies (the fold is vacuous)."""
-        from tera_spark.model import CellOp
-
+    def _op_kinds_union(self, name: str) -> set[int] | None:
+        """Union of op codes across all commit records, or None when
+        unknown (no records, or any record lacks op_kinds — a legacy/
+        unknown writer). Unknown disables every fast-fold route."""
         d = self.root / name / "commits"
         if not d.is_dir():
-            return False
+            return None
         recs = sorted(d.glob("*.json"))
         if not recs:
-            return False
+            return None
+        out: set[int] = set()
         for p in recs:
             try:
                 rec = json.loads(p.read_text())
             except (OSError, json.JSONDecodeError):
-                return False
+                return None
             kinds = rec.get("op_kinds")
-            if kinds is None or any(k != CellOp.PUT for k in kinds):
-                return False
-        return True
+            if kinds is None:
+                return None
+            out.update(int(k) for k in kinds)
+        return out
+
+    def _put_only(self, name: str) -> bool:
+        """True iff every commit record proves its batch held only PUT
+        ops. Conservative: unknown history disqualifies; an empty
+        table with records qualifies (the fold is vacuous)."""
+        from tera_spark.model import CellOp
+
+        kinds = self._op_kinds_union(name)
+        return kinds is not None and kinds <= {CellOp.PUT}
 
     def append(
         self,
@@ -256,10 +264,17 @@ class Catalog:
         schema = self.get_schema(name)
         if schema.kv_mode:
             return kv_current_view(self.read_oplog(name), **kw)
-        if "put_only" not in kw:
+        if "put_only" not in kw and "counter_only" not in kw:
             # commit records prove the op mix; a PUT-only history takes
-            # the fast fold (max_by / sliced sort — view.py put_only)
-            kw["put_only"] = self._put_only(name)
+            # the max_by/sliced-sort fast fold, a pure-counter history
+            # the stacked-agg SUM fold (view.py put_only/counter_only)
+            from tera_spark.model import CellOp
+
+            kinds = self._op_kinds_union(name)
+            if kinds is not None and kinds <= {CellOp.PUT}:
+                kw["put_only"] = True
+            elif kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
+                kw["counter_only"] = next(iter(kinds))
         return current_view(self.read_oplog(name), schema, **kw)
 
     # --- KV mode (RawKey=GeneralKv/TTLKv) ----------------------------

@@ -94,6 +94,7 @@ def current_view(
     default_max_versions: int = 1,
     snapshot_seq: int | None = None,
     put_only: bool = False,
+    counter_only: int | None = None,
 ) -> DataFrame:
     """Fold an op-log cell DataFrame into the visible-cell view.
 
@@ -114,7 +115,16 @@ def current_view(
     directly. Catalog-managed tables set this automatically from the
     op kinds recorded at commit time (Catalog.append); hand-built
     op-logs may declare it. Results are identical to the general
-    path on any PUT-only log (property-tested)."""
+    path on any PUT-only log (property-tested).
+
+    ``counter_only=CellOp.ADD`` (or ``CellOp.ADDINT64``) promises the
+    log holds ONLY that atomic op — the pure-counter table, tera's
+    canonical Add workload. The merge then runs as two stacked hash
+    aggregations on the same key prefix (same-ts dedup by max seq,
+    then SUM of decoded deltas — one exchange total, both
+    map-side-partial) instead of collecting per-column arrays.
+    Identical to the general fold on any such log (property-tested);
+    the catalog derives it from commit records like put_only."""
     if now_us is None:
         now_us = int(time.time() * 1_000_000)
     df = cells
@@ -149,6 +159,8 @@ def current_view(
 
     if put_only:
         return _put_only_fold(df, schema, maxv_map, default_max_versions)
+    if counter_only is not None:
+        return _counter_only_fold(df, counter_only)
 
     # --- phase B: one hash aggregation collects each qualifier's ops
     # AND its delete-mark maxima; row/cf-granularity masks then spread
@@ -356,6 +368,26 @@ def _put_only_fold(
             (-F.col("v.nts")).alias("ts"), F.col("v.value").alias("value"),
         )
     )
+
+
+def _counter_only_fold(df: DataFrame, kind: int) -> DataFrame:
+    """Visible view of a pure-counter op-log (ADD xor ADDINT64 only,
+    pre-filtered by phase A): per column, entries with the same ts
+    collapse to the max-seq one (the general fold's same-ts dedup),
+    then deltas SUM and the newest ts labels the merged cell — two
+    stacked hash aggregations on the same key prefix, so Catalyst
+    plans ONE exchange and both aggregations partial map-side. No
+    arrays, no merge-run scanning; maxversions is irrelevant (a merge
+    emits one cell)."""
+    dec = be_i64_decode if kind == CellOp.ADD else le_i64_decode
+    enc = be_i64_encode if kind == CellOp.ADD else le_i64_encode
+    per_ts = df.groupBy("row_key", "cf", "qualifier", "ts").agg(
+        F.max_by("value", "seq").alias("value")
+    )
+    return per_ts.groupBy("row_key", "cf", "qualifier").agg(
+        F.max("ts").alias("ts"),
+        enc(F.sum(dec(F.col("value")))).alias("value"),
+    ).select("row_key", "cf", "qualifier", "ts", "value")
 
 
 def _spark_entry_type() -> str:

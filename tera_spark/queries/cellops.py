@@ -207,7 +207,9 @@ def cell_counter(spark: SparkSession, sf: str) -> DataFrame:
         be_i64_encode(F.floor("l_quantity").cast("long")).alias("value"),
         F.row_number().over(wv).cast("long").alias("seq"),
     )
-    v = current_view(cells, _schema("c"), now_us=NOW)
+    # pure-ADD op-log → the stacked-agg counter fold (what the catalog
+    # derives from commit records on an Add-only table)
+    v = current_view(cells, _schema("c"), now_us=NOW, counter_only=CellOp.ADD)
     return v.select("row_key", be_i64_decode(F.col("value")).alias("total_qty"), "ts")
 
 

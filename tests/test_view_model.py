@@ -406,3 +406,51 @@ def test_major_compaction_upgrades_to_fast_fold(spark, tmp_path):
     assert cat._put_only("t")
     after = {(r.row_key, r.ts, bytes(r.value)) for r in cat.view("t").collect()}
     assert after == before == {("r1", 5, b"v1")}
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+@pytest.mark.parametrize("kind", [CellOp.ADD, CellOp.ADDINT64])
+def test_counter_only_fast_path_matches_general(spark, seed, kind):
+    """view.py counter_only promise: on a pure-ADD (or pure-ADDINT64)
+    op-log the stacked-agg SUM fold is cell-identical to the general
+    fold — including same-ts dedup (colliding timestamps keep only the
+    max-seq delta) and negative deltas."""
+    enc = py_encode_be_i64 if kind == CellOp.ADD else py_encode_le_i64
+    rng = random.Random(seed)
+    rows = []
+    for i in range(400):
+        rk = f"r{rng.randrange(15):03d}"
+        qu = f"q{rng.randrange(3)}"
+        ts = rng.randrange(1, 6)  # dense → same-ts dedup exercised
+        rows.append((rk, "A", qu, ts, kind, enc(rng.randrange(-50, 100)), i))
+    df = spark.createDataFrame(rows, CELL_SCHEMA)
+    schema = TableSchema(name="t").add_column_family("A", max_versions=1)
+    fast = {tuple(r) for r in current_view(df, schema, now_us=NOW,
+                                           counter_only=kind).collect()}
+    slow = {tuple(r) for r in current_view(df, schema, now_us=NOW).collect()}
+    assert fast == slow and fast
+
+
+def test_catalog_routes_counter_tables_to_sum_fold(spark, tmp_path):
+    """A table whose whole commit history is Add-only reads through
+    the counter fold; mixing in a PUT demotes it to the general fold
+    (PUT resets the merge base — only the general fold knows that)."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.functions.codecs import py_decode_be_i64
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t { A }")
+    b = MutationBatch(base_seq=1)
+    b.add("r1", "A", "hits", 5, ts=1).add("r1", "A", "hits", 7, ts=2)
+    cat.append("t", b.to_df(spark), commit_seq=2, op_kinds=b.op_kinds)
+    assert cat._op_kinds_union("t") == {CellOp.ADD}
+    got = cat.view("t").collect()
+    assert [(r.row_key, py_decode_be_i64(bytes(r.value))) for r in got] == [("r1", 12)]
+
+    p = MutationBatch(base_seq=3)
+    p.put("r1", "A", "hits", py_encode_be_i64(100), ts=3)
+    cat.append("t", p.to_df(spark), commit_seq=3, op_kinds=p.op_kinds)
+    assert cat._op_kinds_union("t") == {CellOp.ADD, CellOp.PUT}
+    got = cat.view("t").collect()  # general fold: PUT resets the base
+    assert [(r.row_key, py_decode_be_i64(bytes(r.value))) for r in got] == [("r1", 100)]
