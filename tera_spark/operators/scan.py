@@ -115,6 +115,7 @@ def get(
     max_versions: int | None = None,
     ts_range: tuple[int, int] | None = None,
     now_us: int | None = None,
+    put_only: bool = False,
 ) -> DataFrame:
     """Point read (RowReader, include/tera/reader.h:25-99). The
     row_key equality predicate reaches the Parquet scan, so a table
@@ -128,7 +129,7 @@ def get(
         ts_start=ts_range[0] if ts_range else None,
         ts_end=ts_range[1] if ts_range else None,
     )
-    return scan(cells, schema, desc, now_us=now_us)
+    return scan(cells, schema, desc, now_us=now_us, put_only=put_only)
 
 
 def batch_get(
@@ -137,6 +138,7 @@ def batch_get(
     keys: DataFrame | list[str],
     *,
     now_us: int | None = None,
+    put_only: bool = False,
 ) -> DataFrame:
     """Batched point reads (Table::Get(vector<RowReader*>)): a
     broadcast semi-join of the key set against the cell table — the
@@ -147,7 +149,7 @@ def batch_get(
         [(k,) for k in keys], "row_key string"
     )
     pruned = cells.join(F.broadcast(kdf), "row_key", "left_semi")
-    return current_view(pruned, schema, now_us=now_us)
+    return current_view(pruned, schema, now_us=now_us, put_only=put_only)
 
 
 def to_row_map(visible: DataFrame) -> DataFrame:

@@ -185,15 +185,28 @@ def current_view(
                 )
             ).alias("entries_raw"),
             F.max(F.when(op == CellOp.DEL_QUALIFIERS, ts)).alias("_del_qu"),
-            F.max(F.when(op == CellOp.DEL_ROW, ts)).alias("_row_mark"),
-            F.max(F.when(op == CellOp.DEL_FAMILY, ts)).alias("_cf_mark"),
         )
         .withColumn("maxv", F.coalesce(maxv_map[F.col("cf")], F.lit(default_max_versions)))
     )
-    w_row = Window.partitionBy("row_key")
-    w_cf = Window.partitionBy("row_key", "cf")
-    grouped = grouped.withColumn("_del_row", F.max("_row_mark").over(w_row)).withColumn(
-        "_del_cf", F.max("_cf_mark").over(w_cf)
+    # row/cf-granularity masks arrive by LEFT JOIN of two tiny mark
+    # aggregates, not by windows over the grouped rows: delete marks
+    # are rare by construction (they exist to be compacted away), so
+    # AQE broadcasts the mark sides and the plan keeps ONE full-size
+    # exchange — the window form forced a second exchange on row_key
+    # plus two sorts of every aggregated row. Mass-delete pathologies
+    # degrade gracefully to a keyed join on the same row_key prefix.
+    row_marks = (
+        df.filter(op == CellOp.DEL_ROW)
+        .groupBy("row_key")
+        .agg(F.max("ts").alias("_del_row"))
+    )
+    cf_marks = (
+        df.filter(op == CellOp.DEL_FAMILY)
+        .groupBy("row_key", "cf")
+        .agg(F.max("ts").alias("_del_cf"))
+    )
+    grouped = grouped.join(row_marks, "row_key", "left").join(
+        cf_marks, ["row_key", "cf"], "left"
     )
     mask = F.greatest(
         F.coalesce(F.col("_del_row"), F.lit(-(1 << 62))),
@@ -209,7 +222,7 @@ def current_view(
             )
             & (-x["nts"] > mask),
         ),
-    ).drop("entries_raw", "_del_qu", "_row_mark", "_cf_mark", "_del_row", "_del_cf")
+    ).drop("entries_raw", "_del_qu", "_del_row", "_del_cf")
 
     e = F.col("entries")
     maxv_c = F.col("maxv")

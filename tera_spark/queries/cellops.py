@@ -310,7 +310,7 @@ def cell_batch_get(spark: SparkSession, sf: str) -> DataFrame:
     cells = _customer_cells(spark, sf)
     cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 97 == 0)
     keys = cust.select(F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"))
-    v = batch_get(cells, _schema("profile"), keys, now_us=NOW)
+    v = batch_get(cells, _schema("profile"), keys, now_us=NOW, put_only=True)
     return v.select("row_key", "qualifier", F.col("value").cast("string").alias("val"))
 
 
@@ -328,7 +328,7 @@ def cell_row_map(spark: SparkSession, sf: str) -> DataFrame:
     cells = _customer_cells(spark, sf)
     cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 31 == 0)
     keys = cust.select(F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("row_key"))
-    v = batch_get(cells, _schema("profile"), keys, now_us=NOW)
+    v = batch_get(cells, _schema("profile"), keys, now_us=NOW, put_only=True)
     m = to_row_map(v)
     return m.select(
         "row_key",
