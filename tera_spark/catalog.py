@@ -330,7 +330,17 @@ class Catalog:
             )
             return sid
         oplog = self.read_oplog(name)
-        folded = compact(oplog, schema, now_us=now_us)
+        # commit records prove the op mix — compaction of the dominant
+        # shapes folds via the same fast paths reads use
+        from tera_spark.model import CellOp
+
+        kinds = self._op_kinds_union(name)
+        fold_kw: dict = {}
+        if kinds is not None and kinds <= {CellOp.PUT}:
+            fold_kw["put_only"] = True
+        elif kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
+            fold_kw["counter_only"] = next(iter(kinds))
+        folded = compact(oplog, schema, now_us=now_us, **fold_kw)
         write_cell_table(folded, str(out))
         top = oplog.agg({"seq": "max"}).collect()[0][0]
         (self.root / name / "snapshots" / f"{sid}.json").write_text(

@@ -30,9 +30,17 @@ def compact(
     *,
     now_us: int | None = None,
     snapshot_seq: int | None = None,
+    put_only: bool = False,
+    counter_only: int | None = None,
 ) -> DataFrame:
-    """op-log → compacted op-log (all PUTs, seq=0)."""
-    v = current_view(cells, schema, now_us=now_us, snapshot_seq=snapshot_seq)
+    """op-log → compacted op-log (all PUTs, seq=0). put_only /
+    counter_only forward the caller's op-mix promise to the fold
+    (see current_view) — compaction of the dominant shapes then runs
+    as the cheap aggregations too."""
+    v = current_view(
+        cells, schema, now_us=now_us, snapshot_seq=snapshot_seq,
+        put_only=put_only, counter_only=counter_only,
+    )
     out = v.select(
         "row_key",
         "cf",

@@ -454,3 +454,23 @@ def test_catalog_routes_counter_tables_to_sum_fold(spark, tmp_path):
     assert cat._op_kinds_union("t") == {CellOp.ADD, CellOp.PUT}
     got = cat.view("t").collect()  # general fold: PUT resets the base
     assert [(r.row_key, py_decode_be_i64(bytes(r.value))) for r in got] == [("r1", 100)]
+
+
+def test_snapshot_compaction_uses_fast_fold_and_preserves_semantics(spark, tmp_path):
+    """Catalog.snapshot derives the fold hint from commit records; a
+    counter table's compacted base materializes the merged sum as a
+    PUT and stays byte-identical to the pre-compaction view."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.functions.codecs import py_decode_be_i64
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t { A }")
+    b = MutationBatch(base_seq=1)
+    b.add("r1", "A", "hits", 5, ts=1).add("r1", "A", "hits", 7, ts=2).add("r2", "A", "hits", -3, ts=1)
+    cat.append("t", b.to_df(spark), commit_seq=3, op_kinds=b.op_kinds)
+    before = {(r.row_key, py_decode_be_i64(bytes(r.value))) for r in cat.view("t").collect()}
+    cat.compact_inplace("t", now_us=NOW)
+    after = {(r.row_key, py_decode_be_i64(bytes(r.value))) for r in cat.view("t").collect()}
+    assert after == before == {("r1", 12), ("r2", -3)}
+    assert cat._put_only("t")  # counter table upgraded to PUT-only base
