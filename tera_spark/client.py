@@ -200,6 +200,7 @@ class Table:
             max_versions=max_versions,
             ts_range=ts_range,
             now_us=now_us,
+            **self._fold_hints(),
         ).collect()
         out: dict[str, dict[str, list[tuple[int, bytes]]]] = {}
         for r in rows:
@@ -216,12 +217,27 @@ class Table:
             self._seek_client = Seeker(self._cat, self.name)
         return self._seek_client
 
+    def _fold_hints(self) -> dict:
+        """Metadata-derived fast-fold hints for direct operator calls
+        (the same derivation Catalog.view performs): commit records
+        prove the op mix, so SDK reads of PUT-only / pure-counter
+        tables take the cheap folds automatically."""
+        from tera_spark.model import CellOp
+
+        kinds = self._cat._op_kinds_union(self.name)
+        if kinds is not None and kinds <= {CellOp.PUT}:
+            return {"put_only": True}
+        if kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
+            return {"counter_only": next(iter(kinds))}
+        return {}
+
     def batch_get(self, row_keys: list[str], *, now_us: int | None = None) -> DataFrame:
         return batch_get(
             self._cat.read_oplog(self.name),
             self._cat.get_schema(self.name),
             row_keys,
             now_us=now_us,
+            **self._fold_hints(),
         )
 
     def multi_get(
@@ -267,6 +283,7 @@ class Table:
             self._cat.get_schema(self.name),
             desc,
             now_us=now_us,
+            **self._fold_hints(),
         )
         ordered = v.orderBy("row_key", "cf", "qualifier", F.desc("ts"))
         return ordered.toLocalIterator()
@@ -280,6 +297,7 @@ class Table:
             self._cat.get_schema(self.name),
             desc,
             now_us=now_us,
+            **self._fold_hints(),
         )
 
     # -- transactions (table.h:102-104) -------------------------------

@@ -56,6 +56,7 @@ def scan(
     now_us: int | None = None,
     snapshot_seq: int | None = None,
     put_only: bool = False,
+    counter_only: int | None = None,
 ) -> DataFrame:
     desc = desc or ScanDescriptor()
     df = cells
@@ -73,7 +74,8 @@ def scan(
     # 2. fold to visible cells (put_only = caller's PUT-only promise,
     # routes the fast fold — see current_view)
     v = current_view(
-        df, schema, now_us=now_us, snapshot_seq=snapshot_seq, put_only=put_only
+        df, schema, now_us=now_us, snapshot_seq=snapshot_seq,
+        put_only=put_only, counter_only=counter_only,
     )
 
     # 3. scan-level version / qualifier caps
@@ -116,6 +118,7 @@ def get(
     ts_range: tuple[int, int] | None = None,
     now_us: int | None = None,
     put_only: bool = False,
+    counter_only: int | None = None,
 ) -> DataFrame:
     """Point read (RowReader, include/tera/reader.h:25-99). The
     row_key equality predicate reaches the Parquet scan, so a table
@@ -129,7 +132,7 @@ def get(
         ts_start=ts_range[0] if ts_range else None,
         ts_end=ts_range[1] if ts_range else None,
     )
-    return scan(cells, schema, desc, now_us=now_us, put_only=put_only)
+    return scan(cells, schema, desc, now_us=now_us, put_only=put_only, counter_only=counter_only)
 
 
 def batch_get(
@@ -139,6 +142,7 @@ def batch_get(
     *,
     now_us: int | None = None,
     put_only: bool = False,
+    counter_only: int | None = None,
 ) -> DataFrame:
     """Batched point reads (Table::Get(vector<RowReader*>)): a
     broadcast semi-join of the key set against the cell table — the
@@ -149,7 +153,7 @@ def batch_get(
         [(k,) for k in keys], "row_key string"
     )
     pruned = cells.join(F.broadcast(kdf), "row_key", "left_semi")
-    return current_view(pruned, schema, now_us=now_us, put_only=put_only)
+    return current_view(pruned, schema, now_us=now_us, put_only=put_only, counter_only=counter_only)
 
 
 def to_row_map(visible: DataFrame) -> DataFrame:
