@@ -273,23 +273,33 @@ class Table:
         return out
 
     def scan(
-        self, desc: ScanDescriptor | None = None, *, now_us: int | None = None
+        self,
+        desc: ScanDescriptor | None = None,
+        *,
+        now_us: int | None = None,
+        snapshot_seq: int | None = None,
     ) -> Iterator:
         """Ordered cell iteration (ResultStream). Yields Rows with
         (row_key, cf, qualifier, ts, value) in scan order: row_key,
-        cf, qualifier asc, ts desc."""
+        cf, qualifier asc, ts desc. ``snapshot_seq`` reads as of a
+        write sequence (ScanDescriptor::SetSnapshot, scan.h:121)."""
         v = scan(
             self._cat.read_oplog(self.name),
             self._cat.get_schema(self.name),
             desc,
             now_us=now_us,
+            snapshot_seq=snapshot_seq,
             **self._fold_hints(),
         )
         ordered = v.orderBy("row_key", "cf", "qualifier", F.desc("ts"))
         return ordered.toLocalIterator()
 
     def scan_df(
-        self, desc: ScanDescriptor | None = None, *, now_us: int | None = None
+        self,
+        desc: ScanDescriptor | None = None,
+        *,
+        now_us: int | None = None,
+        snapshot_seq: int | None = None,
     ) -> DataFrame:
         """The analytics-native form: visible cells as a DataFrame."""
         return scan(
@@ -297,6 +307,7 @@ class Table:
             self._cat.get_schema(self.name),
             desc,
             now_us=now_us,
+            snapshot_seq=snapshot_seq,
             **self._fold_hints(),
         )
 

@@ -135,3 +135,22 @@ def test_global_transaction_via_client(client):
     g.commit()
     assert a.get("x", max_versions=1)["cf0"]["v"][0][1] == b"5"
     assert b.get("y", max_versions=1)["cf0"]["v"][0][1] == b"25"
+
+
+def test_scan_snapshot_seq_reads_as_of(spark, tmp_path):
+    """MIGRATION.md promise: t.scan(..., snapshot_seq=n) reads the
+    table as of a write sequence (SetSnapshot, scan.h:121)."""
+    from tera_spark.client import Client
+
+    c = Client(spark, str(tmp_path / "root"))
+    c.create_table("t { A }")
+    t = c.open_table("t")
+    t.put("r1", "A", "q", "old", ts=1)
+    seq_after_first = c.catalog.raw_max_seq("t")
+    t.put("r1", "A", "q", "new", ts=2)
+
+    now = [r for r in t.scan()]
+    assert [bytes(r.value) for r in now] == [b"new"]
+    then = [r for r in t.scan(snapshot_seq=seq_after_first)]
+    assert [bytes(r.value) for r in then] == [b"old"]
+    assert t.scan_df(snapshot_seq=seq_after_first).count() == 1
