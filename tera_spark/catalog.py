@@ -208,6 +208,21 @@ class Catalog:
         kinds = self._op_kinds_union(name)
         return kinds is not None and kinds <= {CellOp.PUT}
 
+    def fold_hints(self, name: str) -> dict:
+        """Fast-fold kwargs for ``current_view``, derived from the
+        table's commit records (the single derivation every consumer —
+        view/snapshot/SDK/mview — routes through): PUT-only history →
+        ``put_only``; pure-counter history → ``counter_only``; unknown
+        or mixed → the general fold."""
+        from tera_spark.model import CellOp
+
+        kinds = self._op_kinds_union(name)
+        if kinds is not None and kinds <= {CellOp.PUT}:
+            return {"put_only": True}
+        if kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
+            return {"counter_only": next(iter(kinds))}
+        return {}
+
     def append(
         self,
         name: str,
@@ -268,13 +283,7 @@ class Catalog:
             # commit records prove the op mix; a PUT-only history takes
             # the max_by/sliced-sort fast fold, a pure-counter history
             # the stacked-agg SUM fold (view.py put_only/counter_only)
-            from tera_spark.model import CellOp
-
-            kinds = self._op_kinds_union(name)
-            if kinds is not None and kinds <= {CellOp.PUT}:
-                kw["put_only"] = True
-            elif kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
-                kw["counter_only"] = next(iter(kinds))
+            kw.update(self.fold_hints(name))
         return current_view(self.read_oplog(name), schema, **kw)
 
     # --- KV mode (RawKey=GeneralKv/TTLKv) ----------------------------
@@ -332,15 +341,7 @@ class Catalog:
         oplog = self.read_oplog(name)
         # commit records prove the op mix — compaction of the dominant
         # shapes folds via the same fast paths reads use
-        from tera_spark.model import CellOp
-
-        kinds = self._op_kinds_union(name)
-        fold_kw: dict = {}
-        if kinds is not None and kinds <= {CellOp.PUT}:
-            fold_kw["put_only"] = True
-        elif kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
-            fold_kw["counter_only"] = next(iter(kinds))
-        folded = compact(oplog, schema, now_us=now_us, **fold_kw)
+        folded = compact(oplog, schema, now_us=now_us, **self.fold_hints(name))
         write_cell_table(folded, str(out))
         top = oplog.agg({"seq": "max"}).collect()[0][0]
         (self.root / name / "snapshots" / f"{sid}.json").write_text(

@@ -218,18 +218,10 @@ class Table:
         return self._seek_client
 
     def _fold_hints(self) -> dict:
-        """Metadata-derived fast-fold hints for direct operator calls
-        (the same derivation Catalog.view performs): commit records
-        prove the op mix, so SDK reads of PUT-only / pure-counter
-        tables take the cheap folds automatically."""
-        from tera_spark.model import CellOp
-
-        kinds = self._cat._op_kinds_union(self.name)
-        if kinds is not None and kinds <= {CellOp.PUT}:
-            return {"put_only": True}
-        if kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
-            return {"counter_only": next(iter(kinds))}
-        return {}
+        """Metadata-derived fast-fold hints for direct operator calls:
+        commit records prove the op mix, so SDK reads of PUT-only /
+        pure-counter tables take the cheap folds automatically."""
+        return self._cat.fold_hints(self.name)
 
     def batch_get(self, row_keys: list[str], *, now_us: int | None = None) -> DataFrame:
         return batch_get(
