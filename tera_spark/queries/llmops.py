@@ -1123,6 +1123,51 @@ def doc_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_token_stats(docs)
 
 
+_SQL_NBPE_SUM = f"sum(len(regexp_extract_all(text, '{_BPE_SQL}')))"
+_SQL_NWS_SUM = "sum(len(string_split_regex(trim(text), '\\s+')))"
+
+
+@query(
+    "text_tokenizer_fertility",
+    f"""
+    SELECT lang,
+           cast(count(*) AS bigint) AS n_docs,
+           cast({_SQL_NBPE_SUM} AS bigint) AS n_bpe_tokens,
+           {_t6(f"sum(length(text))::double / greatest({_SQL_NBPE_SUM}, 1)")} AS chars_per_token,
+           {_t6(f"{_SQL_NBPE_SUM}::double / greatest({_SQL_NWS_SUM}, 1)")} AS bpe_per_word
+    FROM documents GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE segments per whitespace
+    word and chars per BPE token, aggregated by lang — the standard
+    multilingual-pipeline diagnostic (a language whose fertility is 2×
+    English pays 2× context budget per word; token-budget mixtures
+    must correct for it). Map-only regexp counts, one tiny lang-keyed
+    aggregation."""
+    from tera_spark.operators.textops import BPE_SPLIT
+    from tera_spark.functions.text import tokens
+
+    docs = load(spark, sf, "documents")
+    seg = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT), 0))
+
+    def trunc6(x):
+        return F.floor(x * 1_000_000).cast("double") / 1_000_000
+
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(seg).cast("long").alias("n_bpe_tokens"),
+        trunc6(
+            F.sum(F.length("text")).cast("double")
+            / F.greatest(F.sum(seg), F.lit(1)).cast("double")
+        ).alias("chars_per_token"),
+        trunc6(
+            F.sum(seg).cast("double")
+            / F.greatest(F.sum(F.size(tokens(F.col("text")))), F.lit(1)).cast("double")
+        ).alias("bpe_per_word"),
+    )
+
+
 @query(
     "text_inverted_index",
     f"""
