@@ -1,0 +1,67 @@
+"""Persisted mergeable HLL sketch tables (operators/sketches.py):
+incremental build, range queries over buckets, merge idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tera_spark.operators.sketches import build_hll_table, hll_distinct
+from tera_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def _events(spark):
+    return load(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+
+
+def test_incremental_build_estimates_range_distinct(spark, tmp_path):
+    ev = _events(spark)
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    mid = days[len(days) // 2]
+    path = str(tmp_path / "sk")
+    # two incremental builds (nightly-batch shape), same sketch table
+    build_hll_table(ev.filter(F.col("day") <= mid), path,
+                    bucket_cols=["day", "event_type"], value_col="user_id")
+    build_hll_table(ev.filter(F.col("day") > mid), path,
+                    bucket_cols=["day", "event_type"], value_col="user_id")
+
+    lo, hi = days[2], days[-3]
+    exact = (
+        ev.filter((F.col("day") >= lo) & (F.col("day") <= hi))
+        .select("user_id").distinct().count()
+    )
+    est = hll_distinct(
+        spark, path, where=f"day >= '{lo}' and day <= '{hi}'"
+    ).collect()[0].distinct_estimate
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # per-type grouping over the same range
+    per_type = {
+        r.event_type: r.distinct_estimate
+        for r in hll_distinct(
+            spark, path, where=f"day >= '{lo}' and day <= '{hi}'",
+            group_by=["event_type"],
+        ).collect()
+    }
+    exact_type = {
+        r.event_type: r.n
+        for r in ev.filter((F.col("day") >= lo) & (F.col("day") <= hi))
+        .groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for t, n in exact_type.items():
+        assert abs(per_type[t] - n) / n < 0.08, (t, per_type[t], n)
+
+
+def test_duplicate_slice_rebuild_is_idempotent(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "sk")
+    build_hll_table(ev, path, bucket_cols=["day"], value_col="user_id")
+    before = hll_distinct(spark, path).collect()[0].distinct_estimate
+    # a re-run of the same slice appends duplicate sketch rows; the
+    # union absorbs them (HLL union over the same set is idempotent)
+    build_hll_table(ev, path, bucket_cols=["day"], value_col="user_id")
+    after = hll_distinct(spark, path).collect()[0].distinct_estimate
+    assert after == before
