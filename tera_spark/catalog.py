@@ -424,7 +424,12 @@ class Catalog:
         if schema.kv_mode:
             raise ValueError("diff is not supported for kv-mode tables")
         return changes_between(
-            self.read_oplog(name), schema, seq_start=seq_start, seq_end=seq_end, now_us=now_us
+            self.read_oplog(name),
+            schema,
+            seq_start=seq_start,
+            seq_end=seq_end,
+            now_us=now_us,
+            put_only=self._put_only(name),
         )
 
     def compact_inplace(self, name: str, *, now_us: int | None = None) -> None:

@@ -42,16 +42,17 @@ first entry of a qualifier and ScanDrop lets orphan atomics through
 when no newer PUT exists). We define the cleaner semantics — atomic
 ops below the head run are never visible raw — and pin it in tests.
 
-Plan shape: ONE hash shuffle total, and NO cell-level sort. A single
-hash aggregation on (row_key, cf, qualifier) collects each column's
-ops and, in the same pass, the per-granularity delete-mark maxima;
-row/cf-level masks then spread via windows over the aggregated rows
-(one row per qualifier — orders of magnitude fewer than cells, and
-hash partitioning on the row_key prefix satisfies their clustering,
-so no second exchange). Masking filters the collected arrays. All
-sequential per-qualifier logic runs JVM-side over those arrays via
-higher-order functions; no Python UDFs. This is the property that
-keeps the view viable at 100 TB.
+Plan shape: ONE full-size hash shuffle total, and NO cell-level sort.
+A single hash aggregation on (row_key, cf, qualifier) collects each
+column's ops and its qualifier-level delete maxima; row/cf-level
+masks arrive by LEFT JOIN of two tiny mark aggregates (delete marks
+are rare by construction, so AQE broadcasts them — zero extra
+exchanges, zero sorts; mass-delete pathologies degrade to a keyed
+join). Masking filters the collected arrays. All sequential
+per-qualifier logic runs JVM-side over those arrays via higher-order
+functions; no Python UDFs. PUT-only and pure-counter op mixes route
+to cheaper specialized folds (put_only / counter_only below). This
+is the property set that keeps the view viable at 100 TB.
 """
 
 from __future__ import annotations
@@ -449,6 +450,7 @@ def changes_between(
     seq_start: int,
     seq_end: int | None = None,
     now_us: int | None = None,
+    put_only: bool = False,
 ) -> DataFrame:
     """Changefeed between two write sequences: per (row_key, cf,
     qualifier), diff the newest visible value as-of ``seq_start``
@@ -473,10 +475,14 @@ def changes_between(
         dirty_pred = dirty_pred & (F.col("seq") <= F.lit(seq_end))
     dirty = cells.filter(dirty_pred).select("row_key").distinct()
     scoped = cells.join(dirty, "row_key", "left_semi")
-    v0 = latest_view(scoped, schema, snapshot_seq=seq_start, now_us=now_us).select(
+    v0 = latest_view(
+        scoped, schema, snapshot_seq=seq_start, now_us=now_us, put_only=put_only
+    ).select(
         "row_key", "cf", "qualifier", F.col("value").alias("old_value")
     )
-    v1 = latest_view(scoped, schema, snapshot_seq=seq_end, now_us=now_us).select(
+    v1 = latest_view(
+        scoped, schema, snapshot_seq=seq_end, now_us=now_us, put_only=put_only
+    ).select(
         "row_key", "cf", "qualifier", F.col("value").alias("new_value")
     )
     j = v0.join(v1, ["row_key", "cf", "qualifier"], "full_outer")
