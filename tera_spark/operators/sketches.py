@@ -66,3 +66,80 @@ def hll_distinct(
     if group_by:
         return sk.groupBy(*group_by).agg(agg)
     return sk.agg(agg)
+
+
+def build_hist_table(
+    df: DataFrame,
+    path: str,
+    *,
+    bucket_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    mode: str = "append",
+) -> None:
+    """Fold one slice into per-bucket fixed-width histograms
+    (map bin→count) — the mergeable-quantile companion to the HLL
+    table: histogram merge is element-wise count addition, so any
+    bucket range answers percentile/CDF questions from KBs.
+
+    Unlike HLL, counts are NOT idempotent under slice re-append —
+    rebuild a slice with ``mode="overwrite"`` on its partition (or
+    dedupe upstream). Values outside [lo, hi) clamp to the edge bins
+    (bin 0 / n_bins-1), so the tails stay accounted."""
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit((hi - lo) / n_bins)).cast("int")),
+    )
+    (
+        df.groupBy(*bucket_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(*bucket_cols)
+        .agg(F.map_from_entries(F.sort_array(F.collect_list(F.struct("bin", "cnt")))).alias("hist"))
+        .withColumn("lo", F.lit(float(lo)))
+        .withColumn("hi", F.lit(float(hi)))
+        .withColumn("n_bins", F.lit(n_bins))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def hist_quantile(
+    spark: SparkSession,
+    path: str,
+    quantiles: list[float],
+    *,
+    where: str | None = None,
+) -> DataFrame:
+    """Estimate quantiles over any bucket range: merge covered
+    histograms (explode + per-bin SUM — associative), walk the CDF,
+    return each requested quantile's bin midpoint. Error is bounded
+    by bin width; one row per requested quantile."""
+    sk = spark.read.parquet(path)
+    if where:
+        sk = sk.filter(where)
+    bins = (
+        sk.select("lo", "hi", "n_bins", F.explode("hist").alias("bin", "cnt"))
+        .groupBy("lo", "hi", "n_bins", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lo", "hi", "n_bins").orderBy("bin")
+    cdf = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(W.partitionBy("lo", "hi", "n_bins"))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    width = (F.col("hi") - F.col("lo")) / F.col("n_bins")
+    hit = (
+        cdf.join(qdf, F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            F.min_by(
+                F.col("lo") + (F.col("bin") + 0.5) * width, F.col("bin")
+            ).alias("estimate")
+        )
+    )
+    return hit.orderBy("q")

@@ -65,3 +65,38 @@ def test_duplicate_slice_rebuild_is_idempotent(spark, tmp_path):
     build_hll_table(ev, path, bucket_cols=["day"], value_col="user_id")
     after = hll_distinct(spark, path).collect()[0].distinct_estimate
     assert after == before
+
+
+def test_hist_table_range_quantiles(spark, tmp_path):
+    """Mergeable histogram tables: two incremental slice builds, then
+    quantiles over a day range are within one bin width of exact."""
+    from tera_spark.operators.sketches import build_hist_table, hist_quantile
+
+    ev = _events_with_value(spark)
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    mid = days[len(days) // 2]
+    path = str(tmp_path / "hist")
+    vmax = ev.agg(F.max("value")).collect()[0][0]
+    hi = float(vmax) + 1.0
+    kw = dict(bucket_cols=["day"], value_col="value", lo=0.0, hi=hi, n_bins=200)
+    build_hist_table(ev.filter(F.col("day") <= mid), path, **kw)
+    build_hist_table(ev.filter(F.col("day") > mid), path, **kw)
+
+    lo_d, hi_d = days[2], days[-3]
+    sel = ev.filter((F.col("day") >= lo_d) & (F.col("day") <= hi_d))
+    exact = sel.approxQuantile("value", [0.5, 0.9, 0.99], 0.0)
+    got = {
+        r.q: r.estimate
+        for r in hist_quantile(
+            spark, path, [0.5, 0.9, 0.99], where=f"day >= '{lo_d}' and day <= '{hi_d}'"
+        ).collect()
+    }
+    bin_w = hi / 200
+    for q, ex in zip([0.5, 0.9, 0.99], exact):
+        assert abs(got[q] - ex) <= bin_w + 1e-9, (q, got[q], ex)
+
+
+def _events_with_value(spark):
+    return load(spark, SF, "events").select(
+        F.to_date("ts").alias("day"), F.col("value").cast("double").alias("value")
+    )
