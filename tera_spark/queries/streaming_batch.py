@@ -797,3 +797,99 @@ def events_type_correlation(spark: SparkSession, sf: str) -> DataFrame:
             (F.floor(r * 1_000_000).cast("double") / 1_000_000).alias("pearson_r"),
         )
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    """
+    WITH daily AS (
+      SELECT cast(ts AS date) AS day, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    monthly AS (
+      SELECT date_trunc('month', ts) AS month, count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT cast(d.day AS varchar) AS day,
+           cast(d.dau AS bigint) AS dau,
+           cast(m.mau AS bigint) AS mau,
+           (floor(d.dau::double / m.mau * 1000000)::double / 1000000) AS stickiness
+    FROM daily d JOIN monthly m ON date_trunc('month', d.day) = m.month
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement ratio every product
+    dashboard tracks. Two distinct aggregations (day- and month-keyed)
+    joined on the month; at 100 TB both become sketch-table reads
+    (operators/sketches.build_hll_table bucketed by day: DAU = one
+    bucket, MAU = union of the month's buckets — this exact query is
+    why the sketch table stores day-level buckets)."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    j = daily.join(monthly, F.date_trunc("month", F.col("day")) == F.col("month"))
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        (F.floor(F.col("dau") / F.col("mau") * 1_000_000).cast("double") / 1_000_000).alias(
+            "stickiness"
+        ),
+    )
+
+
+@query(
+    "events_pareto_concentration",
+    """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk,
+             count(*) OVER () AS n_users,
+             sum(n_events) OVER () AS total
+      FROM per_user
+    )
+    SELECT cast(pct AS bigint) AS top_pct,
+           cast(sum(n_events) AS bigint) AS events_covered,
+           (floor(sum(n_events)::double / any_value(total) * 1000000)::double
+             / 1000000) AS share
+    FROM ranked, (SELECT unnest([1, 5, 10, 25]) AS pct)
+    WHERE rnk <= greatest(1, (pct * n_users) / 100)
+    GROUP BY pct
+    """,
+)
+def events_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto concentration: what share of all events the top 1/5/10/
+    25% most-active users generate — the skew audit run before
+    hotspot planning (a heavy-hitter head means salting/AQE-skew
+    matter; a flat curve means plain hash keys suffice). One user
+    aggregation, one rank window over the user-sized relation (never
+    the raw events), four threshold sums."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.orderBy(F.desc("n_events"), "user_id")
+    ranked = (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_users", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn("total", F.sum("n_events").over(W.partitionBy()))
+    )
+    pcts = spark.createDataFrame([(p,) for p in (1, 5, 10, 25)], "pct int")
+    hit = ranked.join(
+        F.broadcast(pcts),
+        F.col("rnk") <= F.greatest(F.lit(1), (F.col("pct") * F.col("n_users")) / 100),
+    )
+    return hit.groupBy("pct").agg(
+        F.sum("n_events").cast("long").alias("events_covered"),
+        (
+            F.floor(F.sum("n_events") / F.any_value("total") * 1_000_000).cast("double")
+            / 1_000_000
+        ).alias("share"),
+    ).select(F.col("pct").cast("long").alias("top_pct"), "events_covered", "share")
