@@ -100,3 +100,35 @@ def _events_with_value(spark):
     return load(spark, SF, "events").select(
         F.to_date("ts").alias("day"), F.col("value").cast("double").alias("value")
     )
+
+
+def test_streaming_sketch_maintenance(spark, tmp_path):
+    """Sketch tables maintained from a stream: each micro-batch folds
+    its slice into per-day HLL rows (build_hll_table in foreachBatch,
+    append mode), and range estimates stay correct after the drain —
+    the continuous-ingestion form of incremental distinct counting."""
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    sk_path = str(tmp_path / "sk")
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, epoch: build_hll_table(
+                batch, sk_path, bucket_cols=["day"], value_col="user_id"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    exact = ev.select("user_id").distinct().count()
+    est = hll_distinct(spark, sk_path).collect()[0].distinct_estimate
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # multiple sketch rows per day (one per covering batch) is the
+    # expected steady state; the union absorbs them
+    sk = spark.read.parquet(sk_path)
+    assert sk.count() >= sk.select("day").distinct().count()
