@@ -893,3 +893,79 @@ def events_pareto(spark: SparkSession, sf: str) -> DataFrame:
             / 1_000_000
         ).alias("share"),
     ).select(F.col("pct").cast("long").alias("top_pct"), "events_covered", "share")
+
+
+@query(
+    "events_bot_regularity",
+    """
+    WITH deltas AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             count(gap_us) AS n_gaps,
+             sum(gap_us::HUGEINT) AS s1,
+             sum(gap_us::HUGEINT * gap_us::HUGEINT) AS s2
+      FROM deltas WHERE gap_us IS NOT NULL GROUP BY user_id
+    )
+    SELECT cast(user_id AS bigint) AS user_id,
+           cast(n_gaps AS bigint) AS n_gaps,
+           (floor((n_gaps * s2 - s1 * s1)::double
+                  / (n_gaps * n_gaps)::double / 1000000.0)::double) AS gap_var_ms2
+    FROM stats
+    WHERE n_gaps >= 20
+    ORDER BY (n_gaps * s2 - s1 * s1)::double / (n_gaps * n_gaps)::double, user_id
+    LIMIT 25
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bot/automation detection by inter-event-time regularity: users
+    with many events whose gap variance is implausibly low (humans
+    are bursty; schedulers tick). Gaps come from one user-partitioned
+    lag window; variance from exact integer moments (bit-stable
+    across engines), reported in ms² floor-truncated. Emits the 25 most-regular
+    heavy users (≥20 gaps) — the review queue a bot audit starts from;
+    distributed top-k (orderBy+limit), never a global sort.
+    At 100 TB the window partitions by user_id (no global sort) and
+    the moment sums are the same one-pass shape as the trend/corr
+    queries."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    g = F.col("gap_us").cast("decimal(38,0)")
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum(g).alias("s1"),
+        F.sum(g * g).alias("s2"),
+    )
+    n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    # numerator exact in decimal, cast once — matches the oracle's
+    # HUGEINT-exact-then-::double order so the last bits agree
+    num = (n.cast("decimal(38,0)") * s2 - s1 * s1).cast("double")
+    var_us2 = num / (n * n).cast("double")
+    return (
+        stats.filter(n >= 20)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            n.cast("long").alias("n_gaps"),
+            var_us2.alias("_v"),
+        )
+        .orderBy("_v", "user_id")
+        .limit(25)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.floor(F.col("_v") / 1_000_000.0).cast("double").alias("gap_var_ms2"),
+        )
+    )
