@@ -560,8 +560,20 @@ class Catalog:
             if not dirty:
                 continue
             paths = [str(i["path"]) for i in grp]
+            # footer-proved fold hint: the op min/max already read for
+            # dirtiness planning also proves the group's op mix, so a
+            # puts-only (or pure-counter) group folds via the fast path
+            fold_kw: dict = {}
+            ops = {(i["op_lo"], i["op_hi"]) for i in grp}
+            if ops == {(CellOp.PUT, CellOp.PUT)}:
+                fold_kw["put_only"] = True
+            elif ops in ({(CellOp.ADD, CellOp.ADD)}, {(CellOp.ADDINT64, CellOp.ADDINT64)}):
+                fold_kw["counter_only"] = next(iter(ops))[0]
             folded = compact(
-                self.spark.read.parquet(*paths), self.get_schema(name), now_us=now_us
+                self.spark.read.parquet(*paths),
+                self.get_schema(name),
+                now_us=now_us,
+                **fold_kw,
             )
             tmp = self.root / name / f"compact-tmp-{uuid.uuid4().hex}"
             write_cell_table(folded, str(tmp))
