@@ -969,3 +969,57 @@ def events_bot_regularity(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("_v") / 1_000_000.0).cast("double").alias("gap_var_ms2"),
         )
     )
+
+
+@query(
+    "events_m4_downsample",
+    """
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 21600000000 AS bucket,
+             epoch_us(ts) AS t, value, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY t, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY t DESC, event_id DESC) AS rl
+      FROM b
+    )
+    SELECT event_type, cast(bucket AS bigint) AS bucket,
+           cast(min(t) AS bigint) AS t_first,
+           round(max(CASE WHEN rf = 1 THEN value END), 2) AS v_first,
+           cast(max(t) AS bigint) AS t_last,
+           round(max(CASE WHEN rl = 1 THEN value END), 2) AS v_last,
+           round(min(value), 2) AS v_min,
+           round(max(value), 2) AS v_max,
+           cast(count(*) AS bigint) AS n
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def events_m4(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series and
+    6-hour pixel bucket keep first/last/min/max — the lossless-at-
+    pixel-resolution reducer every time-series dashboard needs before
+    plotting a billion points. ONE hash aggregation (min/max/min_by/
+    max_by all partial-aggregatable), no windows, no sort — at 100 TB
+    the output is pixels × series regardless of input volume."""
+    ev = load(spark, sf, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.select(
+        "event_type",
+        F.floor(t / F.lit(21_600_000_000)).cast("long").alias("bucket"),
+        t.alias("t"), "value", "event_id",
+    )
+    key = F.struct(F.col("t"), F.col("event_id"))
+    return b.groupBy("event_type", "bucket").agg(
+        F.min("t").alias("t_first"),
+        F.round(F.min_by("value", key), 2).alias("v_first"),
+        F.max("t").alias("t_last"),
+        F.round(F.max_by("value", key), 2).alias("v_last"),
+        F.round(F.min("value"), 2).alias("v_min"),
+        F.round(F.max("value"), 2).alias("v_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
