@@ -2160,3 +2160,63 @@ def pipeline_mixture_allocation(spark: SparkSession, sf: str) -> DataFrame:
         "source", "n_docs", "n_tokens", "weight",
         F.expr("(1000000 * weight) div _tw").cast("long").alias("alloc_tokens"),
     )
+
+
+@query(
+    "ann_centroid_outliers",
+    """
+    WITH dims AS (
+      SELECT vec_id, label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, ord, avg(x) AS m FROM dims GROUP BY label, ord
+    ),
+    dist AS (
+      SELECT d.vec_id, d.label,
+             sqrt(sum((d.x - c.m) * (d.x - c.m))) AS d2c
+      FROM dims d JOIN cent c ON d.label = c.label AND d.ord = c.ord
+      GROUP BY d.vec_id, d.label
+    ),
+    stats AS (
+      SELECT label, avg(d2c) AS mu, stddev_pop(d2c) AS sd FROM dist GROUP BY label
+    )
+    SELECT cast(d.vec_id AS bigint) AS vec_id, d.label,
+           (floor(d.d2c * 1000000)::double / 1000000) AS dist_to_centroid,
+           (floor((d.d2c - s.mu) / s.sd * 1000)::double / 1000) AS z
+    FROM dist d JOIN stats s ON d.label = s.label
+    WHERE (d.d2c - s.mu) / s.sd > 2.0
+    """,
+)
+def ann_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space outlier audit: each vector's L2 distance to its
+    LABEL centroid, z-scored within the label; >2σ flags likely
+    mislabeled/corrupted vectors before they poison contrastive
+    training or ANN index balance. Centroids come from one posexplode
+    + (label, dim) mean — never a driver collect; distances from a
+    broadcast join of the (labels × dims)-sized centroid table back
+    onto the vectors. At 100 TB the centroid table is KBs regardless
+    of corpus size."""
+    emb = load(spark, sf, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("ord", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = dims.groupBy("label", "ord").agg(F.avg("x").alias("m"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "ord"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))).alias("d2c"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d2c").alias("mu"), F.stddev_pop("d2c").alias("sd")
+    )
+    j = dist.join(F.broadcast(stats), "label")
+    z = (F.col("d2c") - F.col("mu")) / F.col("sd")
+    return j.filter(z > 2.0).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "label",
+        (F.floor(F.col("d2c") * 1_000_000).cast("double") / 1_000_000).alias("dist_to_centroid"),
+        (F.floor(z * 1_000).cast("double") / 1_000).alias("z"),
+    )
