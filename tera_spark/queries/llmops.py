@@ -2220,3 +2220,42 @@ def ann_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("d2c") * 1_000_000).cast("double") / 1_000_000).alias("dist_to_centroid"),
         (F.floor(z * 1_000).cast("double") / 1_000).alias("z"),
     )
+
+
+@query(
+    "pipeline_ref_integrity_audit",
+    """
+    SELECT
+      cast((SELECT count(*) FROM embeddings e
+            WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+        AS bigint) AS vectors_without_doc,
+      cast((SELECT count(*) FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+        AS bigint) AS docs_without_vector,
+      cast((SELECT count(*) FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+        AS bigint) AS aligned
+    """,
+)
+def pipeline_ref_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit between the text corpus and its
+    embedding table — the pre-training sanity gate (every training
+    pair needs both sides; orphans mean a failed embedding job or a
+    dedup drop applied to only one table). ONE full-outer join on the
+    shared key with conditional counts in a single aggregation — each
+    side scanned once, one shuffle, no driver-side actions."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    emb = load(spark, sf, "embeddings").select("vec_id")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("vectors_without_doc"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_without_vector"),
+        F.sum(
+            F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("aligned"),
+    )
