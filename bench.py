@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "cell_tombstone_mask",
     "events_sessionize",
     "events_tumbling_window",
+    "events_m4_downsample",
+    "events_dau_mau_stickiness",
     "dedup_exact_hash",
     "dedup_lsh_verified",
     "ann_cosine_topk",
