@@ -527,3 +527,43 @@ def test_find_tablet_routes_key(spark, tmp_path):
     all_files = {i["file"] for i in cat.tablet_info("ft")}
     hit_files = {h["file"] for h in hits}
     assert hit_files < all_files or len(all_files) == 1
+
+
+def test_erasure_workflow_tombstone_then_physical_removal(spark, tmp_path):
+    """Right-to-be-forgotten: DeleteRow tombstones hide a subject
+    immediately on every read path, and major compaction REMOVES the
+    bytes — the raw post-compaction parquet contains neither the
+    subject's row keys nor their values (tera's model: delete marks
+    mask, compaction physically drops masked entries)."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t { A }")
+    b = MutationBatch(base_seq=1)
+    for i in range(20):
+        b.put(f"user{i:03d}", "A", "email", f"user{i}@example.com", ts=1)
+    cat.append("t", b.to_df(spark), commit_seq=20, op_kinds=b.op_kinds)
+
+    forget = [f"user{i:03d}" for i in (3, 7, 11)]
+    d = MutationBatch(base_seq=21)
+    for rk in forget:
+        d.delete_row(rk, ts=2)
+    cat.append("t", d.to_df(spark), commit_seq=23, op_kinds=d.op_kinds)
+
+    # masked immediately on the folded read path
+    visible = {r.row_key for r in cat.view("t").collect()}
+    assert visible.isdisjoint(forget) and len(visible) == 17
+
+    # compaction = physical erasure: raw bytes no longer contain the
+    # subjects (keys OR values) anywhere in the op-log
+    cat.compact_inplace("t", now_us=2_000_000_000_000_000)
+    raw = spark.read.parquet(str(tmp_path / "cat" / "t" / "oplog"))
+    assert raw.filter(F.col("row_key").isin(forget)).count() == 0
+    leaked = raw.filter(
+        F.col("value").cast("string").rlike("user(3|7|11)@example.com")
+    ).count()
+    assert leaked == 0
+    assert raw.count() == 17  # everyone else intact
