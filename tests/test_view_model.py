@@ -474,3 +474,58 @@ def test_snapshot_compaction_uses_fast_fold_and_preserves_semantics(spark, tmp_p
     after = {(r.row_key, py_decode_be_i64(bytes(r.value))) for r in cat.view("t").collect()}
     assert after == before == {("r1", 12), ("r2", -3)}
     assert cat._put_only("t")  # counter table upgraded to PUT-only base
+
+
+@st.composite
+def _put_only_oplogs(draw):
+    n = draw(st.integers(min_value=2, max_value=30))
+    rows = []
+    for seq in range(n):
+        rk = f"row{draw(st.integers(0, 2))}"
+        cf = draw(st.sampled_from(["A", "B"]))
+        qu = f"q{draw(st.integers(0, 2))}"
+        ts = draw(st.integers(1, 6))  # tight → heavy ts ties
+        rows.append((rk, cf, qu, ts, CellOp.PUT, f"v{seq}".encode(), seq))
+    return rows
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_put_only_oplogs(), maxv=st.integers(1, 3))
+def test_hypothesis_put_only_fast_path(spark, rows, maxv):
+    """Shrinking search for any PUT-only op-log where the fast fold
+    and the general fold disagree (minimal counterexamples beat the
+    seeded volume test at pinpointing tie-break bugs)."""
+    df = spark.createDataFrame(rows, CELL_SCHEMA)
+    schema = (
+        TableSchema(name="t")
+        .add_column_family("A", max_versions=maxv)
+        .add_column_family("B", max_versions=1)
+    )
+    fast = {tuple(r) for r in current_view(df, schema, now_us=NOW, put_only=True).collect()}
+    slow = {tuple(r) for r in current_view(df, schema, now_us=NOW).collect()}
+    assert fast == slow
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    deltas=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 4), st.integers(-50, 100)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_hypothesis_counter_fast_path(spark, deltas):
+    """Same shrinking search for the counter fold (ADD), with dense
+    ts collisions so same-ts dedup is always in play."""
+    rows = [
+        (f"r{rk}", "A", "q", ts, CellOp.ADD, py_encode_be_i64(d), seq)
+        for seq, (rk, ts, d) in enumerate(deltas)
+    ]
+    df = spark.createDataFrame(rows, CELL_SCHEMA)
+    schema = TableSchema(name="t").add_column_family("A", max_versions=1)
+    fast = {
+        tuple(r)
+        for r in current_view(df, schema, now_us=NOW, counter_only=CellOp.ADD).collect()
+    }
+    slow = {tuple(r) for r in current_view(df, schema, now_us=NOW).collect()}
+    assert fast == slow
