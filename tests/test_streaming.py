@@ -323,3 +323,45 @@ def test_scan_hooks_wrap_each_round(spark, tmpdir):
         assert rows_by_batch.get(0) == 4 and rows_by_batch.get(1) == 2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_static_enrichment_join_matches_batch(spark, tmpdir):
+    """Stream-static join: the event stream enriched against a static
+    dimension (per-user segment from the customer table) — the
+    canonical Structured Streaming enrichment pattern. The static side
+    re-resolves per micro-batch (a dimension update would be picked up
+    at the next trigger); stream result ≡ the equivalent batch join."""
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("event_id", "user_id", "value")
+    dim = (
+        load(spark, "/root/testdata/sf0.001", "customer")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    expect = {
+        (r.segment, r.n): r.total
+        for r in ev.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+
+    src = f"{tmpdir}/events"
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.join(dim, "user_id")  # static side: plain DataFrame
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.segment, r.n): r.total
+        for r in spark.sql("select * from enrich_out").collect()
+    }
+    assert got == expect
