@@ -356,7 +356,12 @@ def main(argv: list[str] | None = None) -> int:
         from tera_spark.operators.scan import ScanDescriptor, scan
 
         desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)
-        for r in scan(cat.read_oplog(args.table), cat.get_schema(args.table), desc).collect():
+        for r in scan(
+            cat.read_oplog(args.table),
+            cat.get_schema(args.table),
+            desc,
+            **cat.fold_hints(args.table),
+        ).collect():
             print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
     elif args.cmd == "sql":
         # MySQL-frontend analog: the table is queryable as plain SQL
