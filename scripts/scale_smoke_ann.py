@@ -75,7 +75,7 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="ann_smoke_") as tmp:
         t0 = time.perf_counter()
         idx = VectorIndex.build(
-            vectors, f"{tmp}/idx", k_coarse=N_CENTERS, m=16, k_codes=64, iters=3
+            vectors, f"{tmp}/idx", k_coarse=N_CENTERS, m=16, k_codes=32, iters=3
         )
         build_s = time.perf_counter() - t0
 
