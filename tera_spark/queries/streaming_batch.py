@@ -1023,3 +1023,96 @@ def events_m4(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("value"), 2).alias("v_max"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "events_trajectory_similarity",
+    """
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    grams AS (
+      SELECT user_id,
+             CASE WHEN len(seq) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(seq) - 2),
+                 i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2]))
+             ELSE [] END AS g
+      FROM seqs
+    ),
+    anchors AS (SELECT user_id AS a_id, g AS a_g FROM grams WHERE user_id IN (1, 2, 3)),
+    scored AS (
+      SELECT a.a_id, o.user_id AS other_id,
+             (floor(len(list_intersect(a.a_g, o.g))::double
+                    / greatest(len(a.a_g) + len(o.g) - len(list_intersect(a.a_g, o.g)), 1)
+                    * 1000000)::double / 1000000) AS jac
+      FROM anchors a JOIN grams o ON o.user_id <> a.a_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY jac DESC, other_id) AS rnk
+      FROM scored
+    )
+    SELECT cast(a_id AS bigint) AS anchor_id,
+           cast(other_id AS bigint) AS similar_user,
+           jac AS jaccard, cast(rnk AS bigint) AS rank
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def events_trajectory_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral-trajectory similarity search: top-10 users whose
+    event-type sequence most resembles each anchor's, by Jaccard over
+    trajectory trigrams (the shingle trick from text dedup applied to
+    behavior sequences — REPOSE-style trajectory search re-expressed
+    relationally). Per-user sequences fold in one sorted-collect agg;
+    the anchor side is tiny and broadcasts, so scoring is map-side
+    over the user-sized gram table; top-k is a per-anchor window over
+    scored rows, never the raw events."""
+    ev = load(spark, sf, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ).alias("seq")
+    )
+    n = F.size("seq")
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at(F.col("seq"), i),
+            F.element_at(F.col("seq"), i + 1),
+            F.element_at(F.col("seq"), i + 2),
+        ),
+    )
+    grams = seqs.select(
+        "user_id",
+        F.when(n >= 3, F.array_distinct(tri)).otherwise(
+            F.expr("cast(array() as array<string>)")
+        ).alias("g"),
+    )
+    anchors = grams.filter(F.col("user_id").isin(1, 2, 3)).select(
+        F.col("user_id").alias("a_id"), F.col("g").alias("a_g")
+    )
+    inter = F.size(F.array_intersect("a_g", "g"))
+    union = F.size("a_g") + F.size("g") - inter
+    scored = (
+        grams.join(F.broadcast(anchors), F.col("user_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            F.col("user_id").alias("other_id"),
+            (F.floor(inter / F.greatest(union, F.lit(1)) * 1_000_000).cast("double")
+             / 1_000_000).alias("jac"),
+        )
+    )
+    w = W.partitionBy("a_id").orderBy(F.desc("jac"), "other_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("a_id").cast("long").alias("anchor_id"),
+            F.col("other_id").cast("long").alias("similar_user"),
+            F.col("jac").alias("jaccard"),
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )
