@@ -1116,3 +1116,68 @@ def events_trajectory_similarity(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "events_churn_risk",
+    """
+    WITH horizon AS (SELECT max(epoch_us(ts)) AS h FROM events),
+    last_seen AS (
+      SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS lifetime_events
+      FROM events GROUP BY user_id
+    )
+    SELECT cast(user_id AS bigint) AS user_id,
+           cast(lifetime_events AS bigint) AS lifetime_events,
+           cast((h - last_us) // 3600000000 AS bigint) AS hours_inactive
+    FROM last_seen, horizon
+    ORDER BY h - last_us DESC, user_id
+    LIMIT 25
+    """,
+)
+def events_churn_risk(spark: SparkSession, sf: str) -> DataFrame:
+    """Churn-risk review queue: the 25 longest-silent users relative
+    to the corpus horizon (max ts — NOT wall clock, so the query is
+    deterministic and replayable). One user-keyed aggregate plus a
+    broadcast 1-row horizon, then distributed top-k — the outreach
+    list a retention team pulls daily."""
+    ev = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    horizon = ev.agg(F.max(us).alias("h"))
+    last_seen = ev.groupBy("user_id").agg(
+        F.max(us).alias("last_us"), F.count(F.lit(1)).alias("lifetime_events")
+    )
+    j = last_seen.crossJoin(F.broadcast(horizon))
+    gap = F.col("h") - F.col("last_us")
+    return (
+        j.orderBy(gap.desc(), "user_id")
+        .limit(25)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("lifetime_events").cast("long").alias("lifetime_events"),
+            F.floor(gap / 3_600_000_000).cast("long").alias("hours_inactive"),
+        )
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    """
+    SELECT event_type,
+           cast(hour(ts) AS bigint) AS hour_of_day,
+           cast(count(*) AS bigint) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type, hour(ts)
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the traffic
+    shape capacity planning and anomaly baselines start from. One
+    partial-aggregatable hash agg; output is 24 × types regardless of
+    volume."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
