@@ -2259,3 +2259,118 @@ def pipeline_ref_integrity(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("aligned"),
     )
+
+
+@query(
+    "pipeline_dedup_savings_report",
+    f"""
+    WITH exact_flag AS (
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn > 1
+    ),
+    sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS s FROM documents),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.s, sb.s))::double /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ),
+    near_flag AS (
+      SELECT d.doc_id, d.n_chars
+      FROM documents d JOIN (SELECT DISTINCT id_b AS doc_id FROM pairs) p USING (doc_id)
+    ),
+    ev AS (
+      SELECT DISTINCT unnest({X.sql_shingles('text')}) AS g
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    contam_flag AS (
+      SELECT DISTINCT c.doc_id, d.n_chars
+      FROM (SELECT doc_id, unnest(list_distinct({X.sql_shingles('text')})) AS g
+            FROM documents WHERE doc_id % 97 <> 0) c
+      JOIN ev USING (g) JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    total AS (SELECT count(*) AS n_docs, sum(n_chars) AS n_chars FROM documents)
+    SELECT method,
+           cast(docs_flagged AS bigint) AS docs_flagged,
+           cast(chars_flagged AS bigint) AS chars_flagged,
+           (floor(chars_flagged::double / (SELECT n_chars FROM total) * 1000000)::double
+             / 1000000) AS char_fraction
+    FROM (
+      SELECT 'exact_dup' AS method, count(*) AS docs_flagged,
+             coalesce(sum(n_chars), 0) AS chars_flagged FROM exact_flag
+      UNION ALL
+      SELECT 'near_dup_lsh', count(*), coalesce(sum(n_chars), 0) FROM near_flag
+      UNION ALL
+      SELECT 'benchmark_contam', count(*), coalesce(sum(n_chars), 0) FROM contam_flag
+    )
+    """,
+)
+def pipeline_dedup_savings_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The savings report a curation team reads before committing to a
+    dedup config: per method (exact hash, LSH-verified near-dup,
+    benchmark contamination), how many docs and characters WOULD be
+    dropped, as independent per-method potential (not sequential).
+    Composes the same operators the individual oracled queries pin;
+    each method's flag set is corpus-shaped work already analyzed in
+    SCALE.md — the report adds three tiny count/sum aggregates."""
+    from tera_spark.operators.dedup import (
+        decontaminate_ngrams,
+        verified_near_duplicates,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    total_chars = docs.agg(F.sum("n_chars").alias("t"))
+
+    # exact: every copy beyond the min-doc_id keeper of its text hash
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    exact_flag = (
+        docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
+        .select("doc_id", "n_chars")
+    )
+
+    near_ids = (
+        verified_near_duplicates(docs, threshold=0.5)
+        .select(F.col("id_b").cast("long").alias("doc_id"))
+        .distinct()
+    )
+    near_flag = docs.join(near_ids, "doc_id").select("doc_id", "n_chars")
+
+    contam_flag = (
+        decontaminate_ngrams(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+        )
+        .select(F.col("id").cast("long").alias("doc_id"))
+        .join(docs, "doc_id")
+        .select("doc_id", "n_chars")
+    )
+
+    def row(method, flag):
+        return flag.agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("long").alias("docs_flagged"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_flagged"),
+        )
+
+    rep = row("exact_dup", exact_flag).unionByName(
+        row("near_dup_lsh", near_flag)
+    ).unionByName(row("benchmark_contam", contam_flag))
+    return rep.crossJoin(F.broadcast(total_chars)).select(
+        "method",
+        "docs_flagged",
+        "chars_flagged",
+        (F.floor(F.col("chars_flagged") / F.col("t") * 1_000_000).cast("double") / 1_000_000)
+        .alias("char_fraction"),
+    )
