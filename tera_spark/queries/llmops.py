@@ -2374,3 +2374,55 @@ def pipeline_dedup_savings_report(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("chars_flagged") / F.col("t") * 1_000_000).cast("double") / 1_000_000)
         .alias("char_fraction"),
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS s FROM documents),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.s, sb.s))::double /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           cast(count(*) AS bigint) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication matrix: near-duplicate pair counts per
+    (source, source) — the syndication detector. A heavy off-diagonal
+    cell means two feeds republish each other (dedup one before
+    paying to process both); a heavy diagonal means a source
+    self-duplicates (template spam). Pairs come from the same
+    LSH→verify pipeline the dedup queries pin; sources join back on
+    doc id (uniform key), and the matrix is sources²-sized."""
+    from tera_spark.operators.dedup import verified_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    pairs = verified_near_duplicates(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa")
+    b = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb")
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
