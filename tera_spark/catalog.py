@@ -657,3 +657,94 @@ class Catalog:
         shutil.rmtree(oplog)
         tmp.rename(oplog)
         return len(list(oplog.glob("part-*")))
+
+
+# --- secondary indexes (the TPC-C t_*_index pattern, first-class) ------
+# The reference keeps secondary indexes as manually-maintained index
+# TABLES (src/benchmark/tpcc/tpcc_schemas/t_customer_last_index etc.);
+# observers maintain them incrementally (test_streaming.py). These
+# helpers promote the pattern into the catalog: declarative create +
+# automatic value-lookup routing, with index rows in the SAME cell
+# model (index row_key = value, qualifier = primary key), so every
+# existing operator (scan/seek/compact/snapshot) works on the index.
+
+def _indexes_path(cat: "Catalog", name: str):
+    return cat.root / name / "indexes.json"
+
+
+def _load_indexes(cat: "Catalog", name: str) -> dict:
+    p = _indexes_path(cat, name)
+    return json.loads(p.read_text()) if p.exists() else {}
+
+
+def create_index(cat: "Catalog", name: str, cf: str, qualifier: str) -> str:
+    """Materialize a secondary index over (cf, qualifier): one index
+    row per distinct value, one index cell per (value, primary key).
+    Registered in <table>/indexes.json; lookup_by_value routes through
+    it. Rebuild by calling again (overwrite); keep it fresh
+    incrementally with the observer pattern (ObserverPipeline writes
+    the same index-table rows — test_streaming.py demonstrates).
+
+    Scale shape: one pass over the folded view of the indexed column,
+    one range-sorted write keyed by VALUE — the index is a cell table,
+    so value lookups enjoy the same footer pruning as primary keys."""
+    import pyspark.sql.functions as F
+
+    from tera_spark.model import CellOp
+
+    idx_name = f"{name}__idx__{cf}__{qualifier}"
+    v = cat.view(name).filter((F.col("cf") == cf) & (F.col("qualifier") == qualifier))
+    rows = v.select(
+        F.col("value").cast("string").alias("row_key"),
+        F.lit("idx").alias("cf"),
+        F.col("row_key").alias("qualifier"),
+        F.col("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.lit(b"").alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    if cat.is_table_exist(idx_name):
+        cat.disable_table(idx_name)
+        cat.drop_table(idx_name)
+    cat.create_table(f"{idx_name} {{ idx }}")
+    cat.append(idx_name, rows)
+    idx = _load_indexes(cat, name)
+    idx[f"{cf}:{qualifier}"] = idx_name
+    _indexes_path(cat, name).write_text(json.dumps(idx))
+    return idx_name
+
+
+def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -> "DataFrame":
+    """Point lookup by VALUE: route through the registered secondary
+    index when one exists (index row scan -> tiny primary-key set ->
+    broadcast batch_get), else fall back to a folded full-scan filter.
+    Hits are RE-VERIFIED against live base values, so a stale index
+    can only miss (documented), never return a wrong row — the same
+    read-repair stance as the reference's TPC-C drivers, which always
+    re-read the base row after an index hit."""
+    import pyspark.sql.functions as F
+
+    from tera_spark.operators.scan import batch_get
+
+    val = value if isinstance(value, bytes) else str(value).encode()
+    idx = _load_indexes(cat, name).get(f"{cf}:{qualifier}")
+    base_pred = (
+        (F.col("cf") == cf) & (F.col("qualifier") == qualifier) & (F.col("value") == F.lit(val))
+    )
+    if idx is None:
+        return cat.view(name).filter(base_pred)
+    keys = (
+        cat.view(idx)
+        .filter(F.col("row_key") == val.decode())
+        .select(F.col("qualifier").alias("row_key"))
+    )
+    got = batch_get(
+        cat.read_oplog(name), cat.get_schema(name), keys, **cat.fold_hints(name)
+    )
+    return got.filter(base_pred)  # read-repair: drop stale index hits
+
+
+Catalog.create_index = lambda self, name, cf, qualifier: create_index(self, name, cf, qualifier)
+Catalog.lookup_by_value = lambda self, name, cf, qualifier, value: lookup_by_value(
+    self, name, cf, qualifier, value
+)

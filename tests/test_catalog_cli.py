@@ -567,3 +567,46 @@ def test_erasure_workflow_tombstone_then_physical_removal(spark, tmp_path):
     ).count()
     assert leaked == 0
     assert raw.count() == 17  # everyone else intact
+
+
+def test_secondary_index_create_lookup_and_read_repair(spark, tmp_path):
+    """First-class secondary indexes (the TPC-C t_*_index pattern in
+    the catalog): create_index materializes value→primary-key rows as
+    a normal cell table; lookup_by_value routes index → batch_get and
+    RE-VERIFIES hits against live base values, so a stale index never
+    returns a wrong row. Without an index the same call falls back to
+    the folded full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("cust { info }")
+    b = MutationBatch(base_seq=1)
+    for i in range(30):
+        b.put(f"u{i:03d}", "info", "segment", f"SEG{i % 3}", ts=1)
+    cat.append("cust", b.to_df(spark), commit_seq=30, op_kinds=b.op_kinds)
+
+    # no index yet: fallback full-scan filter
+    hits0 = {r.row_key for r in cat.lookup_by_value("cust", "info", "segment", "SEG1").collect()}
+    assert hits0 == {f"u{i:03d}" for i in range(30) if i % 3 == 1}
+
+    idx = cat.create_index("cust", "info", "segment")
+    assert cat.is_table_exist(idx)
+    hits1 = {r.row_key for r in cat.lookup_by_value("cust", "info", "segment", "SEG1").collect()}
+    assert hits1 == hits0
+
+    # base moves on, index goes stale: u001 leaves SEG1 -> read-repair
+    # drops the stale hit (never a wrong row; misses need a rebuild)
+    b2 = MutationBatch(base_seq=31)
+    b2.put("u001", "info", "segment", "SEG9", ts=2)
+    cat.append("cust", b2.to_df(spark), commit_seq=31, op_kinds=b2.op_kinds)
+    hits2 = {r.row_key for r in cat.lookup_by_value("cust", "info", "segment", "SEG1").collect()}
+    assert hits2 == hits1 - {"u001"}
+
+    # rebuild picks up both the removal and the new value
+    cat.create_index("cust", "info", "segment")
+    assert {
+        r.row_key for r in cat.lookup_by_value("cust", "info", "segment", "SEG9").collect()
+    } == {"u001"}
