@@ -145,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("sql", help="run SQL over a table's pivoted view")
     sp.add_argument("table"); sp.add_argument("query")
     sp.add_argument("--limit", type=int, default=100)
+    sp = sub.add_parser("index", help="secondary index: create / lookup")
+    sp.add_argument("action", choices=["create", "lookup"])
+    sp.add_argument("table")
+    sp.add_argument("column", help="cf:qualifier")
+    sp.add_argument("value", nargs="?", help="lookup value")
+
     sp = sub.add_parser("diff", help="changefeed between two write seqs")
     sp.add_argument("table"); sp.add_argument("seq_start", type=int)
     sp.add_argument("--seq-end", type=int)
@@ -370,6 +376,16 @@ def main(argv: list[str] | None = None) -> int:
         rows = spark.sql(args.query).limit(args.limit).collect()
         for r in rows:
             print("\t".join("" if v is None else str(v) for v in r))
+    elif args.cmd == "index":
+        cf, qu = args.column.split(":", 1)
+        if args.action == "create":
+            print(cat.create_index(args.table, cf, qu))
+        else:
+            if args.value is None:
+                print("lookup needs a value")
+                return 1
+            for r in cat.lookup_by_value(args.table, cf, qu, args.value).collect():
+                print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
     elif args.cmd == "diff":
         rows = cat.diff(args.table, args.seq_start, args.seq_end).limit(args.limit).collect()
         for r in rows:

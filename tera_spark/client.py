@@ -304,6 +304,16 @@ class Table:
         )
 
     # -- transactions (table.h:102-104) -------------------------------
+    def create_index(self, cf: str, qualifier: str) -> str:
+        """Materialize + register a secondary index over (cf, qualifier)
+        (catalog.create_index); rebuildable by calling again."""
+        return self._cat.create_index(self.name, cf, qualifier)
+
+    def lookup_by_value(self, cf: str, qualifier: str, value) -> DataFrame:
+        """Value lookup routed through the registered index when one
+        exists (stale hits re-verified); folded-scan fallback otherwise."""
+        return self._cat.lookup_by_value(self.name, cf, qualifier, value)
+
     def start_row_transaction(self, row_key: str) -> SingleRowTransaction:
         return SingleRowTransaction(
             self._cat.read_oplog(self.name), self._cat.get_schema(self.name), row_key
