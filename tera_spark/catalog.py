@@ -744,7 +744,6 @@ def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -
     return got.filter(base_pred)  # read-repair: drop stale index hits
 
 
-Catalog.create_index = lambda self, name, cf, qualifier: create_index(self, name, cf, qualifier)
-Catalog.lookup_by_value = lambda self, name, cf, qualifier, value: lookup_by_value(
-    self, name, cf, qualifier, value
-)
+# bind as methods (first parameter is the catalog instance)
+Catalog.create_index = create_index
+Catalog.lookup_by_value = lookup_by_value
