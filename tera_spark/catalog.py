@@ -167,6 +167,16 @@ class Catalog:
     def _record_commit(self, name: str, hi: int, op_kinds: list[int] | None = None) -> None:
         d = self.root / name / "commits"
         d.mkdir(exist_ok=True)
+        # rolling op-kinds summary: fold the batch's kinds into
+        # <table>/opkinds.json BEFORE the record lands, so reads are
+        # one O(1) file open instead of re-parsing every commit record
+        # (which grow one per batch until major compaction). The
+        # summary-first ordering keeps crash states conservative: a
+        # summary claiming kinds for a record that never committed is
+        # a superset, and supersets only demote fast-fold routes.
+        prev = self._op_kinds_union(name) if any(d.glob("*.json")) else set()
+        new = None if (op_kinds is None or prev is None) else prev | {int(k) for k in op_kinds}
+        self._write_op_kinds(name, new)
         p = d / f"{hi}.json"
         tmp = d / f"{hi}.json.tmp"
         rec: dict = {"seq": int(hi)}
@@ -177,13 +187,30 @@ class Catalog:
         tmp.write_text(json.dumps(rec))
         tmp.replace(p)  # atomic rename = the commit point
 
+    def _write_op_kinds(self, name: str, kinds: set[int] | list[int] | None) -> None:
+        p = self.root / name / "opkinds.json"
+        tmp = p.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps({"kinds": sorted(int(k) for k in kinds) if kinds is not None else None})
+        )
+        tmp.replace(p)
+
     def _op_kinds_union(self, name: str) -> set[int] | None:
         """Union of op codes across all commit records, or None when
         unknown (no records, or any record lacks op_kinds — a legacy/
-        unknown writer). Unknown disables every fast-fold route."""
+        unknown writer). Unknown disables every fast-fold route.
+
+        Served from the rolling summary (<table>/opkinds.json,
+        maintained by _record_commit) — one small file read per call.
+        Tables from before the summary existed derive it once by
+        scanning their records, then persist it (lazy migration)."""
         d = self.root / name / "commits"
         if not d.is_dir():
             return None
+        s = self.root / name / "opkinds.json"
+        if s.exists():
+            kinds = json.loads(s.read_text()).get("kinds")
+            return None if kinds is None else {int(k) for k in kinds}
         recs = sorted(d.glob("*.json"))
         if not recs:
             return None
@@ -195,8 +222,10 @@ class Catalog:
                 return None
             kinds = rec.get("op_kinds")
             if kinds is None:
+                self._write_op_kinds(name, None)
                 return None
             out.update(int(k) for k in kinds)
+        self._write_op_kinds(name, out)
         return out
 
     def _put_only(self, name: str) -> bool:
@@ -585,6 +614,20 @@ class Catalog:
             shutil.rmtree(tmp)
             folded_groups += 1
             files_folded += len(grp)
+        if folded_groups:
+            # refresh the op-kinds proof: folded groups are now all-PUT
+            # cells (compact() output), so a pure-counter history no
+            # longer holds — record PUT into the union (demoting such
+            # tables to the general fold, the same re-seed
+            # compact_inplace performs). Without this, fold_hints would
+            # keep routing reads through _counter_only_fold over an
+            # oplog that now contains PUT cells, and an add() at a ts
+            # <= the compacted cell's ts would fold incorrectly.
+            # PUT-only tables already carry PUT; unknown stays unknown.
+            kinds = self._op_kinds_union(name)
+            w = self.commit_watermark(name)
+            if w is not None and kinds is not None and CellOp.PUT not in kinds:
+                self._record_commit(name, w, sorted(kinds | {CellOp.PUT}))
         return {
             "groups": len(groups),
             "groups_folded": folded_groups,
@@ -681,21 +724,33 @@ def create_index(cat: "Catalog", name: str, cf: str, qualifier: str) -> str:
     """Materialize a secondary index over (cf, qualifier): one index
     row per distinct value, one index cell per (value, primary key).
     Registered in <table>/indexes.json; lookup_by_value routes through
-    it. Rebuild by calling again (overwrite); keep it fresh
-    incrementally with the observer pattern (ObserverPipeline writes
-    the same index-table rows — test_streaming.py demonstrates).
+    it. Rebuild by calling again; keep it fresh incrementally with the
+    observer pattern (ObserverPipeline writes the same index-table
+    rows — test_streaming.py demonstrates).
+
+    Index row keys are the HEX encoding of the value (cell values are
+    arbitrary bytes; hex is lossless and order-preserving, so distinct
+    binary values never collide and range pruning still works).
+
+    Rebuilds are atomic: the replacement builds under a fresh
+    generation name, registration swaps by file rename only once the
+    build succeeded, and the superseded generation drops last — a
+    crash mid-rebuild leaves the previous index serving, never a
+    registry entry pointing at a missing table.
 
     Scale shape: one pass over the folded view of the indexed column,
     one range-sorted write keyed by VALUE — the index is a cell table,
     so value lookups enjoy the same footer pruning as primary keys."""
+    import uuid
+
     import pyspark.sql.functions as F
 
     from tera_spark.model import CellOp
 
-    idx_name = f"{name}__idx__{cf}__{qualifier}"
+    idx_name = f"{name}__idx__{cf}__{qualifier}__{uuid.uuid4().hex[:8]}"
     v = cat.view(name).filter((F.col("cf") == cf) & (F.col("qualifier") == qualifier))
     rows = v.select(
-        F.col("value").cast("string").alias("row_key"),
+        F.hex(F.col("value")).alias("row_key"),
         F.lit("idx").alias("cf"),
         F.col("row_key").alias("qualifier"),
         F.col("ts"),
@@ -703,14 +758,18 @@ def create_index(cat: "Catalog", name: str, cf: str, qualifier: str) -> str:
         F.lit(b"").alias("value"),
         F.lit(0).cast("long").alias("seq"),
     )
-    if cat.is_table_exist(idx_name):
-        cat.disable_table(idx_name)
-        cat.drop_table(idx_name)
     cat.create_table(f"{idx_name} {{ idx }}")
     cat.append(idx_name, rows)
     idx = _load_indexes(cat, name)
+    old = idx.get(f"{cf}:{qualifier}")
     idx[f"{cf}:{qualifier}"] = idx_name
-    _indexes_path(cat, name).write_text(json.dumps(idx))
+    p = _indexes_path(cat, name)
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(idx))
+    tmp.replace(p)  # atomic registration swap
+    if old and cat.is_table_exist(old):
+        cat.disable_table(old)
+        cat.drop_table(old)
     return idx_name
 
 
@@ -718,30 +777,43 @@ def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -
     """Point lookup by VALUE: route through the registered secondary
     index when one exists (index row scan -> tiny primary-key set ->
     broadcast batch_get), else fall back to a folded full-scan filter.
-    Hits are RE-VERIFIED against live base values, so a stale index
-    can only miss (documented), never return a wrong row — the same
-    read-repair stance as the reference's TPC-C drivers, which always
-    re-read the base row after an index hit."""
+    Hits are RE-VERIFIED against the NEWEST live version of the base
+    cell (older versions of a multi-version column don't count — a row
+    matches only if its *current* value equals the target), so a stale
+    index can only miss (documented), never return a wrong row — the
+    same read-repair stance as the reference's TPC-C drivers, which
+    always re-read the base row after an index hit. A registered index
+    whose table is missing (interrupted rebuild of a pre-atomic-swap
+    layout) falls back to the scan path instead of raising."""
     import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
     from tera_spark.operators.scan import batch_get
 
     val = value if isinstance(value, bytes) else str(value).encode()
     idx = _load_indexes(cat, name).get(f"{cf}:{qualifier}")
-    base_pred = (
-        (F.col("cf") == cf) & (F.col("qualifier") == qualifier) & (F.col("value") == F.lit(val))
-    )
-    if idx is None:
-        return cat.view(name).filter(base_pred)
+
+    def newest_match(cells):
+        col = cells.filter((F.col("cf") == cf) & (F.col("qualifier") == qualifier))
+        w = Window.partitionBy("row_key").orderBy(F.desc("ts"))
+        return (
+            col.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .filter(F.col("value") == F.lit(val))
+        )
+
+    if idx is None or not cat.is_table_exist(idx):
+        return newest_match(cat.view(name))
     keys = (
         cat.view(idx)
-        .filter(F.col("row_key") == val.decode())
+        .filter(F.col("row_key") == val.hex().upper())
         .select(F.col("qualifier").alias("row_key"))
     )
     got = batch_get(
         cat.read_oplog(name), cat.get_schema(name), keys, **cat.fold_hints(name)
     )
-    return got.filter(base_pred)  # read-repair: drop stale index hits
+    return newest_match(got)  # read-repair: drop stale index hits
 
 
 # bind as methods (first parameter is the catalog instance)

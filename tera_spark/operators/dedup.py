@@ -179,6 +179,81 @@ def verified_near_duplicates(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by Jaccard CONTAINMENT:
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Catches a document largely
+    *contained* in another (quotation, excerpt syndication, doc-in-doc
+    concatenation) that symmetric Jaccard under-scores when lengths
+    differ (J ≤ |A|/|B| no matter how complete the inclusion).
+
+    Candidates come from a bottom-k sketch join: each doc keys on its
+    k smallest distinct shingle hashes. When A ⊆ B, every one of A's
+    minima is also a shingle hash of B, so the pair collides whenever
+    any of them ranks among B's bottom-k — the collision property the
+    bottom-k containment estimator (Broder's sketches) relies on;
+    recall degrades gracefully as |B|/|A| grows and k can rise to
+    compensate. Exact set containment then verifies both directions on
+    candidates only.
+
+    Scale shape mirrors verified_near_duplicates: map-only sketching,
+    ONE bucket-keyed join whose input is exactly k rows per document,
+    verification joins bounded by the candidate count. Emits
+    (id_a, id_b, containment, direction) with containment =
+    max(C(A→B), C(B→A))."""
+    from tera_spark.functions.text import P31, h60
+
+    base = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(F.col(text_col))).alias("sh"),
+        )
+        .persist()  # sketch + both verification sides read one derivation
+    )
+    bottom = F.slice(
+        F.array_sort(F.array_distinct(F.transform(F.col("sh"), lambda s: h60(s) % P31))),
+        1,
+        k,
+    )
+    sigs = _cap_buckets(
+        base.select("id", F.explode(bottom).alias("bucket")), max_bucket_size
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    j = (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    c_ab = (inter / F.size("sh_a")).alias("c_ab")
+    c_ba = (inter / F.size("sh_b")).alias("c_ba")
+    scored = j.select("id_a", "id_b", c_ab, c_ba)
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
+            F.round(F.greatest("c_ab", "c_ba"), 6).alias("containment"),
+            F.when(F.col("c_ab") >= F.col("c_ba"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

@@ -2426,3 +2426,121 @@ def dedup_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS sh
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id,
+             unnest(list_sort(list_distinct(list_transform(
+               sh, s -> {X.sql_h60('s')} % {X.P31})))[1:5]) AS bucket
+      FROM base
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM keys a JOIN keys b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT cast(ia AS bigint) AS id_a, cast(ib AS bigint) AS id_b,
+             len(list_intersect(a.sh, b.sh))::double / len(a.sh) AS c_ab,
+             len(list_intersect(a.sh, b.sh))::double / len(b.sh) AS c_ba
+      FROM cand JOIN base a ON a.doc_id = ia JOIN base b ON b.doc_id = ib
+    )
+    SELECT id_a, id_b, round(greatest(c_ab, c_ba), 6) AS containment,
+           CASE WHEN c_ab >= c_ba THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+    FROM scored WHERE round(greatest(c_ab, c_ba), 6) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment (asymmetric) near-dup detection — the doc-inside-doc
+    case symmetric Jaccard misses: an excerpt fully contained in a
+    longer page scores J = |A|/|B| (low) but C(A→B) = 1.0. Bottom-k
+    sketch candidates → exact set-containment verify (operators/
+    dedup.containment_pairs)."""
+    from tera_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf, "documents")
+    return containment_pairs(docs, threshold=0.5, k=5).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "containment",
+        "direction",
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents),
+    bi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM toks, unnest(range(1, len(t))) AS u(i)),
+    bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+    uc AS (SELECT w, count(*) AS n_w FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    tot AS (SELECT (SELECT sum(n_ab)::double FROM bc) AS nb,
+                   (SELECT sum(n_w)::double FROM uc) AS nt)
+    SELECT w1, w2, cast(n_ab AS bigint) AS n_ab,
+           cast(floor((ln(n_ab::double) + 2 * ln(nt) - ln(nb)
+                       - ln(a.n_w::double) - ln(b.n_w::double)) * 1000000) AS bigint)
+             AS pmi_micro
+    FROM bc JOIN uc a ON a.w = w1 JOIN uc b ON b.w = w2 CROSS JOIN tot
+    WHERE n_ab >= 5
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining: top adjacent-word pairs by pointwise
+    mutual information ln(p(ab) / (p(a)·p(b))) with a min-support
+    floor — the phrase-discovery pass a tokenizer/data pipeline runs
+    to find multi-word units worth merging (cf. word2phrase / BPE
+    seeding). PMI is floor-quantized to integer micro-nats from the
+    same fixed expression shape on both engines, so ranking and
+    hashes are bit-stable.
+
+    Scale shape: bigram/unigram counts are two map-side-combined
+    aggregations over the token stream; the unigram table is
+    vocabulary-sized → broadcast joins onto the bigram table; the
+    corpus totals ride in as broadcast 1-row aggregates; TakeOrdered
+    top-k, no global sort."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("t"))
+    t = F.col("t")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.struct(F.get(t, i).alias("w1"), F.get(t, i + 1).alias("w2")),
+    )
+    bi = (
+        toks.filter(F.size(t) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    uc = toks.select(F.explode(t).alias("w")).groupBy("w").agg(F.count("*").alias("n_w"))
+    nb = bc.agg(F.sum("n_ab").cast("double").alias("nb"))
+    nt = uc.agg(F.sum("n_w").cast("double").alias("nt"))
+    a = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    b = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    pmi = F.floor(
+        (
+            F.log(F.col("n_ab").cast("double"))
+            + 2 * F.log("nt")
+            - F.log("nb")
+            - F.log(F.col("n_a").cast("double"))
+            - F.log(F.col("n_b").cast("double"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        bc.filter(F.col("n_ab") >= 5)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nt))
+        .select("w1", "w2", F.col("n_ab").cast("long").alias("n_ab"), pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(20)
+    )

@@ -610,3 +610,150 @@ def test_secondary_index_create_lookup_and_read_repair(spark, tmp_path):
     assert {
         r.row_key for r in cat.lookup_by_value("cust", "info", "segment", "SEG9").collect()
     } == {"u001"}
+
+
+def test_compact_ranges_reseeds_op_kinds_proof(spark, tmp_path):
+    """ADVICE r1 (high): compact_ranges rewrites dirty groups into
+    all-PUT cells, so a pure-counter table's op-kinds proof must be
+    refreshed (union ∪ {PUT}) or later reads keep taking the counter
+    fast fold over an oplog that now contains PUT cells — and an add()
+    at a ts <= the compacted cell's ts folds incorrectly (the counter
+    fold's per-ts max_by(seq) drops the compacted base)."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.functions.codecs import py_decode_be_i64, py_encode_be_i64
+    from tera_spark.model import CellOp
+    from tera_spark.operators.mutation import MutationBatch
+    from tera_spark.operators.view import current_view
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("cnt { c }")
+    b = MutationBatch(base_seq=1)
+    for i in range(10):
+        b.add(f"r{i:02d}", "c", "hits", 5, ts=100)
+        b.add(f"r{i:02d}", "c", "hits", 7, ts=200)
+    cat.append("cnt", b.to_df(spark), commit_seq=20, op_kinds=b.op_kinds)
+    assert cat.fold_hints("cnt") == {"counter_only": CellOp.ADD}
+
+    res = cat.compact_ranges("cnt")
+    assert res["groups_folded"] >= 1
+    # proof refreshed: PUT recorded into the union -> general fold
+    assert cat.fold_hints("cnt") == {}
+
+    # late add colliding with the compacted cell's ts: the general fold
+    # drops an atomic at/below a PUT; the stale counter route would
+    # have returned just the delta (9) instead of the folded 12
+    b2 = MutationBatch(base_seq=21)
+    b2.add("r00", "c", "hits", 9, ts=200)
+    cat.append("cnt", b2.to_df(spark), commit_seq=21, op_kinds=b2.op_kinds)
+
+    got = {r.row_key: r.value for r in cat.view("cnt").collect()}
+    oracle = {
+        r.row_key: r.value
+        for r in current_view(cat.read_oplog("cnt"), cat.get_schema("cnt")).collect()
+    }
+    assert got == oracle
+    assert py_decode_be_i64(got["r00"]) == 12
+    assert got["r01"] == py_encode_be_i64(12)
+
+
+def test_op_kinds_rolling_summary(spark, tmp_path):
+    """ADVICE r1 (medium): the op-kinds union reads one summary file,
+    not every commit record; legacy tables (records, no summary)
+    derive it once and persist."""
+    import json as _json
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.model import CellOp
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t { f }")
+    for n in range(3):
+        b = MutationBatch(base_seq=10 * n + 1)
+        b.put("r1", "f", f"q{n}", b"v", ts=1)
+        cat.append("t", b.to_df(spark), commit_seq=10 * n + 1, op_kinds=b.op_kinds)
+    summary = tmp_path / "cat" / "t" / "opkinds.json"
+    assert _json.loads(summary.read_text())["kinds"] == [CellOp.PUT]
+    assert cat.fold_hints("t") == {"put_only": True}
+
+    # legacy layout: drop the summary; the union derives from records
+    # once, re-persists, and routing is unchanged
+    summary.unlink()
+    assert cat.fold_hints("t") == {"put_only": True}
+    assert summary.exists()
+
+    # a record missing op_kinds (unknown writer) pins the summary to
+    # unknown -> general fold
+    summary.unlink()
+    (tmp_path / "cat" / "t" / "commits" / "99.json").write_text('{"seq": 99}')
+    assert cat.fold_hints("t") == {}
+    assert _json.loads(summary.read_text())["kinds"] is None
+
+
+def test_index_binary_values_and_newest_version_verify(spark, tmp_path):
+    """ADVICE r1 (low x2): index rows key by a lossless hex encoding
+    (non-UTF-8 binary values index and look up correctly), and hits
+    re-verify against the NEWEST version only — on a maxversions>1
+    table an old version matching the target must not return the row."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("bin { d <maxversions=3> }")
+    blob = bytes([0xFF, 0x00, 0x9C, 0x80])
+    b = MutationBatch(base_seq=1)
+    b.put("u1", "d", "payload", blob, ts=1)
+    b.put("u2", "d", "payload", b"other", ts=1)
+    cat.append("bin", b.to_df(spark), commit_seq=2, op_kinds=b.op_kinds)
+
+    # fallback scan path on raw bytes (no decode crash, no mangling)
+    assert {r.row_key for r in cat.lookup_by_value("bin", "d", "payload", blob).collect()} == {"u1"}
+    cat.create_index("bin", "d", "payload")
+    assert {r.row_key for r in cat.lookup_by_value("bin", "d", "payload", blob).collect()} == {"u1"}
+
+    # u1 moves on; the old version stays VISIBLE (maxversions=3) but is
+    # no longer current -> both the stale-index path and the fallback
+    # must miss now
+    b2 = MutationBatch(base_seq=3)
+    b2.put("u1", "d", "payload", b"new", ts=2)
+    cat.append("bin", b2.to_df(spark), commit_seq=3, op_kinds=b2.op_kinds)
+    assert cat.lookup_by_value("bin", "d", "payload", blob).count() == 0
+    (tmp_path / "cat" / "bin" / "indexes.json").unlink()
+    assert cat.lookup_by_value("bin", "d", "payload", blob).count() == 0
+
+
+def test_index_rebuild_swap_and_missing_table_fallback(spark, tmp_path):
+    """ADVICE r1 (low): rebuilds build a fresh generation and swap the
+    registration atomically (old generation dropped only after);
+    a registry entry pointing at a missing table falls back to the
+    scan path instead of raising."""
+    import json as _json
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("cust { info }")
+    b = MutationBatch(base_seq=1)
+    for i in range(6):
+        b.put(f"u{i}", "info", "seg", f"S{i % 2}", ts=1)
+    cat.append("cust", b.to_df(spark), commit_seq=6, op_kinds=b.op_kinds)
+
+    gen1 = cat.create_index("cust", "info", "seg")
+    gen2 = cat.create_index("cust", "info", "seg")
+    assert gen1 != gen2
+    assert not cat.is_table_exist(gen1)  # superseded generation dropped
+    assert cat.is_table_exist(gen2)
+    reg = _json.loads((tmp_path / "cat" / "cust" / "indexes.json").read_text())
+    assert reg["info:seg"] == gen2
+    assert {r.row_key for r in cat.lookup_by_value("cust", "info", "seg", "S1").collect()} == {
+        "u1", "u3", "u5"
+    }
+
+    # interrupted pre-swap layout: registry points at a missing table
+    (tmp_path / "cat" / "cust" / "indexes.json").write_text(
+        _json.dumps({"info:seg": "cust__idx__gone"})
+    )
+    assert {r.row_key for r in cat.lookup_by_value("cust", "info", "seg", "S0").collect()} == {
+        "u0", "u2", "u4"
+    }

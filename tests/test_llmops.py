@@ -603,3 +603,25 @@ def test_triangle_counts_canonical(spark):
     )
     r = {row.id: row.n_triangles for row in triangle_counts(edges).collect()}
     assert r == {1: 1, 2: 1, 3: 1}
+
+
+def test_containment_doc_inside_doc(spark):
+    """The asymmetric case symmetric Jaccard misses: a short excerpt
+    fully contained in a much longer page has low Jaccard but
+    containment 1.0 in the excerpt->page direction."""
+    from tera_spark.operators.dedup import containment_pairs
+
+    excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    page = excerpt + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, excerpt), (1, page), (2, "totally unrelated content about engines here")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): (r.containment, r.direction) for r in
+           containment_pairs(df, threshold=0.9).collect()}
+    assert got == {(0, 1): (1.0, "a_in_b")}
+
+    # symmetric Jaccard on the same pair is far below the threshold
+    j = jaccard_pairs(df, bucket_expr=F.lit(0), threshold=0.0)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in j.collect()}[(0, 1)]
+    assert jac < 0.2
