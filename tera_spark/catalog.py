@@ -716,8 +716,25 @@ def _indexes_path(cat: "Catalog", name: str):
 
 
 def _load_indexes(cat: "Catalog", name: str) -> dict:
+    """Registry entries normalized to {"table": idx_name, "seq": n}.
+    ``seq`` is the base-table commit watermark the index reflects
+    (None for legacy string entries — they predate incremental
+    refresh and only support full rebuild)."""
     p = _indexes_path(cat, name)
-    return json.loads(p.read_text()) if p.exists() else {}
+    raw = json.loads(p.read_text()) if p.exists() else {}
+    return {
+        k: (v if isinstance(v, dict) else {"table": v, "seq": None})
+        for k, v in raw.items()
+    }
+
+
+def _store_index(cat: "Catalog", name: str, key: str, entry: dict) -> None:
+    idx = _load_indexes(cat, name)
+    idx[key] = entry
+    p = _indexes_path(cat, name)
+    tmp = p.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(idx))
+    tmp.replace(p)  # atomic registration swap
 
 
 def create_index(cat: "Catalog", name: str, cf: str, qualifier: str) -> str:
@@ -748,7 +765,14 @@ def create_index(cat: "Catalog", name: str, cf: str, qualifier: str) -> str:
     from tera_spark.model import CellOp
 
     idx_name = f"{name}__idx__{cf}__{qualifier}__{uuid.uuid4().hex[:8]}"
-    v = cat.view(name).filter((F.col("cf") == cf) & (F.col("qualifier") == qualifier))
+    # pin the build to the watermark recorded in the registry: the view
+    # is lazy (evaluated at append below), so without the snapshot bound
+    # a concurrent-ish commit could slip into the build yet sit above
+    # the recorded seq — refresh_index must see exactly the complement
+    built_seq = cat.commit_watermark(name)
+    v = cat.view(name, snapshot_seq=built_seq).filter(
+        (F.col("cf") == cf) & (F.col("qualifier") == qualifier)
+    )
     rows = v.select(
         F.hex(F.col("value")).alias("row_key"),
         F.lit("idx").alias("cf"),
@@ -760,17 +784,87 @@ def create_index(cat: "Catalog", name: str, cf: str, qualifier: str) -> str:
     )
     cat.create_table(f"{idx_name} {{ idx }}")
     cat.append(idx_name, rows)
-    idx = _load_indexes(cat, name)
-    old = idx.get(f"{cf}:{qualifier}")
-    idx[f"{cf}:{qualifier}"] = idx_name
-    p = _indexes_path(cat, name)
-    tmp = p.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps(idx))
-    tmp.replace(p)  # atomic registration swap
+    old = _load_indexes(cat, name).get(f"{cf}:{qualifier}", {}).get("table")
+    _store_index(cat, name, f"{cf}:{qualifier}", {"table": idx_name, "seq": built_seq})
     if old and cat.is_table_exist(old):
         cat.disable_table(old)
         cat.drop_table(old)
     return idx_name
+
+
+def refresh_index(cat: "Catalog", name: str, cf: str, qualifier: str) -> dict:
+    """Incrementally refresh a secondary index from the base table's
+    changefeed — maintenance bounded by the CHANGE SET, not the table.
+    A full rebuild (create_index) is a complete pass over the base; at
+    100 TB that is a full-table job to pick up a handful of updates.
+    This reads changes_between(built_seq, current watermark) restricted
+    to the indexed column and appends one batch to the index table:
+
+    * UPDATE/DELETE → a DEL_QUALIFIERS mark at (hex(old_value), idx,
+      pk) — the index's tombstone machinery retires the stale entry;
+    * INSERT/UPDATE → a PUT at (hex(new_value), idx, pk).
+
+    Mark/put timestamps are allocated ABOVE every existing index-cell
+    ts (one max-agg on the index op-log), so refresh batches stack
+    correctly across value flap-backs. The registry entry's ``seq``
+    advances to the watermark consumed, making refresh idempotent and
+    resumable. Delete marks demote the index from the PUT-only fast
+    fold — run compact_inplace on the index table periodically to fold
+    them away and re-upgrade it (the same hygiene as any cell table).
+
+    Returns {"changes": n, "from_seq": a, "to_seq": b}. Raises if no
+    index is registered, or if the entry is a legacy one with no build
+    watermark (rebuild once with create_index to upgrade)."""
+    import pyspark.sql.functions as F
+
+    from tera_spark.model import CellOp
+
+    key = f"{cf}:{qualifier}"
+    entry = _load_indexes(cat, name).get(key)
+    if entry is None or not cat.is_table_exist(entry["table"]):
+        raise ValueError(f"no index on {name}.{key}; create_index first")
+    if entry["seq"] is None:
+        raise ValueError(f"index on {name}.{key} predates incremental refresh; rebuild once")
+    idx_name, since = entry["table"], entry["seq"]
+    cur = cat.commit_watermark(name)
+    if cur is None or cur <= since:
+        return {"changes": 0, "from_seq": since, "to_seq": since}
+    ch = cat.diff(name, since, cur).filter(
+        (F.col("cf") == cf) & (F.col("qualifier") == qualifier)
+    )
+    base_ts = (
+        cat.read_oplog(idx_name).agg(F.max("ts")).first()[0] or 0
+    ) + 1
+    base_seq = (cat.raw_max_seq(idx_name) or 0) + 1
+    dels = ch.filter(F.col("old_value").isNotNull()).select(
+        F.hex("old_value").alias("row_key"),
+        F.lit("idx").alias("cf"),
+        F.col("row_key").alias("qualifier"),
+        F.lit(base_ts).cast("long").alias("ts"),
+        F.lit(CellOp.DEL_QUALIFIERS).alias("op"),
+        F.lit(None).cast("binary").alias("value"),
+        F.lit(base_seq).cast("long").alias("seq"),
+    )
+    puts = ch.filter(F.col("new_value").isNotNull()).select(
+        F.hex("new_value").alias("row_key"),
+        F.lit("idx").alias("cf"),
+        F.col("row_key").alias("qualifier"),
+        F.lit(base_ts + 1).cast("long").alias("ts"),
+        F.lit(CellOp.PUT).alias("op"),
+        F.lit(b"").alias("value"),
+        F.lit(base_seq + 1).cast("long").alias("seq"),
+    )
+    batch = dels.unionByName(puts)
+    n = batch.count()
+    if n:
+        cat.append(
+            idx_name,
+            batch,
+            commit_seq=base_seq + 1,
+            op_kinds=[CellOp.DEL_QUALIFIERS, CellOp.PUT],
+        )
+    _store_index(cat, name, key, {"table": idx_name, "seq": cur})
+    return {"changes": n, "from_seq": since, "to_seq": cur}
 
 
 def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -> "DataFrame":
@@ -791,7 +885,8 @@ def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -
     from tera_spark.operators.scan import batch_get
 
     val = value if isinstance(value, bytes) else str(value).encode()
-    idx = _load_indexes(cat, name).get(f"{cf}:{qualifier}")
+    entry = _load_indexes(cat, name).get(f"{cf}:{qualifier}")
+    idx = entry["table"] if entry else None
 
     def newest_match(cells):
         col = cells.filter((F.col("cf") == cf) & (F.col("qualifier") == qualifier))
@@ -818,4 +913,5 @@ def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -
 
 # bind as methods (first parameter is the catalog instance)
 Catalog.create_index = create_index
+Catalog.refresh_index = refresh_index
 Catalog.lookup_by_value = lookup_by_value

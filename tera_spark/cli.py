@@ -145,8 +145,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("sql", help="run SQL over a table's pivoted view")
     sp.add_argument("table"); sp.add_argument("query")
     sp.add_argument("--limit", type=int, default=100)
-    sp = sub.add_parser("index", help="secondary index: create / lookup")
-    sp.add_argument("action", choices=["create", "lookup"])
+    sp = sub.add_parser("index", help="secondary index: create / refresh / lookup")
+    sp.add_argument("action", choices=["create", "refresh", "lookup"])
     sp.add_argument("table")
     sp.add_argument("column", help="cf:qualifier")
     sp.add_argument("value", nargs="?", help="lookup value")
@@ -380,6 +380,9 @@ def main(argv: list[str] | None = None) -> int:
         cf, qu = args.column.split(":", 1)
         if args.action == "create":
             print(cat.create_index(args.table, cf, qu))
+        elif args.action == "refresh":
+            r = cat.refresh_index(args.table, cf, qu)
+            print(f"changes {r['changes']} seq {r['from_seq']} -> {r['to_seq']}")
         else:
             if args.value is None:
                 print("lookup needs a value")

@@ -314,6 +314,12 @@ class Table:
         exists (stale hits re-verified); folded-scan fallback otherwise."""
         return self._cat.lookup_by_value(self.name, cf, qualifier, value)
 
+    def refresh_index(self, cf: str, qualifier: str) -> dict:
+        """Incrementally refresh the (cf, qualifier) index from the
+        table's changefeed — change-set-bounded maintenance
+        (catalog.refresh_index)."""
+        return self._cat.refresh_index(self.name, cf, qualifier)
+
     def start_row_transaction(self, row_key: str) -> SingleRowTransaction:
         return SingleRowTransaction(
             self._cat.read_oplog(self.name), self._cat.get_schema(self.name), row_key

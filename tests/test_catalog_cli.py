@@ -745,7 +745,8 @@ def test_index_rebuild_swap_and_missing_table_fallback(spark, tmp_path):
     assert not cat.is_table_exist(gen1)  # superseded generation dropped
     assert cat.is_table_exist(gen2)
     reg = _json.loads((tmp_path / "cat" / "cust" / "indexes.json").read_text())
-    assert reg["info:seg"] == gen2
+    assert reg["info:seg"]["table"] == gen2
+    assert reg["info:seg"]["seq"] == 6  # build watermark for incremental refresh
     assert {r.row_key for r in cat.lookup_by_value("cust", "info", "seg", "S1").collect()} == {
         "u1", "u3", "u5"
     }
@@ -757,3 +758,67 @@ def test_index_rebuild_swap_and_missing_table_fallback(spark, tmp_path):
     assert {r.row_key for r in cat.lookup_by_value("cust", "info", "seg", "S0").collect()} == {
         "u0", "u2", "u4"
     }
+
+
+def test_index_incremental_refresh_from_changefeed(spark, tmp_path):
+    """refresh_index applies only the base table's change set to the
+    index (CDC-bounded maintenance): updates retire the old-value
+    entry and add the new one, inserts add, row deletes retire, and
+    the refreshed index answers lookups identically to a full rebuild.
+    Refresh is idempotent once caught up."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("cust { info }")
+    b = MutationBatch(base_seq=1)
+    for i in range(10):
+        b.put(f"u{i:02d}", "info", "seg", f"S{i % 2}", ts=1)
+    cat.append("cust", b.to_df(spark), commit_seq=10, op_kinds=b.op_kinds)
+    cat.create_index("cust", "info", "seg")
+
+    def hits(v):
+        return {r.row_key for r in cat.lookup_by_value("cust", "info", "seg", v).collect()}
+
+    assert hits("S1") == {"u01", "u03", "u05", "u07", "u09"}
+
+    # base moves: u01 S1->S9 (update), u10 arrives in S1 (insert),
+    # u03 is deleted (delete)
+    b2 = MutationBatch(base_seq=11)
+    b2.put("u01", "info", "seg", "S9", ts=2)
+    b2.put("u10", "info", "seg", "S1", ts=2)
+    b2.delete_row("u03", ts=2)
+    cat.append("cust", b2.to_df(spark), commit_seq=13, op_kinds=b2.op_kinds)
+
+    r = cat.refresh_index("cust", "info", "seg")
+    assert r["changes"] > 0 and r["to_seq"] == 13
+
+    # the index itself — not just read-repair — now finds u10 (a pure
+    # stale index would MISS it: read-repair only drops wrong hits)
+    assert hits("S1") == {"u05", "u07", "u09", "u10"}
+    assert hits("S9") == {"u01"}
+
+    # caught up: second refresh is a no-op
+    assert cat.refresh_index("cust", "info", "seg")["changes"] == 0
+
+    # index hygiene: the refresh's delete marks demote the index table
+    # from the PUT-only fast fold; major compaction folds them away
+    # and re-upgrades it — same lifecycle as any cell table
+    from tera_spark.catalog import _load_indexes
+
+    before = _load_indexes(cat, "cust")["info:seg"]["table"]
+    assert cat.fold_hints(before) == {}
+    cat.compact_inplace(before)
+    assert cat.fold_hints(before) == {"put_only": True}
+    assert hits("S1") == {"u05", "u07", "u09", "u10"}  # unchanged by compaction
+
+    # refreshed index ≡ full rebuild (same value->pk mapping)
+    folded_inc = {
+        (r.row_key, r.qualifier) for r in cat.view(before).collect()
+    }
+    cat.create_index("cust", "info", "seg")
+    after = _load_indexes(cat, "cust")["info:seg"]["table"]
+    folded_full = {
+        (r.row_key, r.qualifier) for r in cat.view(after).collect()
+    }
+    assert folded_inc == folded_full
