@@ -196,15 +196,23 @@ def current_view(
     # exchange — the window form forced a second exchange on row_key
     # plus two sorts of every aggregated row. Mass-delete pathologies
     # degrade gracefully to a keyed join on the same row_key prefix.
-    row_marks = (
-        df.filter(op == CellOp.DEL_ROW)
-        .groupBy("row_key")
-        .agg(F.max("ts").alias("_del_row"))
+    # Both mark granularities extract from ONE shared scan (column-
+    # pruned to row_key/cf/ts/op with `op IN (...)` pushed to the
+    # parquet reader — row-group op min/max stats skip delete-free
+    # files entirely); the per-granularity re-aggregates run over the
+    # tiny grouped mark set and reuse its exchange.
+    mk = (
+        df.filter(op.isin(CellOp.DEL_ROW, CellOp.DEL_FAMILY))
+        .groupBy("row_key", "cf", "op")
+        .agg(F.max("ts").alias("_mts"))
     )
-    cf_marks = (
-        df.filter(op == CellOp.DEL_FAMILY)
-        .groupBy("row_key", "cf")
-        .agg(F.max("ts").alias("_del_cf"))
+    row_marks = (
+        mk.filter(F.col("op") == CellOp.DEL_ROW)
+        .groupBy("row_key")
+        .agg(F.max("_mts").alias("_del_row"))
+    )
+    cf_marks = mk.filter(F.col("op") == CellOp.DEL_FAMILY).select(
+        "row_key", "cf", F.col("_mts").alias("_del_cf")
     )
     grouped = grouped.join(row_marks, "row_key", "left").join(
         cf_marks, ["row_key", "cf"], "left"
