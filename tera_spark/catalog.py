@@ -51,9 +51,18 @@ class Catalog:
             self.access.consume_for(table, action, reqs=reqs, bytes_=bytes_)
 
     # --- DDL ----------------------------------------------------------
-    def create_table(self, schema: TableSchema | str) -> TableSchema:
+    def create_table(
+        self, schema: TableSchema | str, *, delimiters: list[str] | None = None
+    ) -> TableSchema:
+        """``delimiters`` pre-splits the table (CreateTable(desc,
+        delimiters), include/tera/client.h:40-46; teracli
+        createbyfile's delimiter file): stored in the schema registry,
+        honored by every layout job (snapshot/compact/optimize) so
+        file boundaries align exactly to the declared split points."""
         if isinstance(schema, str):
             schema = parse_schema_string(schema)
+        if delimiters is not None:
+            schema.delimiters = sorted(delimiters)
         tdir = self.root / schema.name
         if tdir.exists():
             raise ValueError(f"table exists: {schema.name}")
@@ -371,7 +380,7 @@ class Catalog:
         # commit records prove the op mix — compaction of the dominant
         # shapes folds via the same fast paths reads use
         folded = compact(oplog, schema, now_us=now_us, **self.fold_hints(name))
-        write_cell_table(folded, str(out))
+        write_cell_table(folded, str(out), delimiters=schema.delimiters or None)
         top = oplog.agg({"seq": "max"}).collect()[0][0]
         (self.root / name / "snapshots" / f"{sid}.json").write_text(
             json.dumps({"seq": int(top) if top is not None else -1})
@@ -696,7 +705,13 @@ class Catalog:
                 .parquet(str(tmp))
             )
         else:
-            write_cell_table(df, str(tmp), buckets=buckets)
+            write_cell_table(
+                df,
+                str(tmp),
+                buckets=buckets,
+                # explicit bucket count overrides the declared pre-split
+                delimiters=None if buckets else (self.get_schema(name).delimiters or None),
+            )
         shutil.rmtree(oplog)
         tmp.rename(oplog)
         return len(list(oplog.glob("part-*")))

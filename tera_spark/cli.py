@@ -84,7 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--root", default="/tmp/tera_spark_tables")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    sp = sub.add_parser("create"); sp.add_argument("schema")
+    sp = sub.add_parser("create"); sp.add_argument("schema", nargs="?")
+    sp.add_argument("--from-file", help="read the schema string from a file (teracli createbyfile)")
+    sp.add_argument("--delimiters-file",
+                    help="pre-split delimiter file, one row key per line "
+                         "(createbyfile <schema> <delimiter_file>)")
     sp = sub.add_parser("update"); sp.add_argument("schema")
     sp = sub.add_parser("enable"); sp.add_argument("table")
     sp = sub.add_parser("disable"); sp.add_argument("table")
@@ -133,6 +137,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=100)
     sp.add_argument("--seek", action="store_true",
                     help="client-side range scan (no Spark job; small ranges)")
+    sp.add_argument("--all-versions", action="store_true",
+                    help="every retained version per column (teracli scanallv)")
     sp = sub.add_parser("compact"); sp.add_argument("table")
     sp.add_argument("--minor", action="store_true", help="selective: fold only dirty row-range groups")
     sp = sub.add_parser("snapshot"); sp.add_argument("table")
@@ -206,8 +212,24 @@ def main(argv: list[str] | None = None) -> int:
     cat = Catalog(spark, args.root)
 
     if args.cmd == "create":
-        s = cat.create_table(args.schema)
-        print(f"created {s.name} ({len(s.column_families)} cf)")
+        from pathlib import Path
+
+        text = args.schema
+        if getattr(args, "from_file", None):
+            text = Path(args.from_file).read_text().strip()
+        if not text:
+            print("create needs a schema string or --from-file")
+            return 1
+        delims = None
+        if getattr(args, "delimiters_file", None):
+            delims = [
+                ln.strip()
+                for ln in Path(args.delimiters_file).read_text().splitlines()
+                if ln.strip()
+            ]
+        s = cat.create_table(text, delimiters=delims)
+        extra = f", {len(s.delimiters)} pre-split delimiters" if s.delimiters else ""
+        print(f"created {s.name} ({len(s.column_families)} cf{extra})")
     elif args.cmd == "update":
         from tera_spark.registry import parse_schema_string
 
@@ -362,9 +384,16 @@ def main(argv: list[str] | None = None) -> int:
         from tera_spark.operators.scan import ScanDescriptor, scan
 
         desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)
+        schema = cat.get_schema(args.table)
+        if getattr(args, "all_versions", False):
+            # teracli scanallv: show every version still retained in the
+            # op-log (tombstones/TTL still apply; compaction trims to
+            # the schema cap) — scan-time version trim lifted
+            for cf in schema.column_families.values():
+                cf.max_versions = 1 << 30
         for r in scan(
             cat.read_oplog(args.table),
-            cat.get_schema(args.table),
+            schema,
             desc,
             **cat.fold_hints(args.table),
         ).collect():

@@ -52,6 +52,11 @@ class TableSchema:
     split_size: int = 512           # MB, advisory → target partition sizing
     merge_size: int = 0
     hash_distribution: bool = False  # murmur-prefixed keys (table_impl.cc:98)
+    # pre-split delimiters (CreateTable(desc, delimiters),
+    # include/tera/client.h:40-46; teracli createbyfile): sorted row
+    # keys marking tablet boundaries — layout jobs align file ranges
+    # to them so no file ever spans a delimiter
+    delimiters: list[str] = field(default_factory=list)
     locality_groups: dict[str, LocalityGroupSchema] = field(default_factory=dict)
     column_families: dict[str, ColumnFamilySchema] = field(default_factory=dict)
 
@@ -79,6 +84,7 @@ class TableSchema:
                 "split_size": self.split_size,
                 "merge_size": self.merge_size,
                 "hash_distribution": self.hash_distribution,
+                "delimiters": self.delimiters,
                 "locality_groups": {k: asdict(v) for k, v in self.locality_groups.items()},
                 "column_families": {k: asdict(v) for k, v in self.column_families.items()},
             },
@@ -94,6 +100,7 @@ class TableSchema:
             split_size=d.get("split_size", 512),
             merge_size=d.get("merge_size", 0),
             hash_distribution=d.get("hash_distribution", False),
+            delimiters=d.get("delimiters", []),
         )
         for k, v in d.get("locality_groups", {}).items():
             ts.locality_groups[k] = LocalityGroupSchema(**v)

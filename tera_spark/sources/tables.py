@@ -82,6 +82,7 @@ def write_cell_table(
     *,
     buckets: int | None = None,
     row_bloom_filter: bool = False,
+    delimiters: list[str] | None = None,
 ) -> None:
     """Persist an op-log cell table range-sorted by row_key so point
     gets and range scans prune files via Parquet min/max stats (the
@@ -91,7 +92,21 @@ def write_cell_table(
     row_key — the reference's per-LG RowBloomFilter
     (table_schema.proto:24, tablet_io_test.cc RowBloomFilter): min/max
     stats prune files for *range* predicates, the bloom filter also
-    skips row groups for point gets on keys the file doesn't hold."""
+    skips row groups for point gets on keys the file doesn't hold.
+
+    ``delimiters`` (sorted row keys) align file boundaries EXACTLY to
+    the pre-split points of CreateTable(desc, delimiters)
+    (include/tera/client.h:40-46): tablet i covers
+    [delimiters[i-1], delimiters[i]). repartitionByRange alone gives
+    range-disjoint files but samples its boundaries; with explicit
+    delimiters no file ever spans a split point, so per-tenant/-prefix
+    isolation and routing hold exactly. One pass: the bucket id is a
+    JVM-side expression, a dynamic partitionBy write separates buckets
+    per task, and the bucket directories flatten back into one sorted
+    file set."""
+    if delimiters:
+        _write_delimited(cells, path, sorted(delimiters), row_bloom_filter)
+        return
     n = buckets or max(cells.sparkSession.sparkContext.defaultParallelism, 4)
     w = (
         cells.repartitionByRange(n, "row_key")
@@ -101,6 +116,40 @@ def write_cell_table(
     if row_bloom_filter:
         w = w.option("parquet.bloom.filter.enabled#row_key", "true")
     w.parquet(path)
+
+
+def _write_delimited(
+    cells: DataFrame, path: str, delims: list[str], row_bloom_filter: bool
+) -> None:
+    import shutil
+    from pathlib import Path
+
+    arr = F.array(*[F.lit(d) for d in delims])
+    # bucket = #delimiters <= row_key: hash-repartitioning on it sends
+    # every row of a tablet to one task; partitionBy then splits any
+    # colliding tablets into separate files — exactly one file per
+    # non-empty tablet, each wholly inside its delimiter range
+    bucket = F.size(F.filter(arr, lambda d: d <= F.col("row_key")))
+    tmp = path + ".split"
+    w = (
+        cells.withColumn("_tb", bucket)
+        .repartition(len(delims) + 1, "_tb")
+        .sortWithinPartitions("_tb", "row_key", "cf", "qualifier", "ts")
+        .write.partitionBy("_tb")
+        .mode("overwrite")
+    )
+    if row_bloom_filter:
+        w = w.option("parquet.bloom.filter.enabled#row_key", "true")
+    w.parquet(tmp)
+    out = Path(path)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    for d in sorted(Path(tmp).glob("_tb=*"), key=lambda p: int(p.name.split("=")[1])):
+        tb = int(d.name.split("=")[1])
+        for i, f in enumerate(sorted(d.glob("*.parquet"))):
+            f.rename(out / f"part-t{tb:05d}-{i:05d}.parquet")
+    shutil.rmtree(tmp)
 
 
 def read_cell_table(spark: SparkSession, path: str) -> DataFrame:

@@ -822,3 +822,83 @@ def test_index_incremental_refresh_from_changefeed(spark, tmp_path):
         (r.row_key, r.qualifier) for r in cat.view(after).collect()
     }
     assert folded_inc == folded_full
+
+
+def test_presplit_delimiters_align_file_boundaries(spark, tmp_path, capsys):
+    """CreateTable(desc, delimiters) (client.h:40-46; teracli
+    createbyfile's delimiter file): declared split points persist in
+    the schema and every layout job aligns file ranges to them — after
+    optimize/compact no file spans a delimiter, so routing and
+    per-prefix isolation hold exactly (sampled repartitionByRange
+    can't promise that)."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.cli import main
+    from tera_spark.operators.mutation import MutationBatch
+
+    delims = ["g", "n", "t"]  # 4 tablets: [..g) [g..n) [n..t) [t..)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("pre { d }", delimiters=delims)
+    assert cat.get_schema("pre").delimiters == delims
+
+    b = MutationBatch(base_seq=1)
+    import string
+
+    for i, ch in enumerate(string.ascii_lowercase):
+        b.put(f"{ch}row", "d", "q", f"v{i}", ts=1)
+    cat.append("pre", b.to_df(spark), commit_seq=26, op_kinds=b.op_kinds)
+
+    n_files = cat.optimize("pre")
+    assert n_files == 4  # exactly one file per non-empty tablet
+    info = cat.tablet_info("pre")
+    bounds = [(i["start_key"], i["end_key"]) for i in info]
+
+    def bucket(key):
+        return sum(1 for d in delims if d <= key)
+
+    for lo, hi in bounds:
+        assert bucket(lo) == bucket(hi), f"file spans a delimiter: {lo}..{hi}"
+    # every tablet holds its own keys and the data round-trips
+    assert cat.view("pre").count() == 26
+    assert {i["rows"] for i in info} == {6, 7}  # 6/7/6/7 split of a-z
+
+    # compaction preserves the alignment
+    cat.compact_inplace("pre")
+    for i in cat.tablet_info("pre"):
+        assert bucket(i["start_key"]) == bucket(i["end_key"])
+    assert cat.view("pre").count() == 26
+
+    # the createbyfile-shaped CLI path
+    (tmp_path / "schema.txt").write_text("clifile { cf0 }")
+    (tmp_path / "delims.txt").write_text("m\n")
+    assert main([
+        "--root", str(tmp_path / "cat"), "create",
+        "--from-file", str(tmp_path / "schema.txt"),
+        "--delimiters-file", str(tmp_path / "delims.txt"),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "1 pre-split delimiters" in out
+    assert cat.get_schema("clifile").delimiters == ["m"]
+
+
+def test_scan_all_versions_cli(spark, tmp_path, capsys):
+    """teracli scanallv: every retained version per column (the
+    scan-time version trim lifted; tombstones still apply)."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.cli import main
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    cat.create_table("mv { d <maxversions=2> }")
+    b = MutationBatch(base_seq=1)
+    for ts in (1, 2, 3):
+        b.put("r1", "d", "q", f"v{ts}", ts=ts)
+    cat.append("mv", b.to_df(spark), commit_seq=3, op_kinds=b.op_kinds)
+
+    assert main(["--root", root, "scan", "mv"]) == 0
+    plain = capsys.readouterr().out
+    assert "v3" in plain and "v2" in plain and "v1" not in plain  # schema cap 2
+
+    assert main(["--root", root, "scan", "mv", "--all-versions"]) == 0
+    allv = capsys.readouterr().out
+    assert "v3" in allv and "v2" in allv and "v1" in allv
