@@ -77,12 +77,64 @@ class Client:
 
 
 class Table:
-    """Table (include/tera/table.h): reads, writes, atomics, txn."""
+    """Table (include/tera/table.h): reads, writes, atomics, txn.
+
+    Hash-distributed tables (``<hash=on>``; TableDescriptor hash mode,
+    murmur-prefix rewrite src/sdk/table_impl.cc:98) are TRANSPARENT at
+    this layer, as in the reference SDK: every write and point read
+    translates user keys to prefixed form (driver-side xxhash64 twin,
+    functions/keys.py, bit-equal to the JVM expression), and outputs
+    strip the prefix back off. Scan range bounds re-apply on the USER
+    key after the strip — storage order is hash order, so a user-key
+    range cannot prune files and costs a full scan: the documented
+    hash-table trade-off (the reference likewise scans hash tables in
+    distribution order, table_impl.cc:1416-1418)."""
 
     def __init__(self, catalog: Catalog, name: str):
         self._cat = catalog
         self.name = name
         self._next_seq: int | None = None
+        self._hashed = catalog.get_schema(name).hash_distribution
+
+    # -- hash-distribution key translation ----------------------------
+    def _hk(self, key: str) -> str:
+        from tera_spark.functions.keys import py_hash_prefix_key
+
+        return py_hash_prefix_key(key) if self._hashed else key
+
+    def _strip(self, key: str) -> str:
+        from tera_spark.functions.keys import py_strip_hash_prefix
+
+        return py_strip_hash_prefix(key) if self._hashed else key
+
+    def _strip_df(self, df: DataFrame) -> DataFrame:
+        from tera_spark.functions.keys import with_plain_row_key
+
+        return with_plain_row_key(df) if self._hashed else df
+
+    def _hash_desc(self, desc: ScanDescriptor | None) -> ScanDescriptor | None:
+        """On hash tables the stored order is hash order, so user-key
+        range bounds can't prune storage (the reference routes its
+        hashed start key and otherwise scans in distribution order,
+        table_impl.cc:1416-1418). Bounds are lifted out of the pushed
+        descriptor here and re-applied on the USER key after the
+        prefix strips off (_user_range) — callers get exactly the
+        range they asked for, at full-scan cost: the documented
+        hash-table trade-off."""
+        if not self._hashed or desc is None or (desc.start is None and desc.end is None):
+            return desc
+        import dataclasses
+
+        return dataclasses.replace(desc, start=None, end=None)
+
+    def _user_range(self, df: DataFrame, desc: ScanDescriptor | None) -> DataFrame:
+        if not self._hashed or desc is None:
+            return df
+        if desc.start is not None:
+            df = df.filter(F.col("row_key") >= desc.start)
+        if desc.end is not None:
+            df = df.filter(F.col("row_key") < desc.end)
+        return df
 
     # -- sequence bookkeeping (LevelDB sequence analog) ---------------
     def _seq(self, n: int) -> int:
@@ -97,6 +149,8 @@ class Table:
 
     # -- writes (table.h:58-77, 128-142) ------------------------------
     def apply_mutation(self, batch: MutationBatch) -> None:
+        if self._hashed:
+            batch.map_row_keys(self._hk)
         batch._base_seq = self._seq(len(batch))
         self._cat.append(
             self.name,
@@ -147,6 +201,9 @@ class Table:
         self, row_key: str, cf: str, qualifier: str, expected, batch: MutationBatch
     ) -> bool:
         """CheckAndApply (table.h:140-142). True iff the mutation landed."""
+        if self._hashed:
+            batch.map_row_keys(self._hk)
+            row_key = self._hk(row_key)
         batch._base_seq = self._seq(len(batch))  # gap on failed CAS is harmless
         out = check_and_apply(
             self._cat.read_oplog(self.name),
@@ -180,6 +237,7 @@ class Table:
         (operators/seek.py): footer-routed pyarrow row-group reads +
         Python fold on the client — no Spark job, ~ms latency. Same
         result by property test (tests/test_seek.py)."""
+        row_key = self._hk(row_key)
         if seek:
             cells = self._seeker().get(
                 row_key,
@@ -224,12 +282,14 @@ class Table:
         return self._cat.fold_hints(self.name)
 
     def batch_get(self, row_keys: list[str], *, now_us: int | None = None) -> DataFrame:
-        return batch_get(
-            self._cat.read_oplog(self.name),
-            self._cat.get_schema(self.name),
-            row_keys,
-            now_us=now_us,
-            **self._fold_hints(),
+        return self._strip_df(
+            batch_get(
+                self._cat.read_oplog(self.name),
+                self._cat.get_schema(self.name),
+                [self._hk(k) for k in row_keys],
+                now_us=now_us,
+                **self._fold_hints(),
+            )
         )
 
     def multi_get(
@@ -252,7 +312,11 @@ class Table:
             groups = sum(len(self._seeker()._file_meta(f)) for f in self._seeker()._files())
             mode = "seek" if len(row_keys) < max(groups, 1) / 2 else "join"
         if mode == "seek":
-            return self._seeker().multi_get(row_keys, now_us=now_us)
+            got = self._seeker().multi_get([self._hk(k) for k in row_keys], now_us=now_us)
+            return {
+                self._strip(k): [(self._strip(c[0]),) + tuple(c[1:]) for c in cells]
+                for k, cells in got.items()
+            }
         if mode != "join":
             raise ValueError(f"unknown mode: {mode!r}")
         out: dict[str, list[tuple]] = {}
@@ -278,13 +342,13 @@ class Table:
         v = scan(
             self._cat.read_oplog(self.name),
             self._cat.get_schema(self.name),
-            desc,
+            self._hash_desc(desc),
             now_us=now_us,
             snapshot_seq=snapshot_seq,
             **self._fold_hints(),
         )
-        ordered = v.orderBy("row_key", "cf", "qualifier", F.desc("ts"))
-        return ordered.toLocalIterator()
+        out = self._user_range(self._strip_df(v), desc)
+        return out.orderBy("row_key", "cf", "qualifier", F.desc("ts")).toLocalIterator()
 
     def scan_df(
         self,
@@ -294,13 +358,18 @@ class Table:
         snapshot_seq: int | None = None,
     ) -> DataFrame:
         """The analytics-native form: visible cells as a DataFrame."""
-        return scan(
-            self._cat.read_oplog(self.name),
-            self._cat.get_schema(self.name),
+        return self._user_range(
+            self._strip_df(
+                scan(
+                    self._cat.read_oplog(self.name),
+                    self._cat.get_schema(self.name),
+                    self._hash_desc(desc),
+                    now_us=now_us,
+                    snapshot_seq=snapshot_seq,
+                    **self._fold_hints(),
+                )
+            ),
             desc,
-            now_us=now_us,
-            snapshot_seq=snapshot_seq,
-            **self._fold_hints(),
         )
 
     # -- transactions (table.h:102-104) -------------------------------
@@ -322,7 +391,9 @@ class Table:
 
     def start_row_transaction(self, row_key: str) -> SingleRowTransaction:
         return SingleRowTransaction(
-            self._cat.read_oplog(self.name), self._cat.get_schema(self.name), row_key
+            self._cat.read_oplog(self.name),
+            self._cat.get_schema(self.name),
+            self._hk(row_key),
         )
 
     def commit_row_transaction(self, txn: SingleRowTransaction) -> None:

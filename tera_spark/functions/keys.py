@@ -54,6 +54,74 @@ def with_plain_row_key(cells: DataFrame, key_col: str = "row_key") -> DataFrame:
     return cells.withColumn(key_col, strip_hash_prefix(F.col(key_col)))
 
 
+# --- driver-side twin of Spark's xxhash64 -----------------------------
+# The SDK facade (client.Table) translates keys on the DRIVER for
+# hash-distributed tables (seek path, mutation builders, scan bounds),
+# so it needs the exact same hash Spark evaluates in codegen: XXH64
+# over the UTF-8 bytes with Spark's seed of 42. Pinned equal to
+# F.xxhash64 by property test (tests/test_txn_keys.py).
+
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def py_xxhash64(data: bytes, seed: int = 42) -> int:
+    """XXH64 (Collet's spec), returned as a SIGNED 64-bit int to match
+    Spark's long-typed xxhash64."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = _rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M, 31) * _P1 & _M
+            v2 = _rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M, 31) * _P1 & _M
+            v3 = _rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M, 31) * _P1 & _M
+            v4 = _rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M, 31) * _P1 & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _P2) & _M, 31) * _P1 & _M)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        k = _rotl((int.from_bytes(data[i : i + 8], "little") * _P2) & _M, 31) * _P1 & _M
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ (int.from_bytes(data[i : i + 4], "little") * _P1) & _M, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5) & _M, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def py_hash_prefix_key(key: str) -> str:
+    """Driver-side twin of ``hash_prefix_key`` (same 16-hex prefix)."""
+    h = py_xxhash64(key.encode("utf-8")) & _M
+    return f"{h:016x}{key}"
+
+
+def py_strip_hash_prefix(hashed: str) -> str:
+    return hashed[PREFIX_LEN:]
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],

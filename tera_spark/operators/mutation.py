@@ -101,6 +101,14 @@ class MutationBatch:
     def _emit(self, row_key, cf, qualifier, ts, op, value, *, ttl_s=None):
         self._rows.append((row_key, cf, qualifier, ts, op, value, ttl_s))
 
+    def map_row_keys(self, fn) -> "MutationBatch":
+        """Rewrite every accumulated row key (the hash-distribution
+        hook: TableImpl prefixes user keys transparently,
+        src/sdk/table_impl.cc:98 — client.Table applies the same
+        rewrite at the SDK boundary for <hash=on> tables)."""
+        self._rows = [(fn(r[0]),) + tuple(r[1:]) for r in self._rows]
+        return self
+
     def to_df(self, spark: SparkSession, *, now_us: int | None = None) -> DataFrame:
         from tera_spark.model import CELL_TTL_SCHEMA
 

@@ -144,6 +144,9 @@ def parse_schema_string(text: str) -> TableSchema:
         kv_mode=body is None,
         split_size=int(tprops.get("splitsize", 512)),
         merge_size=int(tprops.get("mergesize", 0)),
+        # hash key distribution (TableDescriptor::EnableHash, murmur
+        # prefix src/sdk/table_impl.cc:98): `t <hash=on> { ... }`
+        hash_distribution=tprops.get("hash", "off") in ("on", "true", "1"),
     )
     if body is None:
         # KV mode: single implicit lg

@@ -154,3 +154,52 @@ def test_scan_snapshot_seq_reads_as_of(spark, tmp_path):
     then = [r for r in t.scan(snapshot_seq=seq_after_first)]
     assert [bytes(r.value) for r in then] == [b"old"]
     assert t.scan_df(snapshot_seq=seq_after_first).count() == 1
+
+
+def test_hash_distributed_table_transparent(spark, tmp_path):
+    """<hash=on> tables (TableDescriptor hash mode, murmur prefix
+    src/sdk/table_impl.cc:98): the SDK translates keys both ways, so
+    callers never see the prefix — puts land under prefixed keys
+    (monotonic writers scatter), gets/scans/CAS answer in user keys,
+    and the stored layout is verifiably prefixed."""
+    from tera_spark.client import Client
+    from tera_spark.functions.keys import PREFIX_LEN, py_hash_prefix_key
+    from tera_spark.operators.mutation import MutationBatch
+    from tera_spark.operators.scan import ScanDescriptor
+
+    c = Client(spark, str(tmp_path / "root"))
+    c.create_table("ht <hash=on> { d }")
+    t = c.open_table("ht")
+    for i in range(8):
+        t.put(f"user{i:04d}", "d", "q", f"v{i}", ts=1)
+
+    # stored keys are prefixed; user order is scattered
+    raw = {r.row_key for r in c.catalog.read_oplog("ht").collect()}
+    assert raw == {py_hash_prefix_key(f"user{i:04d}") for i in range(8)}
+    assert all(len(k) > PREFIX_LEN and not k.startswith("user") for k in raw)
+
+    # point read: user key in, plain ToMap out
+    m = t.get("user0003")
+    assert m["d"]["q"] == [(1, b"v3")]
+    # seek path translates too
+    assert t.get("user0003", seek=True) == m
+
+    # multi_get (join path) returns user-keyed results
+    got = t.multi_get(["user0001", "user0006"], mode="join")
+    assert set(got) == {"user0001", "user0006"}
+    assert got["user0001"][0][0] == "user0001"
+
+    # scan with a user-key range post-filters to exactly that range
+    rows = list(t.scan(ScanDescriptor(start="user0002", end="user0005")))
+    assert [r.row_key for r in rows] == ["user0002", "user0003", "user0004"]
+
+    # CAS sees through the prefix
+    ok = t.check_and_apply(
+        "user0007", "d", "q", b"v7", MutationBatch().put("user0007", "d", "q", "v7b", ts=2)
+    )
+    assert ok
+    assert t.get("user0007")["d"]["q"][0] == (2, b"v7b")
+
+    # delete_row translates
+    t.delete_row("user0000", ts=9)
+    assert t.get("user0000") == {}

@@ -208,3 +208,26 @@ def test_global_txn_notify_marks_dirty(spark, tmp_path):
     txn.commit()
     marks = cat.read_oplog("acct_a").filter(F.col("cf") == NOTIFY_CF).collect()
     assert len(marks) == 1 and marks[0].qualifier == "cf0+bal"
+
+
+def test_py_xxhash64_matches_spark(spark):
+    """The driver-side XXH64 twin must be bit-equal to F.xxhash64
+    (seed 42, UTF-8 bytes) — the hash-table SDK translates keys on the
+    driver with it, so any divergence would strand reads from writes.
+    Covers every length class of the algorithm (empty, <4, <8, <32,
+    >=32, multi-block) and non-ASCII."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.functions.keys import py_hash_prefix_key, py_xxhash64
+
+    keys = ["", "a", "ab", "abc", "abcd", "hello", "0123456", "01234567",
+            "x" * 31, "y" * 32, "z" * 33, "w" * 100, "row-é中文-key",
+            *(f"user{i:06d}" for i in range(50))]
+    df = spark.createDataFrame([(k,) for k in keys], "k string").select(
+        "k",
+        F.xxhash64("k").alias("h"),
+        F.concat(F.lpad(F.lower(F.hex(F.xxhash64("k"))), 16, "0"), F.col("k")).alias("pk"),
+    )
+    for r in df.collect():
+        assert py_xxhash64(r.k.encode()) == r.h, r.k
+        assert py_hash_prefix_key(r.k) == r.pk, r.k
