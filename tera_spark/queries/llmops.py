@@ -2544,3 +2544,88 @@ def text_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "pipeline_filter_audit",
+    f"""
+    WITH t AS (SELECT doc_id, {X.sql_tokens('text')} AS tk FROM documents),
+    s AS (
+      SELECT doc_id, len(tk) AS n,
+        {_t6("list_aggregate(list_transform(list_distinct(tk),"
+             " w -> len(list_filter(tk, x -> x = w))), 'max')::double"
+             " / greatest(len(tk), 1)")} AS topfrac,
+        {_t6("len(list_filter(tk, x -> lower(x) IN ('the','a','of','to',"
+             "'and','in','is','it','that','for')))::double"
+             " / greatest(len(tk), 1)")} AS stopr
+      FROM t
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id,
+           n < 25 AS flag_short,
+           topfrac > 0.15 AS flag_repetitive,
+           stopr < 0.02 AS flag_low_stopword,
+           cast((n < 25)::int + (topfrac > 0.15)::int + (stopr < 0.02)::int
+                AS bigint) AS n_flags,
+           CASE WHEN n >= 25 AND topfrac <= 0.15 AND stopr >= 0.02
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM s
+    """,
+)
+def pipeline_filter_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-filter AUDIT table: one row per document with a boolean
+    per curation rule (Gopher-style length / repetition / stopword
+    gates), the flag count, and the keep/drop verdict — the
+    observability layer every production filter pipeline needs ("WHY
+    did this doc drop, and which rule dominates per source"). Ratios
+    floor-truncate to 6 decimals before the threshold compare so the
+    verdicts are bit-stable across engines.
+
+    Scale shape: pure per-row array arithmetic, map-only, zero
+    shuffles at any corpus size."""
+    from tera_spark.functions.text import tokens
+
+    docs = load(spark, sf, "documents")
+    d = (
+        docs.withColumn("_tk", tokens(F.col("text")))
+        .withColumn("_n", F.size("_tk"))
+        .withColumn(
+            "_topfrac",
+            F.floor(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(F.col("_tk")),
+                        lambda w: F.size(F.filter(F.col("_tk"), lambda x: x == w)),
+                    )
+                ).cast("double")
+                / F.greatest(F.col("_n"), F.lit(1))
+                * 1_000_000
+            ).cast("double")
+            / 1_000_000,
+        )
+        .withColumn(
+            "_stopr",
+            F.floor(
+                F.size(
+                    F.filter(F.col("_tk"), lambda x: F.lower(x).isin(
+                        "the", "a", "of", "to", "and", "in", "is", "it", "that", "for"
+                    ))
+                ).cast("double")
+                / F.greatest(F.col("_n"), F.lit(1))
+                * 1_000_000
+            ).cast("double")
+            / 1_000_000,
+        )
+    )
+    short = F.col("_n") < 25
+    rep = F.col("_topfrac") > 0.15
+    lowstop = F.col("_stopr") < 0.02
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        short.alias("flag_short"),
+        rep.alias("flag_repetitive"),
+        lowstop.alias("flag_low_stopword"),
+        (short.cast("int") + rep.cast("int") + lowstop.cast("int"))
+        .cast("long")
+        .alias("n_flags"),
+        F.when(~short & ~rep & ~lowstop, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
