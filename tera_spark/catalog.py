@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tera_spark.model import CELL_SCHEMA
 from tera_spark.registry import TableSchema, parse_schema_string
-from tera_spark.sources.tables import write_cell_table
+from tera_spark.sources.tables import schema_codec, write_cell_table
 
 
 class Catalog:
@@ -380,7 +380,12 @@ class Catalog:
         # commit records prove the op mix — compaction of the dominant
         # shapes folds via the same fast paths reads use
         folded = compact(oplog, schema, now_us=now_us, **self.fold_hints(name))
-        write_cell_table(folded, str(out), delimiters=schema.delimiters or None)
+        write_cell_table(
+            folded,
+            str(out),
+            delimiters=schema.delimiters or None,
+            compression=schema_codec(schema),
+        )
         top = oplog.agg({"seq": "max"}).collect()[0][0]
         (self.root / name / "snapshots" / f"{sid}.json").write_text(
             json.dumps({"seq": int(top) if top is not None else -1})
@@ -705,12 +710,14 @@ class Catalog:
                 .parquet(str(tmp))
             )
         else:
+            schema = self.get_schema(name)
             write_cell_table(
                 df,
                 str(tmp),
                 buckets=buckets,
                 # explicit bucket count overrides the declared pre-split
-                delimiters=None if buckets else (self.get_schema(name).delimiters or None),
+                delimiters=None if buckets else (schema.delimiters or None),
+                compression=schema_codec(schema),
             )
         shutil.rmtree(oplog)
         tmp.rename(oplog)

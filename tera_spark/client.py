@@ -76,6 +76,64 @@ class Client:
         return Table(self.catalog, name)
 
 
+class RowMutation:
+    """TeraSdk.RowMutation-compatible builder bound to one row
+    (src/sdk/python/TeraSdk.py:293-440) — method names kept CamelCase
+    so reference call sites (`mu = t.NewRowMutation(row); mu.Put(cf,
+    qu, v); t.ApplyMutation(mu)`) translate unchanged. Accumulates on
+    a MutationBatch; nothing lands until Table.ApplyMutation.
+
+    SetCallback/GetStatus/Destroy are the async-RPC machinery of the
+    ctypes binding; commits here are synchronous (ApplyMutation
+    returns after the storage append), so they are intentionally
+    absent."""
+
+    def __init__(self, row_key: str):
+        self._row_key = row_key
+        self._batch = MutationBatch()
+
+    def Put(self, cf: str, qu: str, value) -> "RowMutation":
+        self._batch.put(self._row_key, cf, qu, value)
+        return self
+
+    def PutWithTimestamp(self, cf: str, qu: str, timestamp: int, value) -> "RowMutation":
+        self._batch.put(self._row_key, cf, qu, value, ts=timestamp)
+        return self
+
+    def PutInt64(self, cf: str, qu: str, value: int) -> "RowMutation":
+        """Native-endian int64 put (merges with AddInt64, teracli
+        'Support Int64')."""
+        self._batch.put_le_int64(self._row_key, cf, qu, value)
+        return self
+
+    def PutKV(self, value, ttl: int) -> "RowMutation":
+        raise TypeError("PutKV targets kv-mode tables: use KvTable.put(key, value, ttl_s=...)")
+
+    def DeleteColumnAllVersions(self, cf: str, qu: str) -> "RowMutation":
+        self._batch.delete_column(self._row_key, cf, qu)
+        return self
+
+    def DeleteColumnWithVersion(self, cf: str, qu: str, ts: int) -> "RowMutation":
+        self._batch.delete_version(self._row_key, cf, qu, ts=ts)
+        return self
+
+    def DeleteFamily(self, cf: str) -> "RowMutation":
+        self._batch.delete_family(self._row_key, cf)
+        return self
+
+    def DeleteRow(self) -> "RowMutation":
+        self._batch.delete_row(self._row_key)
+        return self
+
+    # Deprecated in the reference; kept for call-site compatibility
+    def DeleteColumn(self, cf: str, qu: str) -> "RowMutation":
+        self._batch.delete_column(self._row_key, cf, qu)
+        return self
+
+    def RowKey(self) -> str:
+        return self._row_key
+
+
 class Table:
     """Table (include/tera/table.h): reads, writes, atomics, txn.
 
@@ -148,7 +206,15 @@ class Table:
         return base
 
     # -- writes (table.h:58-77, 128-142) ------------------------------
-    def apply_mutation(self, batch: MutationBatch) -> None:
+    def new_row_mutation(self, row_key: str) -> RowMutation:
+        """TeraSdk Table.NewRowMutation: a per-row mutation builder."""
+        return RowMutation(row_key)
+
+    NewRowMutation = new_row_mutation  # TeraSdk spelling
+
+    def apply_mutation(self, batch: MutationBatch | RowMutation) -> None:
+        if isinstance(batch, RowMutation):
+            batch = batch._batch
         if self._hashed:
             batch.map_row_keys(self._hk)
         batch._base_seq = self._seq(len(batch))
@@ -158,6 +224,8 @@ class Table:
             commit_seq=batch._base_seq + len(batch) - 1,
             op_kinds=batch.op_kinds,
         )
+
+    ApplyMutation = apply_mutation  # TeraSdk spelling
 
     def put(
         self,

@@ -76,6 +76,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+_CODECS = {
+    "none": "uncompressed",
+    "snappy": "snappy",
+    "gzip": "gzip",
+    "zstd": "zstd",
+    "lz4": "lz4",
+}
+
+
+def schema_codec(schema) -> str | None:
+    """Parquet codec for a table's single-directory layout from its
+    locality-group ``compress=`` property (table_schema.proto:21;
+    teracli `<compress=snappy|none>`): lg0's codec wins here —
+    per-LG codecs apply when the table uses the LG-partitioned layout
+    (sources/lg_layout.py). None = engine default."""
+    if schema is None or not getattr(schema, "locality_groups", None):
+        return None
+    lg0 = schema.locality_groups.get("lg0") or next(iter(schema.locality_groups.values()))
+    return _CODECS.get((lg0.compress or "").lower())
+
+
 def write_cell_table(
     cells: DataFrame,
     path: str,
@@ -83,6 +104,7 @@ def write_cell_table(
     buckets: int | None = None,
     row_bloom_filter: bool = False,
     delimiters: list[str] | None = None,
+    compression: str | None = None,
 ) -> None:
     """Persist an op-log cell table range-sorted by row_key so point
     gets and range scans prune files via Parquet min/max stats (the
@@ -105,7 +127,7 @@ def write_cell_table(
     per task, and the bucket directories flatten back into one sorted
     file set."""
     if delimiters:
-        _write_delimited(cells, path, sorted(delimiters), row_bloom_filter)
+        _write_delimited(cells, path, sorted(delimiters), row_bloom_filter, compression)
         return
     n = buckets or max(cells.sparkSession.sparkContext.defaultParallelism, 4)
     w = (
@@ -115,11 +137,17 @@ def write_cell_table(
     )
     if row_bloom_filter:
         w = w.option("parquet.bloom.filter.enabled#row_key", "true")
+    if compression:
+        w = w.option("compression", compression)
     w.parquet(path)
 
 
 def _write_delimited(
-    cells: DataFrame, path: str, delims: list[str], row_bloom_filter: bool
+    cells: DataFrame,
+    path: str,
+    delims: list[str],
+    row_bloom_filter: bool,
+    compression: str | None = None,
 ) -> None:
     import shutil
     from pathlib import Path
@@ -140,6 +168,8 @@ def _write_delimited(
     )
     if row_bloom_filter:
         w = w.option("parquet.bloom.filter.enabled#row_key", "true")
+    if compression:
+        w = w.option("compression", compression)
     w.parquet(tmp)
     out = Path(path)
     if out.exists():

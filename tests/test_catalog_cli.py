@@ -902,3 +902,34 @@ def test_scan_all_versions_cli(spark, tmp_path, capsys):
     assert main(["--root", root, "scan", "mv", "--all-versions"]) == 0
     allv = capsys.readouterr().out
     assert "v3" in allv and "v2" in allv and "v1" in allv
+
+
+def test_lg_compression_codec_honored(spark, tmp_path):
+    """The locality-group compress= property (table_schema.proto:21)
+    drives the Parquet codec of layout jobs: compress=none writes
+    uncompressed files, the default writes snappy."""
+    import pyarrow.parquet as pq
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("plain { lg0 <compress=none> { d } }")
+    cat.create_table("snap { lg0 <compress=snappy> { d } }")
+    for t in ("plain", "snap"):
+        b = MutationBatch(base_seq=1)
+        for i in range(50):
+            b.put(f"k{i:03d}", "d", "q", "v" * 50, ts=1)
+        cat.append(t, b.to_df(spark), commit_seq=50, op_kinds=b.op_kinds)
+        cat.optimize(t)
+
+    def codecs(table):
+        out = set()
+        for f in (tmp_path / "cat" / table / "oplog").glob("part-*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            for rg in range(md.num_row_groups):
+                out.add(md.row_group(rg).column(0).compression)
+        return out
+
+    assert codecs("plain") == {"UNCOMPRESSED"}
+    assert codecs("snap") == {"SNAPPY"}

@@ -203,3 +203,37 @@ def test_hash_distributed_table_transparent(spark, tmp_path):
     # delete_row translates
     t.delete_row("user0000", ts=9)
     assert t.get("user0000") == {}
+
+
+def test_row_mutation_terasdk_shim(spark, tmp_path):
+    """TeraSdk call sites translate unchanged: NewRowMutation ->
+    Put/PutWithTimestamp/PutInt64/Delete* -> ApplyMutation
+    (src/sdk/python/TeraSdk.py:293-440)."""
+    from tera_spark.client import Client
+    from tera_spark.functions.codecs import py_encode_le_i64
+
+    c = Client(spark, str(tmp_path / "root"))
+    c.create_table("sdk { d <maxversions=2> }")
+    t = c.open_table("sdk")
+
+    mu = t.NewRowMutation("r1")
+    mu.Put("d", "name", "alice").PutWithTimestamp("d", "name", 5, "alice-v5")
+    mu.PutInt64("d", "count", 42)
+    assert mu.RowKey() == "r1"
+    t.ApplyMutation(mu)
+
+    m = t.get("r1")
+    assert [v for _, v in m["d"]["name"]] == [b"alice-v5", b"alice"] or len(m["d"]["name"]) == 2
+    assert m["d"]["count"][0][1] == py_encode_le_i64(42)
+
+    # delete family then the whole row
+    mu2 = t.NewRowMutation("r1").DeleteColumnAllVersions("d", "count")
+    t.ApplyMutation(mu2)
+    assert "count" not in t.get("r1").get("d", {})
+    t.ApplyMutation(t.NewRowMutation("r1").DeleteRow())
+    assert t.get("r1") == {}
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        t.NewRowMutation("r2").PutKV("v", 60)
