@@ -68,12 +68,15 @@ class Client:
 
         return GlobalTransaction(self.catalog)
 
-    def open_table(self, name: str) -> "Table | KvTable":
+    def open_table(self, name: str, *, timeoracle=None) -> "Table | KvTable":
+        """``timeoracle`` (functions.timeoracle.Timeoracle) makes
+        auto-assigned cell timestamps unique and strictly monotonic —
+        the reference's timeoracle-stamped write path."""
         if not self.catalog.is_table_exist(name):
             raise ValueError(f"no such table: {name}")
         if self.catalog.get_schema(name).kv_mode:
             return KvTable(self.catalog, name)
-        return Table(self.catalog, name)
+        return Table(self.catalog, name, timeoracle=timeoracle)
 
 
 class RowMutation:
@@ -148,11 +151,13 @@ class Table:
     hash-table trade-off (the reference likewise scans hash tables in
     distribution order, table_impl.cc:1416-1418)."""
 
-    def __init__(self, catalog: Catalog, name: str):
+    def __init__(self, catalog: Catalog, name: str, *, timeoracle=None):
         self._cat = catalog
         self.name = name
         self._next_seq: int | None = None
         self._hashed = catalog.get_schema(name).hash_distribution
+        # opt-in unique-monotonic auto timestamps (timeoracle.h analog)
+        self._oracle = timeoracle
 
     # -- hash-distribution key translation ----------------------------
     def _hk(self, key: str) -> str:
@@ -220,7 +225,7 @@ class Table:
         batch._base_seq = self._seq(len(batch))
         self._cat.append(
             self.name,
-            batch.to_df(self._cat.spark),
+            batch.to_df(self._cat.spark, ts_oracle=self._oracle),
             commit_seq=batch._base_seq + len(batch) - 1,
             op_kinds=batch.op_kinds,
         )

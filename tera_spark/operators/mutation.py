@@ -109,13 +109,24 @@ class MutationBatch:
         self._rows = [(fn(r[0]),) + tuple(r[1:]) for r in self._rows]
         return self
 
-    def to_df(self, spark: SparkSession, *, now_us: int | None = None) -> DataFrame:
+    def to_df(
+        self, spark: SparkSession, *, now_us: int | None = None, ts_oracle=None
+    ) -> DataFrame:
+        """``ts_oracle`` (functions.timeoracle.Timeoracle) assigns each
+        unset-ts cell its own unique, strictly monotonic timestamp
+        instead of one shared wall-clock microsecond — tera's
+        timeoracle-stamped write path. Oracle ticks are 10000/ms (not
+        µs); use one ts source consistently per table."""
         from tera_spark.model import CELL_TTL_SCHEMA
 
         now = now_us if now_us is not None else int(time.time() * 1_000_000)
+
+        def auto_ts() -> int:
+            return ts_oracle.get_timestamp() if ts_oracle is not None else now
+
         with_ttl = any(ttl is not None for *_, ttl in self._rows)
         data = [
-            (r, c, q, ts if ts is not None else now, op, v, self._base_seq + i)
+            (r, c, q, ts if ts is not None else auto_ts(), op, v, self._base_seq + i)
             + ((now + ttl * 1_000_000 if ttl is not None else None,) if with_ttl else ())
             for i, (r, c, q, ts, op, v, ttl) in enumerate(self._rows)
         ]

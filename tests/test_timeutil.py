@@ -63,3 +63,50 @@ def test_date_column_is_wall_clock_midnight(spark):
     want = _duck_epochs("epoch_us(cast(cast(o_orderdate as date) as timestamp))", "orders", 3)
     assert got == want
     assert all(us % 86_400_000_000 == 0 for us in got)
+
+
+def test_timeoracle_unique_monotonic_and_lease(tmp_path, monkeypatch):
+    """timeoracle.h analog: unique strictly-increasing allocation,
+    range allocation, clock-regression immunity, and restart safety
+    through the persisted lease limit."""
+    from tera_spark.functions import timeoracle as TO
+
+    o = TO.Timeoracle(str(tmp_path / "lease.json"))
+    a = o.get_timestamp()
+    b = o.get_timestamp(5)   # range [b, b+5)
+    c = o.get_timestamp()
+    assert a < b and b + 5 <= c
+
+    # wall clock regresses: allocation keeps climbing
+    real_time = TO.time.time
+    monkeypatch.setattr(TO.time, "time", lambda: real_time() - 3600)
+    d = o.get_timestamp()
+    assert d > c
+    monkeypatch.undo()
+
+    # restart: new oracle starts ABOVE the persisted lease limit, so no
+    # timestamp can ever repeat even if the first oracle died mid-lease
+    o2 = TO.Timeoracle(str(tmp_path / "lease.json"))
+    e = o2.get_timestamp()
+    assert e > d
+
+    # timestamps embed wall time (10000 ticks per ms over the 2017 base)
+    now_ticks = TO.Timeoracle.current_timestamp()
+    assert abs(e - now_ticks) < 10 * 60 * 1000 * TO.TS_PER_MS  # within lease+slack
+
+
+def test_timeoracle_stamps_table_writes(spark, tmp_path):
+    from tera_spark.client import Client
+    from tera_spark.functions.timeoracle import Timeoracle
+
+    c = Client(spark, str(tmp_path / "root"))
+    c.create_table("ts { d <maxversions=9> }")
+    t = c.open_table("ts", timeoracle=Timeoracle())
+    mu = t.NewRowMutation("r")
+    for i in range(4):
+        mu.Put("d", "q", f"v{i}")
+    t.ApplyMutation(mu)
+    versions = t.get("r")["d"]["q"]
+    stamps = [ts for ts, _ in versions]
+    assert len(set(stamps)) == 4  # unique per cell, not one shared now
+    assert [v for _, v in sorted(versions)] == [b"v0", b"v1", b"v2", b"v3"]
