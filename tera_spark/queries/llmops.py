@@ -2629,3 +2629,112 @@ def pipeline_filter_audit(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_flags"),
         F.when(~short & ~rep & ~lowstop, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
     )
+
+
+@query(
+    "text_vocab_profile",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source,
+           cast(sum(c) AS bigint) AS n_tokens,
+           cast(count(*) AS bigint) AS n_types,
+           (floor(count(*)::double / sum(c) * 1000000)::double / 1000000) AS ttr,
+           (floor(sum((c = 1)::int)::double / count(*) * 1000000)::double / 1000000)
+             AS hapax_frac
+    FROM freq GROUP BY source ORDER BY source
+    """,
+)
+def text_vocab_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary profile per ingestion source: type-token ratio and
+    hapax-legomenon fraction — the lexical-diversity diagnostics read
+    next to the Zipf slope (low TTR = repetitive/boilerplate source;
+    hapax collapse = template spam). Pure integer counts divided once
+    and floor-truncated, so values are bit-stable across engines.
+
+    Scale shape: one token explode into a (source, token) count (two
+    map-side-combined aggregations on one key prefix, ONE exchange),
+    then a source-cardinality rollup."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+
+    def t6(x):
+        return (F.floor(x * 1_000_000).cast("double") / 1_000_000)
+
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            t6(F.count("*").cast("double") / F.sum("c")).alias("ttr"),
+            t6(
+                F.sum((F.col("c") == 1).cast("int")).cast("double") / F.count("*")
+            ).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "ann_embedding_health",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, unnest(embedding)::double AS x,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, sum(x * x) AS n2 FROM dims GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label, ord, avg(x) AS m FROM dims GROUP BY 1, 2
+    ),
+    cnorm AS (SELECT label, sum(m * m) AS c2 FROM cent GROUP BY 1)
+    SELECT n.label,
+           cast(count(*) AS bigint) AS n_vecs,
+           (floor(avg(sqrt(n.n2)) * 1000000)::double / 1000000) AS mean_norm,
+           (floor(sqrt(any_value(c.c2)) * 1000000)::double / 1000000) AS centroid_norm,
+           (floor(any_value(c.c2) / avg(n.n2) * 1000000)::double / 1000000)
+             AS anisotropy
+    FROM norms n JOIN cnorm c ON n.label = c.label
+    GROUP BY n.label ORDER BY n.label
+    """,
+)
+def ann_embedding_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-health audit per label: vector-norm statistics and
+    anisotropy (centroid-norm² over mean squared norm — 1.0 means the
+    label's vectors collapsed to one direction, ~0 means they spread;
+    collapsed labels break contrastive training and IVF balance).
+    Runs before any index build, next to ann_centroid_outliers.
+
+    Scale shape: one posexplode feeding two aggregations (per-vector
+    norms; per-(label, dim) centroid — the centroid table is
+    labels × dims = KBs at any corpus size, broadcast back)."""
+    emb = load(spark, sf, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("ord", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    norms = dims.groupBy("vec_id", "label").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    cent = dims.groupBy("label", "ord").agg(F.avg("x").alias("m"))
+    cnorm = cent.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("c2"))
+
+    def t6(x):
+        return (F.floor(x * 1_000_000).cast("double") / 1_000_000)
+
+    return (
+        norms.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            t6(F.avg(F.sqrt("n2"))).alias("mean_norm"),
+            t6(F.sqrt(F.any_value("c2"))).alias("centroid_norm"),
+            t6(F.any_value("c2") / F.avg("n2")).alias("anisotropy"),
+        )
+        .orderBy("label")
+    )
