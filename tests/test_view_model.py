@@ -529,3 +529,60 @@ def test_hypothesis_counter_fast_path(spark, deltas):
     }
     slow = {tuple(r) for r in current_view(df, schema, now_us=NOW).collect()}
     assert fast == slow
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_no_atomics_fast_path_matches_general(spark, seed):
+    """view.py no_atomics promise: on a PUT+tombstone op-log (all four
+    delete granularities, multi-version columns, chained single-
+    version deletes, same-ts collisions) the merge-free fold is
+    cell-identical to the general fold — every merge run would be
+    empty, so skipping run detection cannot change results."""
+    rng = random.Random(seed)
+    ops = [CellOp.PUT] * 6 + [
+        CellOp.DEL_ROW, CellOp.DEL_FAMILY, CellOp.DEL_QUALIFIERS, CellOp.DEL_QUALIFIER
+    ]
+    rows = []
+    for i in range(500):
+        op = rng.choice(ops)
+        rk = f"r{rng.randrange(12):03d}"
+        ts = rng.randrange(1, 8)
+        if op == CellOp.DEL_ROW:
+            rows.append((rk, "", "", ts, op, None, i))
+        elif op == CellOp.DEL_FAMILY:
+            rows.append((rk, rng.choice(["A", "B"]), "", ts, op, None, i))
+        else:
+            qu = f"q{rng.randrange(3)}"
+            val = f"v{i}".encode() if op == CellOp.PUT else None
+            rows.append((rk, rng.choice(["A", "B"]), qu, ts, op, val, i))
+    df = spark.createDataFrame(rows, CELL_SCHEMA)
+    schema = (
+        TableSchema(name="t")
+        .add_column_family("A", max_versions=2)
+        .add_column_family("B", max_versions=1)
+    )
+    fast = {tuple(r) for r in current_view(df, schema, now_us=NOW, no_atomics=True).collect()}
+    slow = {tuple(r) for r in current_view(df, schema, now_us=NOW).collect()}
+    assert fast == slow and fast
+
+
+def test_catalog_routes_tombstone_tables_to_merge_free_fold(spark, tmp_path):
+    """A table whose commit history holds only puts and deletes reads
+    through the merge-free fold; an Add demotes it to the general
+    fold (only that fold merges counters)."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t { A }")
+    b = MutationBatch(base_seq=1)
+    b.put("r1", "A", "q", "v1", ts=1).put("r2", "A", "q", "v2", ts=1)
+    b.delete_row("r2", ts=2)
+    cat.append("t", b.to_df(spark), commit_seq=3, op_kinds=b.op_kinds)
+    assert cat.fold_hints("t") == {"no_atomics": True}
+    assert {r.row_key for r in cat.view("t").collect()} == {"r1"}
+
+    b2 = MutationBatch(base_seq=4)
+    b2.add("r1", "A", "n", 5, ts=3)
+    cat.append("t", b2.to_df(spark), commit_seq=4, op_kinds=b2.op_kinds)
+    assert cat.fold_hints("t") == {}
