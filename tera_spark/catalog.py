@@ -657,6 +657,82 @@ class Catalog:
             "files_kept": len(infos) - files_folded,
         }
 
+    def maintenance(self, name: str, *, now_us: int | None = None, apply: bool = True) -> dict:
+        """Decide — and by default run — the right compaction for a
+        table, from metadata only: the "when to compact" policy the
+        reference's master owns (size-triggered `TabletIO::Compact`
+        scheduling; split/merge procedures). Inputs are Parquet
+        footers and commit records, no data read:
+
+        * rolled-back seq windows pending physical drop → **major**
+          (compact_inplace clears them);
+        * a delete/atomic-heavy op mix (non-PUT codes in the op-kinds
+          union) with more than one file → **major** (folds the marks
+          away AND re-seeds the PUT-only fast-fold proof);
+        * overlapping same-range files but a puts-only history →
+          **minor** (compact_ranges folds just the dirty groups);
+        * otherwise → **none**.
+
+        Returns {"action", "reason", applied result...}. With
+        ``apply=False`` it only reports — the dry-run a scheduler calls
+        per table per maintenance window. At 100 TB this is the nightly
+        bounded job: metadata decides in milliseconds whether to pay a
+        bounded minor pass, a full fold, or nothing."""
+        from tera_spark.model import CellOp
+
+        self._check_enabled(name)
+        if self.get_schema(name).kv_mode:
+            n_files = len(list((self.root / name / "oplog").glob("part-*.parquet")))
+            action = "major" if n_files > 1 else "none"
+            reason = "kv op-log has multiple files" if n_files > 1 else "single-file kv op-log"
+        elif self._rollbacks(name):
+            action, reason = "major", "rolled-back seq windows pending physical drop"
+        else:
+            kinds = self._op_kinds_union(name)
+            infos = self.tablet_info(name)
+            nonempty = sorted(
+                (i for i in infos if i["rows"]),
+                key=lambda i: (i["start_key"], i["end_key"]),
+            )
+            n_files = len(nonempty)
+            rows = sum(i["rows"] for i in nonempty)
+            # inclusive bound check, same closure rule compact_ranges
+            # plans with: two files sharing even one key overlap
+            overlapping = any(
+                b["start_key"] <= a["end_key"] for a, b in zip(nonempty, nonempty[1:])
+            )
+            non_put = kinds is not None and bool(kinds - {CellOp.PUT})
+            if non_put and n_files > 1:
+                action, reason = "major", "delete/atomic ops in the history across multiple files"
+            elif kinds is None and n_files > 1:
+                action, reason = "major", "unknown op mix (legacy writer) across multiple files"
+            elif overlapping:
+                action, reason = "minor", "overlapping same-range files, puts-only history"
+            else:
+                # many tiny disjoint files: nothing to fold, but the
+                # layout itself is the problem (listing + footer + task
+                # overhead per file) — re-shard toward ~128 MB files
+                # (the merge-tablet analog). Byte-based so the rule is
+                # scale-independent and converges: the target bucket
+                # count strictly shrinks the file count or the rule
+                # stops firing.
+                oplog = self.root / name / "oplog"
+                total_b = sum((oplog / i["file"]).stat().st_size for i in nonempty)
+                target = max(total_b // (128 << 20), 1)
+                if n_files > 16 and total_b / n_files < (16 << 20) and target < n_files:
+                    action, reason = "optimize", "small-file layout (avg file far below 128 MB target)"
+                    buckets = int(target)
+                else:
+                    action, reason = "none", "compacted layout, nothing to fold"
+        out: dict = {"action": action, "reason": reason}
+        if apply and action == "major":
+            self.compact_inplace(name, now_us=now_us)
+        elif apply and action == "minor":
+            out.update(self.compact_ranges(name, now_us=now_us))
+        elif apply and action == "optimize":
+            out["files"] = self.optimize(name, buckets=buckets)
+        return out
+
     def tablet_info(self, name: str) -> list[dict]:
         """Partition introspection — the GetTabletLocation /
         GetStartEndKeys debug surface (include/tera/table.h:131-133):

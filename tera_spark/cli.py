@@ -141,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="every retained version per column (teracli scanallv)")
     sp = sub.add_parser("compact"); sp.add_argument("table")
     sp.add_argument("--minor", action="store_true", help="selective: fold only dirty row-range groups")
+    sp.add_argument("--auto", action="store_true",
+                    help="metadata-driven policy: choose major/minor/none (catalog.maintenance)")
+    sp.add_argument("--dry-run", action="store_true", help="with --auto: report only")
     sp = sub.add_parser("snapshot"); sp.add_argument("table")
     sp.add_argument("--list", action="store_true", help="list snapshot ids")
     sp.add_argument("--delete", metavar="SID", help="drop one snapshot")
@@ -425,7 +428,10 @@ def main(argv: list[str] | None = None) -> int:
             new = r.new_value.decode("utf-8", "replace") if r.new_value is not None else ""
             print(f"{r.row_key}\t{r.cf}:{r.qualifier}\t{r.change_type}\t{old}\t{new}")
     elif args.cmd == "compact":
-        if args.minor:
+        if getattr(args, "auto", False):
+            r = cat.maintenance(args.table, apply=not args.dry_run)
+            print(r)
+        elif args.minor:
             print(cat.compact_ranges(args.table))
         else:
             cat.compact_inplace(args.table); print("compacted")

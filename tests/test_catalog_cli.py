@@ -933,3 +933,76 @@ def test_lg_compression_codec_honored(spark, tmp_path):
 
     assert codecs("plain") == {"UNCOMPRESSED"}
     assert codecs("snap") == {"SNAPPY"}
+
+
+def test_maintenance_policy_routes_major_minor_none(spark, tmp_path, capsys):
+    """catalog.maintenance: the metadata-only "when to compact" policy
+    (the reference master's size-triggered scheduling re-expressed):
+    puts-only overlapping files → minor; delete-bearing history →
+    major (which also re-seeds the fast-fold proof); compacted layout
+    → none; pending rollback windows → major. Dry-run reports without
+    touching files."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.cli import main
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("m { d }")
+    for n in range(2):  # two overlapping appends over the same key range
+        b = MutationBatch(base_seq=100 * n + 1)
+        for i in range(20):
+            b.put(f"k{i:03d}", "d", "q", f"v{n}-{i}", ts=n + 1)
+        cat.append("m", b.to_df(spark), commit_seq=100 * n + 20, op_kinds=b.op_kinds)
+
+    # dry-run: reports minor, changes nothing
+    files_before = sorted(p.name for p in (tmp_path / "cat" / "m" / "oplog").glob("*.parquet"))
+    r = cat.maintenance("m", apply=False)
+    assert r["action"] == "minor" and "overlapping" in r["reason"]
+    assert sorted(p.name for p in (tmp_path / "cat" / "m" / "oplog").glob("*.parquet")) == files_before
+
+    r = cat.maintenance("m")
+    assert r["action"] == "minor" and r["groups_folded"] >= 1
+    assert cat.view("m").count() == 20
+    # the minor pass left one tiny file per key → the policy's next
+    # step is a re-shard; after that the table is quiescent
+    r = cat.maintenance("m")
+    assert r["action"] == "optimize" and r["files"] >= 1
+    assert cat.maintenance("m")["action"] == "none"
+    assert cat.view("m").count() == 20
+
+    # deletes arrive → major; afterwards the table reads PUT-only again
+    b = MutationBatch(base_seq=300)
+    b.delete_row("k000", ts=9)
+    cat.append("m", b.to_df(spark), commit_seq=300, op_kinds=b.op_kinds)
+    b = MutationBatch(base_seq=301)
+    b.put("k999", "d", "q", "new", ts=9)
+    cat.append("m", b.to_df(spark), commit_seq=301, op_kinds=b.op_kinds)
+    r = cat.maintenance("m")
+    assert r["action"] == "major"
+    assert cat.fold_hints("m") == {"put_only": True}
+    assert cat.view("m").count() == 20  # k000 gone, k999 added
+
+    # rollback window pending → major clears it
+    sid = cat.snapshot("m")
+    b = MutationBatch(base_seq=500)
+    b.put("k998", "d", "q", "post-snap", ts=10)
+    cat.append("m", b.to_df(spark), commit_seq=500, op_kinds=b.op_kinds)
+    cat.rollback("m", sid)
+    r = cat.maintenance("m", apply=False)
+    assert r["action"] == "major" and "rolled-back" in r["reason"]
+    cat.maintenance("m")
+    assert not (tmp_path / "cat" / "m" / "rollbacks.json").exists()
+    assert cat.view("m").count() == 20
+
+    # the major pass wrote at the session's default parallelism (tiny
+    # files at this toy scale) — the policy finishes with one re-shard
+    # and then reports quiescent
+    r = cat.maintenance("m")
+    if r["action"] == "optimize":
+        r = cat.maintenance("m")
+    assert r["action"] == "none"
+    assert cat.view("m").count() == 20
+
+    # CLI surface reports the quiescent state
+    assert main(["--root", str(tmp_path / "cat"), "compact", "m", "--auto", "--dry-run"]) == 0
+    assert "'action': 'none'" in capsys.readouterr().out
