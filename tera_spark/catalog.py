@@ -362,8 +362,13 @@ class Catalog:
         self.append(name, self.spark.createDataFrame(row, KV_OPLOG_SCHEMA), commit_seq=seq)
 
     # --- snapshots / compaction --------------------------------------
-    def snapshot(self, name: str, *, now_us: int | None = None) -> str:
-        """Materialize a compacted immutable snapshot; returns its id."""
+    def snapshot(
+        self, name: str, *, now_us: int | None = None, snapshot_seq: int | None = None
+    ) -> str:
+        """Materialize a compacted immutable snapshot; returns its id.
+        ``snapshot_seq`` pins the fold to a write sequence (reads-as-of
+        semantics, SnapshotIDToSeq tablet_io.cc:698-706) — the building
+        block of cross-table consistent snapshot sets."""
         from tera_spark.operators.compact import compact
 
         sid = time.strftime("%Y%m%d%H%M%S") + f"-{int(time.time_ns() % 1_000_000)}"
@@ -374,7 +379,10 @@ class Catalog:
 
             from tera_spark.operators.view import kv_current_view
 
-            folded = kv_current_view(self.read_oplog(name), now_us=now_us).select(
+            kv_log = self.read_oplog(name)
+            if snapshot_seq is not None:
+                kv_log = kv_log.filter(F.col("seq") <= F.lit(snapshot_seq))
+            folded = kv_current_view(kv_log, now_us=now_us).select(
                 "key", "value", "expire_ts", F.lit(0).cast("long").alias("seq")
             )
             (
@@ -387,21 +395,73 @@ class Catalog:
         oplog = self.read_oplog(name)
         # commit records prove the op mix — compaction of the dominant
         # shapes folds via the same fast paths reads use
-        folded = compact(oplog, schema, now_us=now_us, **self.fold_hints(name))
+        folded = compact(
+            oplog, schema, now_us=now_us, snapshot_seq=snapshot_seq,
+            **self.fold_hints(name),
+        )
         write_cell_table(
             folded,
             str(out),
             delimiters=schema.delimiters or None,
             compression=schema_codec(schema),
         )
-        top = oplog.agg({"seq": "max"}).collect()[0][0]
+        if snapshot_seq is not None:
+            top = snapshot_seq
+        else:
+            mx = oplog.agg({"seq": "max"}).collect()[0][0]
+            top = int(mx) if mx is not None else -1
         (self.root / name / "snapshots" / f"{sid}.json").write_text(
-            json.dumps({"seq": int(top) if top is not None else -1})
+            json.dumps({"seq": top})
         )
         return sid
 
     def read_snapshot(self, name: str, snapshot_id: str) -> DataFrame:
         return self.spark.read.parquet(str(self.root / name / "snapshots" / snapshot_id))
+
+    # --- cross-table consistent snapshot sets -------------------------
+    def snapshot_set(self, names: list[str], *, now_us: int | None = None) -> str:
+        """Consistent snapshot across TABLES: capture every table's
+        commit watermark first (the cut — one metadata read per table,
+        no data touched), then materialize each table's snapshot
+        pinned to its captured seq. A backup of N tables therefore
+        reflects one point in the write history even though the folds
+        run one after another — later commits can't leak into earlier
+        folds. Manifest at <root>/_snapsets/<id>.json.
+
+        Single-committer caveat (same as GlobalTransaction's): a
+        multi-table commit racing the cut capture could land between
+        two watermark reads; with one driving process there is no
+        race, and the manifest records the exact cut for audit."""
+        for n in names:
+            self._check_enabled(n)
+        cuts = {n: self.commit_watermark(n) for n in names}
+        manifest: dict = {"tables": {}}
+        for n in names:
+            sid = self.snapshot(n, now_us=now_us, snapshot_seq=cuts[n])
+            manifest["tables"][n] = {"snapshot": sid, "seq": cuts[n]}
+        d = self.root / "_snapsets"
+        d.mkdir(exist_ok=True)
+        set_id = time.strftime("%Y%m%d%H%M%S") + f"-{int(time.time_ns() % 1_000_000)}"
+        tmp = d / f"{set_id}.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.replace(d / f"{set_id}.json")
+        return set_id
+
+    def read_snapshot_set(self, set_id: str) -> dict[str, DataFrame]:
+        m = json.loads((self.root / "_snapsets" / f"{set_id}.json").read_text())
+        return {
+            n: self.read_snapshot(n, e["snapshot"]) for n, e in m["tables"].items()
+        }
+
+    def restore_snapshot_set(self, set_id: str) -> dict[str, int | None]:
+        """Point-in-time restore: roll every table of the set back to
+        its recorded cut (seq-window invalidation — metadata-only, the
+        next major compaction drops the bytes). Cross-table state
+        returns to one consistent instant; returns the cut per table."""
+        m = json.loads((self.root / "_snapsets" / f"{set_id}.json").read_text())
+        for n, e in m["tables"].items():
+            self.rollback(n, e["snapshot"])
+        return {n: e["seq"] for n, e in m["tables"].items()}
 
     def list_snapshots(self, name: str) -> list[str]:
         d = self.root / name / "snapshots"

@@ -1006,3 +1006,54 @@ def test_maintenance_policy_routes_major_minor_none(spark, tmp_path, capsys):
     # CLI surface reports the quiescent state
     assert main(["--root", str(tmp_path / "cat"), "compact", "m", "--auto", "--dry-run"]) == 0
     assert "'action': 'none'" in capsys.readouterr().out
+
+
+def test_snapshot_set_consistent_cut_and_restore(spark, tmp_path):
+    """Cross-table consistent snapshot set: the cut (per-table commit
+    watermark) is captured BEFORE any fold runs, so commits landing
+    between the folds don't leak into the backup; restore rolls every
+    table back to the same instant, re-joining state split across
+    tables (the accounts/ledger invariant)."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+    from tera_spark.operators.txn import GlobalTransaction
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("accounts { a }")
+    cat.create_table("ledger { l }")
+    b = MutationBatch(base_seq=1)
+    b.put("alice", "a", "bal", "100", ts=1).put("bob", "a", "bal", "50", ts=1)
+    cat.append("accounts", b.to_df(spark), commit_seq=2, op_kinds=b.op_kinds)
+    b2 = MutationBatch(base_seq=1)
+    b2.put("t0", "l", "entry", "open", ts=1)
+    cat.append("ledger", b2.to_df(spark), commit_seq=1, op_kinds=b2.op_kinds)
+
+    set_id = cat.snapshot_set(["accounts", "ledger"])
+
+    # a cross-table transfer AFTER the cut
+    txn = GlobalTransaction(cat)
+    txn.put("accounts", "alice", "a", "bal", "70", ts=2)
+    txn.put("accounts", "bob", "a", "bal", "80", ts=2)
+    txn.put("ledger", "t1", "l", "entry", "alice->bob:30", ts=2)
+    txn.commit()
+    assert cat.view("ledger").count() == 2
+
+    # the backup reflects the pre-transfer instant in BOTH tables
+    snap = cat.read_snapshot_set(set_id)
+    assert {r.row_key for r in snap["ledger"].collect()} == {"t0"}
+    bal = {r.row_key: bytes(r.value) for r in snap["accounts"].collect()}
+    assert bal == {"alice": b"100", "bob": b"50"}
+
+    # point-in-time restore: both tables return to the cut together
+    cuts = cat.restore_snapshot_set(set_id)
+    assert set(cuts) == {"accounts", "ledger"}
+    assert {r.row_key for r in cat.view("ledger").collect()} == {"t0"}
+    live = {r.row_key: bytes(r.value) for r in cat.view("accounts").collect()}
+    assert live == {"alice": b"100", "bob": b"50"}
+
+    # post-restore writes allocate above the invalidated window
+    from tera_spark.client import Table
+
+    Table(cat, "accounts").put("carol", "a", "bal", "10", ts=3)
+    live2 = {r.row_key: bytes(r.value) for r in cat.view("accounts").collect()}
+    assert live2 == {"alice": b"100", "bob": b"50", "carol": b"10"}
