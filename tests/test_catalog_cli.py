@@ -802,12 +802,13 @@ def test_index_incremental_refresh_from_changefeed(spark, tmp_path):
     assert cat.refresh_index("cust", "info", "seg")["changes"] == 0
 
     # index hygiene: the refresh's delete marks demote the index table
-    # from the PUT-only fast fold; major compaction folds them away
-    # and re-upgrades it — same lifecycle as any cell table
+    # from the PUT-only fast fold (to the merge-free puts+tombstones
+    # route); major compaction folds the marks away and re-upgrades it
+    # — same lifecycle as any cell table
     from tera_spark.catalog import _load_indexes
 
     before = _load_indexes(cat, "cust")["info:seg"]["table"]
-    assert cat.fold_hints(before) == {}
+    assert cat.fold_hints(before) == {"no_atomics": True}
     cat.compact_inplace(before)
     assert cat.fold_hints(before) == {"put_only": True}
     assert hits("S1") == {"u05", "u07", "u09", "u10"}  # unchanged by compaction
