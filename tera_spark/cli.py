@@ -151,6 +151,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="retention GC: keep only the newest N snapshots")
     sp.add_argument("--rollback", metavar="SID",
                     help="roll the table back to snapshot SID (teracli snapshot rollback)")
+    sp = sub.add_parser("snapshotset", help="cross-table consistent snapshot sets")
+    sp.add_argument("action", choices=["create", "show", "restore"])
+    sp.add_argument("arg", help="comma-separated tables (create) or set id (show/restore)")
     sp = sub.add_parser("sql", help="run SQL over a table's pivoted view")
     sp.add_argument("table"); sp.add_argument("query")
     sp.add_argument("--limit", type=int, default=100)
@@ -421,6 +424,16 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             for r in cat.lookup_by_value(args.table, cf, qu, args.value).collect():
                 print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
+    elif args.cmd == "snapshotset":
+        if args.action == "create":
+            sid = cat.snapshot_set(args.arg.split(","))
+            print(sid)
+        elif args.action == "show":
+            for t, df in sorted(cat.read_snapshot_set(args.arg).items()):
+                print(f"{t}\t{df.count()} rows")
+        else:
+            for t, seq in sorted(cat.restore_snapshot_set(args.arg).items()):
+                print(f"{t}\trestored to seq {seq}")
     elif args.cmd == "diff":
         rows = cat.diff(args.table, args.seq_start, args.seq_end).limit(args.limit).collect()
         for r in rows:
