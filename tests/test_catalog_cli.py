@@ -1058,3 +1058,23 @@ def test_snapshot_set_consistent_cut_and_restore(spark, tmp_path):
     Table(cat, "accounts").put("carol", "a", "bal", "10", ts=3)
     live2 = {r.row_key: bytes(r.value) for r in cat.view("accounts").collect()}
     assert live2 == {"alice": b"100", "bob": b"50", "carol": b"10"}
+
+
+def test_snapshotset_cli_verb(spark, tmp_path, capsys):
+    from tera_spark.cli import main
+
+    root = str(tmp_path / "cat")
+    assert main(["--root", root, "create", "a {x}"]) == 0
+    assert main(["--root", root, "put", "a", "r1", "x:q", "v1", "--ts", "1"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "snapshotset", "create", "a"]) == 0
+    sid = capsys.readouterr().out.strip()
+    assert main(["--root", root, "put", "a", "r2", "x:q", "v2", "--ts", "2"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "snapshotset", "show", sid]) == 0
+    assert "a\t1 rows" in capsys.readouterr().out
+    assert main(["--root", root, "snapshotset", "restore", sid]) == 0
+    assert "restored to seq" in capsys.readouterr().out
+    from tera_spark.catalog import Catalog
+
+    assert {r.row_key for r in Catalog(spark, root).view("a").collect()} == {"r1"}
