@@ -343,17 +343,25 @@ def main(argv: list[str] | None = None) -> int:
         cat.kv_put(args.table, args.key, args.value, ttl_s=args.ttl or None)
         print("ok")
     elif args.cmd == "get":
+        tschema = cat.get_schema(args.table)
+        row_key = args.row
+        if not tschema.kv_mode and tschema.hash_distribution:
+            # <hash=on> tables store prefixed keys (table_impl.cc:98):
+            # translate in, strip out — same transparency as the SDK
+            from tera_spark.functions.keys import py_hash_prefix_key
+
+            row_key = py_hash_prefix_key(args.row)
         if getattr(args, "seek", False):
             from tera_spark.operators.seek import Seeker
 
             seeker = Seeker(cat, args.table)
-            if cat.get_schema(args.table).kv_mode:
+            if tschema.kv_mode:
                 v = seeker.get_kv(args.row)
                 if v is not None:
                     print(f"{args.row} {bytes(v)!r}")
                 return 0
-            for rk, cf, qu, ts, value in seeker.get(args.row):
-                print(f"{rk} {cf}:{qu} @{ts} {bytes(value or b'')!r}")
+            for rk, cf, qu, ts, value in seeker.get(row_key):
+                print(f"{args.row} {cf}:{qu} @{ts} {bytes(value or b'')!r}")
             return 0
         if cat.get_schema(args.table).kv_mode:
             from pyspark.sql import functions as F
@@ -363,9 +371,9 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         from tera_spark.operators.scan import get as tget
 
-        rows = tget(cat.read_oplog(args.table), cat.get_schema(args.table), args.row).collect()
+        rows = tget(cat.read_oplog(args.table), tschema, row_key).collect()
         for r in rows:
-            print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
+            print(f"{args.row} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
     elif args.cmd == "scan":
         if getattr(args, "seek", False) and not cat.get_schema(args.table).kv_mode:
             from tera_spark.operators.seek import Seeker
@@ -389,8 +397,20 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         from tera_spark.operators.scan import ScanDescriptor, scan
 
-        desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)
         schema = cat.get_schema(args.table)
+        if schema.hash_distribution:
+            # hash tables: storage order is hash order — scan all, strip
+            # the prefix, re-apply the USER-key range (the SDK's rule)
+            from tera_spark.client import Table as _T
+
+            t = _T(cat, args.table)
+            it = t.scan(ScanDescriptor(start=args.start, end=args.end))
+            import itertools
+
+            for r in itertools.islice(it, args.limit):
+                print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
+            return 0
+        desc = ScanDescriptor(start=args.start, end=args.end, number_limit=args.limit)
         if getattr(args, "all_versions", False):
             # teracli scanallv: show every version still retained in the
             # op-log (tombstones/TTL still apply; compaction trims to

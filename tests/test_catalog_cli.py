@@ -1078,3 +1078,22 @@ def test_snapshotset_cli_verb(spark, tmp_path, capsys):
     from tera_spark.catalog import Catalog
 
     assert {r.row_key for r in Catalog(spark, root).view("a").collect()} == {"r1"}
+
+
+def test_cli_reads_hash_distributed_table(spark, tmp_path, capsys):
+    """CLI get/scan on a <hash=on> table translate keys like the SDK
+    (writes via put already did): user keys in, user keys out."""
+    from tera_spark.cli import main
+
+    root = str(tmp_path / "cat")
+    assert main(["--root", root, "create", "h <hash=on> {d}"]) == 0
+    for i in range(5):
+        assert main(["--root", root, "put", "h", f"u{i}", "d:q", f"v{i}", "--ts", "1"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "get", "h", "u3"]) == 0
+    assert "u3 d:q @1 b'v3'" in capsys.readouterr().out
+    assert main(["--root", root, "get", "h", "u3", "--seek"]) == 0
+    assert "u3 d:q @1 b'v3'" in capsys.readouterr().out
+    assert main(["--root", root, "scan", "h", "--start", "u1", "--end", "u4"]) == 0
+    out = capsys.readouterr().out
+    assert "u1 " in out and "u3 " in out and "u4 " not in out and "u0 " not in out
