@@ -284,10 +284,16 @@ def main(argv: list[str] | None = None) -> int:
 
         cf, _, qu = args.column.partition(":")
         dec = py_decode_le_i64 if args.cmd == "getint64" else py_decode_be_i64
+        gschema = cat.get_schema(args.table)
+        grow = args.row
+        if gschema.hash_distribution:
+            from tera_spark.functions.keys import py_hash_prefix_key
+
+            grow = py_hash_prefix_key(args.row)
         rows = tget(
             cat.read_oplog(args.table),
-            cat.get_schema(args.table),
-            args.row,
+            gschema,
+            grow,
             columns={cf: [qu]},
         ).collect()
         for r in rows:
@@ -328,16 +334,14 @@ def main(argv: list[str] | None = None) -> int:
         from tera_spark.client import Table
 
         cf, _, qu = args.column.partition(":")
-        t = Table(cat, args.table)
-        b = MutationBatch(base_seq=t._seq(1)).put(args.row, cf, qu, args.new)
-        applied = check_and_apply(
-            cat.read_oplog(args.table), cat.get_schema(args.table),
-            args.row, cf, qu, args.old.encode(), b,
+        t = Table(cat, args.table)  # hash-aware: translates keys for <hash=on>
+        ok = t.check_and_apply(
+            args.row, cf, qu, args.old.encode(),
+            MutationBatch().put(args.row, cf, qu, args.new),
         )
-        if applied is None:
+        if not ok:
             print("condition failed")
             return 1
-        cat.append(args.table, applied)
         print("ok")
     elif args.cmd == "put-ttl":
         cat.kv_put(args.table, args.key, args.value, ttl_s=args.ttl or None)
@@ -521,12 +525,20 @@ def main(argv: list[str] | None = None) -> int:
         from tera_spark.operators.scan import batch_get
 
         keys = [ln.strip().split()[0] for ln in open(args.file) if ln.strip()]
-        kdf = spark.createDataFrame([(k,) for k in keys], "row_key string")
+        bschema = cat.get_schema(args.table)
+        if bschema.hash_distribution:
+            from tera_spark.functions.keys import py_hash_prefix_key, py_strip_hash_prefix
+
+            lookup = [py_hash_prefix_key(k) for k in keys]
+            strip = py_strip_hash_prefix
+        else:
+            lookup, strip = keys, lambda k: k
+        kdf = spark.createDataFrame([(k,) for k in lookup], "row_key string")
         rows = batch_get(
-            cat.read_oplog(args.table), cat.get_schema(args.table), kdf
+            cat.read_oplog(args.table), bschema, kdf
         ).orderBy("row_key", "cf", "qualifier").collect()
         for r in rows:
-            print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value).decode(errors='replace')}")
+            print(f"{strip(r.row_key)} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value).decode(errors='replace')}")
     elif args.cmd == "explain":
         import tera_spark.queries as Q
         from tera_spark.plans import explain_features

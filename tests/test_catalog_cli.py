@@ -1097,3 +1097,32 @@ def test_cli_reads_hash_distributed_table(spark, tmp_path, capsys):
     assert main(["--root", root, "scan", "h", "--start", "u1", "--end", "u4"]) == 0
     out = capsys.readouterr().out
     assert "u1 " in out and "u3 " in out and "u4 " not in out and "u0 " not in out
+
+
+def test_cli_cas_counters_batchget_on_hash_table(spark, tmp_path, capsys):
+    """The remaining CLI read/CAS verbs translate keys on <hash=on>
+    tables too: cas, putint64/getint64, batchget."""
+    from tera_spark.cli import main
+
+    root = str(tmp_path / "cat")
+    assert main(["--root", root, "create", "h <hash=on> {d}"]) == 0
+    assert main(["--root", root, "put", "h", "acct", "d:st", "open", "--ts", "1"]) == 0
+    # CAS sees through the prefix
+    assert main(["--root", root, "cas", "h", "acct", "d:st", "open", "closed"]) == 0
+    assert main(["--root", root, "cas", "h", "acct", "d:st", "open", "reopened"]) == 1
+    capsys.readouterr()
+    assert main(["--root", root, "get", "h", "acct"]) == 0
+    assert "closed" in capsys.readouterr().out
+    # int64 verbs
+    assert main(["--root", root, "putint64", "h", "n1", "d:v", "41", "--ts", "1"]) == 0
+    assert main(["--root", root, "addint64", "h", "n1", "d:v", "1", "--ts", "2"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "getint64", "h", "n1", "d:v"]) == 0
+    assert "42" in capsys.readouterr().out
+    # batchget
+    keyfile = tmp_path / "keys.txt"
+    keyfile.write_text("acct\nn1\n")
+    capsys.readouterr()
+    assert main(["--root", root, "batchget", "h", str(keyfile)]) == 0
+    out = capsys.readouterr().out  # distribution (hash) order; user keys shown
+    assert "acct d:st" in out and "n1 d:v" in out
