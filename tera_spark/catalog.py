@@ -391,6 +391,17 @@ class Catalog:
                 .write.mode("overwrite")
                 .parquet(str(out))
             )
+            # seq-pin meta like the cell branch: rollback / snapshot-set
+            # restore need it (kv reads honor rollback windows the same
+            # way — read_oplog filters by seq before the kv fold)
+            if snapshot_seq is not None:
+                top = snapshot_seq
+            else:
+                mx = self.read_oplog(name).agg({"seq": "max"}).collect()[0][0]
+                top = int(mx) if mx is not None else -1
+            (self.root / name / "snapshots" / f"{sid}.json").write_text(
+                json.dumps({"seq": top})
+            )
             return sid
         oplog = self.read_oplog(name)
         # commit records prove the op mix — compaction of the dominant

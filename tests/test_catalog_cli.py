@@ -1126,3 +1126,43 @@ def test_cli_cas_counters_batchget_on_hash_table(spark, tmp_path, capsys):
     assert main(["--root", root, "batchget", "h", str(keyfile)]) == 0
     out = capsys.readouterr().out  # distribution (hash) order; user keys shown
     assert "acct d:st" in out and "n1 d:v" in out
+
+
+def test_kv_snapshot_rollback_and_mixed_snapshot_set(spark, tmp_path):
+    """KV-mode snapshots are seq-pinned like cell snapshots, so
+    rollback and cross-table snapshot sets (mixing kv and cell
+    tables) restore kv state too."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("kvt <storage=disk>")
+    cat.create_table("cells { d }")
+    cat.kv_put("kvt", "k1", b"v1")
+    b = MutationBatch(base_seq=1)
+    b.put("r1", "d", "q", "c1", ts=1)
+    cat.append("cells", b.to_df(spark), commit_seq=1, op_kinds=b.op_kinds)
+
+    set_id = cat.snapshot_set(["kvt", "cells"])
+
+    cat.kv_put("kvt", "k2", b"v2")
+    cat.kv_delete("kvt", "k1")
+    b2 = MutationBatch(base_seq=2)
+    b2.put("r2", "d", "q", "c2", ts=2)
+    cat.append("cells", b2.to_df(spark), commit_seq=2, op_kinds=b2.op_kinds)
+    assert {r.key for r in cat.view("kvt").collect()} == {"k2"}
+
+    snap = cat.read_snapshot_set(set_id)
+    assert {r.key for r in snap["kvt"].collect()} == {"k1"}
+
+    cat.restore_snapshot_set(set_id)
+    assert {r.key for r in cat.view("kvt").collect()} == {"k1"}
+    assert {r.row_key for r in cat.view("cells").collect()} == {"r1"}
+
+    # post-restore kv writes land above the invalidated window
+    cat.kv_put("kvt", "k3", b"v3")
+    assert {r.key for r in cat.view("kvt").collect()} == {"k1", "k3"}
+
+    # and kv major compaction clears the rollback registry physically
+    cat.compact_inplace("kvt")
+    assert {r.key for r in cat.view("kvt").collect()} == {"k1", "k3"}
