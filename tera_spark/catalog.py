@@ -551,7 +551,7 @@ class Catalog:
             seq_start=seq_start,
             seq_end=seq_end,
             now_us=now_us,
-            put_only=self._put_only(name),
+            **self.fold_hints(name),
         )
 
     def compact_inplace(self, name: str, *, now_us: int | None = None) -> None:

@@ -488,6 +488,8 @@ def changes_between(
     seq_end: int | None = None,
     now_us: int | None = None,
     put_only: bool = False,
+    counter_only: int | None = None,
+    no_atomics: bool = False,
 ) -> DataFrame:
     """Changefeed between two write sequences: per (row_key, cf,
     qualifier), diff the newest visible value as-of ``seq_start``
@@ -512,13 +514,14 @@ def changes_between(
         dirty_pred = dirty_pred & (F.col("seq") <= F.lit(seq_end))
     dirty = cells.filter(dirty_pred).select("row_key").distinct()
     scoped = cells.join(dirty, "row_key", "left_semi")
+    hints = dict(put_only=put_only, counter_only=counter_only, no_atomics=no_atomics)
     v0 = latest_view(
-        scoped, schema, snapshot_seq=seq_start, now_us=now_us, put_only=put_only
+        scoped, schema, snapshot_seq=seq_start, now_us=now_us, **hints
     ).select(
         "row_key", "cf", "qualifier", F.col("value").alias("old_value")
     )
     v1 = latest_view(
-        scoped, schema, snapshot_seq=seq_end, now_us=now_us, put_only=put_only
+        scoped, schema, snapshot_seq=seq_end, now_us=now_us, **hints
     ).select(
         "row_key", "cf", "qualifier", F.col("value").alias("new_value")
     )
