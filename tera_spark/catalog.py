@@ -728,6 +728,37 @@ class Catalog:
             "files_kept": len(infos) - files_folded,
         }
 
+    def table_stats(self, name: str) -> dict:
+        """One-call observability roll-up per table (teracli `stat`
+        spirit): metadata-only — files/rows/bytes from footers, op mix
+        and watermark from commit records, snapshots/indexes/rollbacks
+        from the registry, plus the fold route reads will take."""
+        from tera_spark.model import CellOp
+
+        infos = self.tablet_info(name)
+        oplog = self.root / name / "oplog"
+        kinds = self._op_kinds_union(name)
+        idx = _load_indexes(self, name)
+        return {
+            "table": name,
+            "kv_mode": self.get_schema(name).kv_mode,
+            "enabled": self.is_table_enabled(name),
+            "files": len([i for i in infos if i["rows"]]),
+            "rows": sum(i["rows"] for i in infos),
+            "bytes": sum(
+                (oplog / i["file"]).stat().st_size for i in infos if i["rows"]
+            ),
+            "commit_watermark": self.commit_watermark(name),
+            "op_kinds": sorted(CellOp.NAMES.get(k, str(k)) for k in kinds)
+            if kinds is not None
+            else None,
+            "fold_route": self.fold_hints(name) or {"general": True},
+            "snapshots": len(self.list_snapshots(name)),
+            "indexes": sorted(idx),
+            "pending_rollback_windows": len(self._rollbacks(name)),
+            "delimiters": len(self.get_schema(name).delimiters),
+        }
+
     def maintenance(self, name: str, *, now_us: int | None = None, apply: bool = True) -> dict:
         """Decide — and by default run — the right compaction for a
         table, from metadata only: the "when to compact" policy the

@@ -121,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument(a)
     sp.add_argument("ttl", type=int, help="seconds until the key expires (0 = never)")
     sub.add_parser("showts", help="tablet (partition) layout per table")
+    sp = sub.add_parser("stat", help="per-table observability roll-up (metadata only)")
+    sp.add_argument("table")
     sp = sub.add_parser("findtablet", help="route a row key to its tablet file(s)")
     sp.add_argument("table"); sp.add_argument("row")
     sp = sub.add_parser("delete")
@@ -304,6 +306,9 @@ def main(argv: list[str] | None = None) -> int:
             print("no tablet holds this key")
         for h in hits:
             print(f"{h['file']}\t[{h['start_key']}, {h['end_key']}]\t{h['rows']} rows")
+    elif args.cmd == "stat":
+        for k, v in cat.table_stats(args.table).items():
+            print(f"{k}\t{v}")
     elif args.cmd == "showts":
         # tablet-server/tablet listing analog: partition layout per table
         for t in cat.list_tables():

@@ -1166,3 +1166,34 @@ def test_kv_snapshot_rollback_and_mixed_snapshot_set(spark, tmp_path):
     # and kv major compaction clears the rollback registry physically
     cat.compact_inplace("kvt")
     assert {r.key for r in cat.view("kvt").collect()} == {"k1", "k3"}
+
+
+def test_table_stats_rollup(spark, tmp_path, capsys):
+    """catalog.table_stats / teracli stat: the metadata-only roll-up
+    (files/rows/bytes, op mix, fold route, snapshots, indexes)."""
+    from tera_spark.cli import main
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root)
+    cat.create_table("s { d }")
+    b = MutationBatch(base_seq=1)
+    for i in range(10):
+        b.put(f"k{i}", "d", "q", f"v{i}", ts=1)
+    b.delete_row("k9", ts=2)
+    cat.append("s", b.to_df(spark), commit_seq=11, op_kinds=b.op_kinds)
+    cat.snapshot("s")
+    cat.create_index("s", "d", "q")
+
+    st = cat.table_stats("s")
+    assert st["rows"] == 11 and st["files"] >= 1 and st["bytes"] > 0
+    assert st["commit_watermark"] == 11
+    assert st["op_kinds"] == ["DEL_ROW", "PUT"]
+    assert st["fold_route"] == {"no_atomics": True}
+    assert st["snapshots"] == 1 and st["indexes"] == ["d:q"]
+    assert st["pending_rollback_windows"] == 0
+
+    assert main(["--root", root, "stat", "s"]) == 0
+    out = capsys.readouterr().out
+    assert "fold_route" in out and "DEL_ROW" in out
