@@ -231,3 +231,29 @@ def test_py_xxhash64_matches_spark(spark):
     for r in df.collect():
         assert py_xxhash64(r.k.encode()) == r.h, r.k
         assert py_hash_prefix_key(r.k) == r.pk, r.k
+
+
+def test_py_xxhash64_matches_spark_hypothesis(spark):
+    """Property form of the XXH64 pin: random unicode keys (all length
+    classes, surrogate-free) hash identically on the driver and in the
+    JVM expression. One batched Spark job for the whole example set."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from tera_spark.functions.keys import py_xxhash64
+
+    examples: list[str] = []
+
+    @settings(max_examples=120, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80))
+    def collect(s):
+        examples.append(s)
+
+    collect()
+    uniq = sorted(set(examples))
+    df = spark.createDataFrame([(k,) for k in uniq], "k string").select(
+        "k", F.xxhash64("k").alias("h")
+    )
+    for r in df.collect():
+        assert py_xxhash64(r.k.encode("utf-8")) == r.h, repr(r.k)
