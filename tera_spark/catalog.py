@@ -369,6 +369,7 @@ class Catalog:
         ``snapshot_seq`` pins the fold to a write sequence (reads-as-of
         semantics, SnapshotIDToSeq tablet_io.cc:698-706) — the building
         block of cross-table consistent snapshot sets."""
+        self._authorize("admin", name)
         from tera_spark.operators.compact import compact
 
         sid = time.strftime("%Y%m%d%H%M%S") + f"-{int(time.time_ns() % 1_000_000)}"
@@ -445,6 +446,7 @@ class Catalog:
         race, and the manifest records the exact cut for audit."""
         for n in names:
             self._check_enabled(n)
+            self._authorize("admin", n)
         cuts = {n: self.commit_watermark(n) for n in names}
         manifest: dict = {"tables": {}}
         for n in names:
@@ -470,7 +472,7 @@ class Catalog:
         next major compaction drops the bytes). Cross-table state
         returns to one consistent instant; returns the cut per table."""
         m = json.loads((self.root / "_snapsets" / f"{set_id}.json").read_text())
-        for n, e in m["tables"].items():
+        for n, e in m["tables"].items():  # rollback authorizes admin per table
             self.rollback(n, e["snapshot"])
         return {n: e["seq"] for n, e in m["tables"].items()}
 
@@ -490,6 +492,7 @@ class Catalog:
     def delete_snapshot(self, name: str, snapshot_id: str) -> None:
         """Drop one snapshot (reference: snapshot set management,
         include/tera/table_descriptor.h:212-214)."""
+        self._authorize("admin", name)
         d = self.root / name / "snapshots" / snapshot_id
         if not d.exists():
             raise ValueError(f"no such snapshot: {name}/{snapshot_id}")
@@ -503,6 +506,7 @@ class Catalog:
         snapshot is a full base copy, so retention is the knob that
         bounds the table's footprint to (1 + keep_last)×. Returns the
         ids removed."""
+        self._authorize("admin", name)
         if keep_last < 0:
             raise ValueError("keep_last must be >= 0")
         sids = self.list_snapshots(name)
@@ -542,6 +546,7 @@ class Catalog:
         from tera_spark.operators.view import changes_between
 
         self._check_enabled(name)
+        self._authorize("read", name)
         schema = self.get_schema(name)
         if schema.kv_mode:
             raise ValueError("diff is not supported for kv-mode tables")
@@ -560,6 +565,7 @@ class Catalog:
         dropped by the fold (read_oplog filters them), so the rollback
         registry clears afterwards — the reference drops rolled-back
         entries during compaction the same way (RollbackDrop)."""
+        self._authorize("admin", name)
         sid = self.snapshot(name, now_us=now_us)
         snap = self.root / name / "snapshots" / sid
         oplog = self.root / name / "oplog"
@@ -632,6 +638,7 @@ class Catalog:
         Dirty groups are folded through the same `compact()` the
         equivalence tests pin and swapped in file-atomically.
         """
+        self._authorize("admin", name)
         if self.get_schema(name).kv_mode:
             raise ValueError("kv-mode tables compact via compact_inplace")
         import uuid
@@ -735,6 +742,7 @@ class Catalog:
         from the registry, plus the fold route reads will take."""
         from tera_spark.model import CellOp
 
+        self._authorize("read", name)
         infos = self.tablet_info(name)
         oplog = self.root / name / "oplog"
         kinds = self._op_kinds_union(name)
@@ -783,6 +791,7 @@ class Catalog:
         from tera_spark.model import CellOp
 
         self._check_enabled(name)
+        self._authorize("admin", name)
         if self.get_schema(name).kv_mode:
             n_files = len(list((self.root / name / "oplog").glob("part-*.parquet")))
             action = "major" if n_files > 1 else "none"
@@ -884,6 +893,7 @@ class Catalog:
         when tablets grow/shrink; here one job rewrites the layout and
         every later scan prunes against the new file ranges. Returns
         the file count written."""
+        self._authorize("admin", name)
         df = self.read_oplog(name)
         oplog = self.root / name / "oplog"
         tmp = self.root / name / "oplog.opt"

@@ -134,3 +134,43 @@ def test_cli_user_and_quota_commands(tmp_path, capsys):
     ac = AccessControl(tmp_path)
     assert ac.show_quota() == {}
     assert ac.check_login("alice", "pw")
+
+
+def test_admin_ops_enforce_acl(spark, tmp_path):
+    """Maintenance-class catalog ops (snapshot/compact/optimize/
+    maintenance/snapshot sets/diff/stats) enforce the same ACL as DDL:
+    a non-admin user is denied; the table admin passes."""
+    import pytest
+
+    from tera_spark.access import AccessControl, AccessDenied
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    ac = AccessControl(str(tmp_path / "acl"), policy="ugi")
+    ac.create_user("boss", "pw")
+    ac.create_user("intern", "pw")
+    boss = Catalog(spark, str(tmp_path / "cat"), access=ac, user="boss")
+    boss.create_table("t { d }")
+    ac.set_table_policy("t", admin="boss")
+    b = MutationBatch(base_seq=1)
+    b.put("r", "d", "q", "v", ts=1)
+    boss.append("t", b.to_df(spark), commit_seq=1, op_kinds=b.op_kinds)
+
+    intern = Catalog(spark, str(tmp_path / "cat"), access=ac, user="intern")
+    for call in (
+        lambda: intern.snapshot("t"),
+        lambda: intern.compact_inplace("t"),
+        lambda: intern.compact_ranges("t"),
+        lambda: intern.maintenance("t", apply=False),
+        lambda: intern.optimize("t"),
+        lambda: intern.snapshot_set(["t"]),
+        lambda: intern.expire_snapshots("t", keep_last=0),
+    ):
+        with pytest.raises(AccessDenied):
+            call()
+
+    sid = boss.snapshot("t")
+    assert boss.maintenance("t", apply=False)["action"] in ("none", "minor", "optimize", "major")
+    set_id = boss.snapshot_set(["t"])
+    boss.restore_snapshot_set(set_id)
+    boss.delete_snapshot("t", sid)
