@@ -384,7 +384,15 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(f"{args.row} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
     elif args.cmd == "scan":
-        if getattr(args, "seek", False) and not cat.get_schema(args.table).kv_mode:
+        sschema = cat.get_schema(args.table)
+        if (
+            getattr(args, "seek", False)
+            and not sschema.kv_mode
+            and not sschema.hash_distribution
+            # hash tables fall through to the SDK path below: storage
+            # order is hash order, so a footer-pruned USER-key range
+            # over the prefixed layout would miss everything
+        ):
             from tera_spark.operators.seek import Seeker
 
             cells = Seeker(cat, args.table).scan_range(

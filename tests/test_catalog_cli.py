@@ -1197,3 +1197,19 @@ def test_table_stats_rollup(spark, tmp_path, capsys):
     assert main(["--root", root, "stat", "s"]) == 0
     out = capsys.readouterr().out
     assert "fold_route" in out and "DEL_ROW" in out
+
+
+def test_cli_seek_scan_on_hash_table_falls_back(spark, tmp_path, capsys):
+    """`scan --seek` on a <hash=on> table must not range-prune the
+    prefixed layout by user keys (it would miss everything) — it falls
+    back to the SDK's hash-aware scan and still answers correctly."""
+    from tera_spark.cli import main
+
+    root = str(tmp_path / "cat")
+    assert main(["--root", root, "create", "h <hash=on> {d}"]) == 0
+    for i in range(4):
+        assert main(["--root", root, "put", "h", f"u{i}", "d:q", f"v{i}", "--ts", "1"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "scan", "h", "--seek", "--start", "u1", "--end", "u3"]) == 0
+    out = capsys.readouterr().out
+    assert "u1 " in out and "u2 " in out and "u3 " not in out and "u0 " not in out
