@@ -873,7 +873,16 @@ class Catalog:
         """Route a key to its tablet(s) — teracli `findtablet`
         (src/teracli_main.cc FindTabletOp): which range-sorted op-log
         files can contain the key, by footer bounds. The planner does
-        the same pruning implicitly; this is the observable version."""
+        the same pruning implicitly; this is the observable version.
+        Hash-distributed tables route by the PREFIXED key, exactly as
+        the reference hashes before its meta-cache lookup
+        (table_impl.cc:1416-1418)."""
+        schema = self.get_schema(name)
+        if not schema.kv_mode and schema.hash_distribution:
+            from tera_spark.functions.keys import py_hash_prefix_key
+
+            row_key = py_hash_prefix_key(row_key)
+
         def as_str(v):
             return v.decode() if isinstance(v, (bytes, bytearray)) else v
 

@@ -1213,3 +1213,21 @@ def test_cli_seek_scan_on_hash_table_falls_back(spark, tmp_path, capsys):
     assert main(["--root", root, "scan", "h", "--seek", "--start", "u1", "--end", "u3"]) == 0
     out = capsys.readouterr().out
     assert "u1 " in out and "u2 " in out and "u3 " not in out and "u0 " not in out
+
+
+def test_find_tablet_routes_hashed_key(spark, tmp_path):
+    """findtablet on a <hash=on> table routes by the prefixed key
+    (the reference hashes before its meta lookup) — the raw user key
+    would fall outside every file's hashed bounds."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.client import Table
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("h <hash=on> { d }")
+    t = Table(cat, "h")
+    for i in range(40):
+        t.put(f"u{i:03d}", "d", "q", f"v{i}", ts=1)
+    cat.optimize("h", buckets=4)
+    hits = cat.find_tablet("h", "u007")
+    assert len(hits) >= 1
+    assert sum(i["rows"] for i in hits) < 40  # routed to a subset, not all files
