@@ -527,8 +527,15 @@ class Catalog:
         (SURVEY §7 hard part e)."""
         from tera_spark.sources.ingest import export_rows
 
+        schema = self.get_schema(name)
         v = self.view(name, now_us=now_us)
-        df = v if self.get_schema(name).kv_mode else export_rows(v)
+        if not schema.kv_mode and schema.hash_distribution:
+            # SQL users address rows by USER key; strip the
+            # distribution prefix before pivoting
+            from tera_spark.functions.keys import with_plain_row_key
+
+            v = with_plain_row_key(v)
+        df = v if schema.kv_mode else export_rows(v)
         df.createOrReplaceTempView(view_name or name)
         return df
 
@@ -1126,7 +1133,12 @@ def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -
         )
 
     if idx is None or not cat.is_table_exist(idx):
-        return newest_match(cat.view(name))
+        out = newest_match(cat.view(name))
+        if cat.get_schema(name).hash_distribution:
+            from tera_spark.functions.keys import with_plain_row_key
+
+            out = with_plain_row_key(out)
+        return out
     keys = (
         cat.view(idx)
         .filter(F.col("row_key") == val.hex().upper())
@@ -1135,7 +1147,12 @@ def lookup_by_value(cat: "Catalog", name: str, cf: str, qualifier: str, value) -
     got = batch_get(
         cat.read_oplog(name), cat.get_schema(name), keys, **cat.fold_hints(name)
     )
-    return newest_match(got)  # read-repair: drop stale index hits
+    out = newest_match(got)  # read-repair: drop stale index hits
+    if cat.get_schema(name).hash_distribution:
+        from tera_spark.functions.keys import with_plain_row_key
+
+        out = with_plain_row_key(out)
+    return out
 
 
 # bind as methods (first parameter is the catalog instance)

@@ -1231,3 +1231,29 @@ def test_find_tablet_routes_hashed_key(spark, tmp_path):
     hits = cat.find_tablet("h", "u007")
     assert len(hits) >= 1
     assert sum(i["rows"] for i in hits) < 40  # routed to a subset, not all files
+
+
+def test_sql_view_and_value_lookup_strip_hash_prefix(spark, tmp_path):
+    """User-facing surfaces on <hash=on> tables answer in USER keys:
+    the pivoted SQL view and lookup_by_value both strip the
+    distribution prefix."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.client import Table
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_table("h <hash=on> { d }")
+    t = Table(cat, "h")
+    for i in range(6):
+        t.put(f"u{i}", "d", "seg", f"S{i % 2}", ts=1)
+
+    cat.register_sql_view("h", view_name="hv")
+    rows = {r.row_key for r in spark.sql("SELECT row_key FROM hv").collect()}
+    assert rows == {f"u{i}" for i in range(6)}
+
+    hits = {r.row_key for r in cat.lookup_by_value("h", "d", "seg", "S1").collect()}
+    assert hits == {"u1", "u3", "u5"}
+
+    # and through a registered index too
+    cat.create_index("h", "d", "seg")
+    hits2 = {r.row_key for r in cat.lookup_by_value("h", "d", "seg", "S0").collect()}
+    assert hits2 == {"u0", "u2", "u4"}
