@@ -29,17 +29,33 @@ from tera_spark.registry import TableSchema, parse_schema_string
 from tera_spark.sources.tables import schema_codec, write_cell_table
 
 
+class WriterFenced(Exception):
+    """Another process holds the table's writer lease."""
+
+
 class Catalog:
-    def __init__(self, spark: SparkSession, root: str, *, access=None, user: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        access=None,
+        user: str | None = None,
+        writer_id: str | None = None,
+    ):
         """``access`` (tera_spark.access.AccessControl) + ``user`` turn
         on ACL/quota enforcement at this — the only — data boundary;
         left None, the catalog behaves as under the reference's
-        kNoneAuthPolicy (everything authorized, nothing metered)."""
+        kNoneAuthPolicy (everything authorized, nothing metered).
+        ``writer_id`` names this process for writer-lease fencing
+        (acquire_writer_lease); appends to a table with another
+        holder's live lease raise WriterFenced."""
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.access = access
         self.user = user
+        self.writer_id = writer_id
         self._tail_checked: set[str] = set()  # per-process WAL-recovery memo
 
     def _authorize(self, action: str, table: str) -> None:
@@ -292,6 +308,7 @@ class Catalog:
         writer per table, as everywhere in this engine."""
         self._check_enabled(name)
         self._authorize("write", name)
+        self._check_writer_lease(name)
         self._consume(name, "write")
         # recovery runs once per table per writer process: a torn tail
         # can only come from a PREVIOUS writer's crash, and this
@@ -741,6 +758,69 @@ class Catalog:
             "files_folded": files_folded,
             "files_kept": len(infos) - files_folded,
         }
+
+    # --- writer lease (tablet-lock analog) ----------------------------
+    # The engine's correctness story assumes ONE committing writer per
+    # table (group commit, WAL-tail recovery, optimistic txns). The
+    # reference enforces its equivalent with ZooKeeper node locks: a
+    # tablet server must hold its lock to serve writes, and the master
+    # fences a dead server by deleting it. The lease file is that
+    # fence: append() refuses while another holder's unexpired lease
+    # is registered, so two driver processes can't interleave commits.
+    # Tables with no lease file behave as before (open access).
+
+    def acquire_writer_lease(self, name: str, holder: str, *, ttl_s: int = 300) -> dict:
+        """Acquire (or renew) the table's writer lease for ``holder``.
+        Fails if another holder's lease is still valid. Acquisition of
+        a free/expired lease uses an exclusive create / atomic rename;
+        the crash-takeover path has a documented small race window —
+        acceptable for the coordination this fences (two long-lived
+        writer processes, not hostile contention)."""
+        import os
+
+        p = self.root / name / "writer.lease"
+        now = time.time()
+        cur = self._read_lease(name)
+        if cur is not None and cur["holder"] != holder and cur["expires"] > now:
+            raise WriterFenced(
+                f"table {name!r} writer lease held by {cur['holder']!r} "
+                f"for {cur['expires'] - now:.0f}s more"
+            )
+        rec = {"holder": holder, "expires": now + ttl_s}
+        if cur is None:
+            # free lease: exclusive create wins or loses atomically
+            try:
+                fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise WriterFenced(f"table {name!r} lease was just taken") from None
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(rec))
+        else:
+            tmp = p.with_suffix(".lease.tmp")
+            tmp.write_text(json.dumps(rec))
+            tmp.replace(p)  # renew / expired-takeover
+        return rec
+
+    def release_writer_lease(self, name: str, holder: str) -> None:
+        cur = self._read_lease(name)
+        if cur is not None and cur["holder"] == holder:
+            (self.root / name / "writer.lease").unlink(missing_ok=True)
+
+    def _read_lease(self, name: str) -> dict | None:
+        p = self.root / name / "writer.lease"
+        try:
+            return json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _check_writer_lease(self, name: str) -> None:
+        cur = self._read_lease(name)
+        if cur is None or cur["expires"] <= time.time():
+            return  # no fence registered (or expired): open access
+        if cur["holder"] != self.writer_id:
+            raise WriterFenced(
+                f"table {name!r} writes fenced: lease held by {cur['holder']!r}"
+            )
 
     def table_stats(self, name: str) -> dict:
         """One-call observability roll-up per table (teracli `stat`

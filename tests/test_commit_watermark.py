@@ -97,3 +97,49 @@ def test_replication_mirrors_watermark(spark, tmp_path):
     sync_replica(a, b, "rep")
     assert b.commit_watermark("rep") == a.commit_watermark("rep")
     assert {r.row_key for r in b.view("rep").collect()} == {"r1"}
+
+
+def test_writer_lease_fences_second_writer(spark, tmp_path):
+    """Writer-lease fencing (the ZK tablet-lock analog): the engine's
+    single-committing-writer assumption becomes enforced — a second
+    process's appends raise while another holder's lease is live,
+    expiry allows takeover, and release frees the table."""
+    import time as _time
+
+    import pytest
+
+    from tera_spark.catalog import Catalog, WriterFenced
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    b = Catalog(spark, root, writer_id="writer-b")
+    a.create_table("t { d }")
+
+    a.acquire_writer_lease("t", "writer-a", ttl_s=300)
+    # the holder writes; the other process is fenced
+    a.append("t", MutationBatch(base_seq=1).put("r1", "d", "q", "v1", ts=1).to_df(spark),
+             commit_seq=1, op_kinds=[5])
+    with pytest.raises(WriterFenced):
+        b.append("t", MutationBatch(base_seq=2).put("r2", "d", "q", "v2", ts=1).to_df(spark),
+                 commit_seq=2, op_kinds=[5])
+    with pytest.raises(WriterFenced):
+        b.acquire_writer_lease("t", "writer-b")
+
+    # renewal by the holder succeeds; release frees the table
+    a.acquire_writer_lease("t", "writer-a", ttl_s=300)
+    a.release_writer_lease("t", "writer-a")
+    b.append("t", MutationBatch(base_seq=2).put("r2", "d", "q", "v2", ts=1).to_df(spark),
+             commit_seq=2, op_kinds=[5])
+    assert {r.row_key for r in a.view("t").collect()} == {"r1", "r2"}
+
+    # expired lease: takeover allowed (crash-fencing path)
+    b.acquire_writer_lease("t", "writer-b", ttl_s=0)
+    _time.sleep(0.01)
+    a.acquire_writer_lease("t", "writer-a", ttl_s=300)
+    a.release_writer_lease("t", "writer-a")
+
+    # tables with no lease file stay open-access (back-compat)
+    a.create_table("open { d }")
+    b.append("open", MutationBatch(base_seq=1).put("r", "d", "q", "v", ts=1).to_df(spark),
+             commit_seq=1, op_kinds=[5])
