@@ -418,12 +418,32 @@ def main(argv: list[str] | None = None) -> int:
         if schema.hash_distribution:
             # hash tables: storage order is hash order — scan all, strip
             # the prefix, re-apply the USER-key range (the SDK's rule)
-            from tera_spark.client import Table as _T
-
-            t = _T(cat, args.table)
-            it = t.scan(ScanDescriptor(start=args.start, end=args.end))
             import itertools
 
+            from pyspark.sql import functions as F
+
+            from tera_spark.functions.keys import with_plain_row_key
+
+            if getattr(args, "all_versions", False):
+                # scanallv applies here too: lift the version trim on
+                # the schema handed to the fold (Table.scan re-fetches
+                # the schema from disk, so the lift must ride the same
+                # schema object the scan consumes)
+                for cf in schema.column_families.values():
+                    cf.max_versions = 1 << 30
+            v = with_plain_row_key(
+                scan(
+                    cat.read_oplog(args.table),
+                    schema,
+                    None,
+                    **cat.fold_hints(args.table),
+                )
+            )
+            if args.start:
+                v = v.filter(F.col("row_key") >= args.start)
+            if args.end:
+                v = v.filter(F.col("row_key") < args.end)
+            it = v.orderBy("row_key", "cf", "qualifier", F.desc("ts")).toLocalIterator()
             for r in itertools.islice(it, args.limit):
                 print(f"{r.row_key} {r.cf}:{r.qualifier} @{r.ts} {bytes(r.value or b'')!r}")
             return 0

@@ -155,8 +155,24 @@ class Table:
         self._cat = catalog
         self.name = name
         self._next_seq: int | None = None
-        self._hashed = catalog.get_schema(name).hash_distribution
-        # opt-in unique-monotonic auto timestamps (timeoracle.h analog)
+        schema = catalog.get_schema(name)
+        self._hashed = schema.hash_distribution
+        # opt-in unique-monotonic auto timestamps (timeoracle.h analog).
+        # Oracle ticks are (wall_ms - 2017 base) * 10000 — a LOGICAL
+        # basis, not epoch microseconds — while cf-level TTL expiry and
+        # ScanDescriptor ts_range interpret cell ts as epoch µs, so an
+        # oracle-stamped cell would sit decades in the future and never
+        # expire. Refuse the combination instead of silently mixing
+        # bases (same rule for µs ts_range scans: one ts source per
+        # table — see functions/timeoracle.py).
+        if timeoracle is not None and any(
+            cf.ttl > 0 for cf in schema.column_families.values()
+        ):
+            raise ValueError(
+                f"table {name!r}: timeoracle timestamps (logical 10000/ms "
+                "ticks) are incompatible with cf-level ttl>0 (epoch-µs "
+                "expiry) — use wall-clock timestamps or ttl=0"
+            )
         self._oracle = timeoracle
 
     # -- hash-distribution key translation ----------------------------
@@ -188,15 +204,24 @@ class Table:
             return desc
         import dataclasses
 
-        return dataclasses.replace(desc, start=None, end=None)
+        # number_limit must be lifted too: applying it in hash-storage
+        # order BEFORE the user-key range filter would drop rows that
+        # are inside the requested range. _user_range re-applies it
+        # after the range filter.
+        return dataclasses.replace(desc, start=None, end=None, number_limit=None)
 
     def _user_range(self, df: DataFrame, desc: ScanDescriptor | None) -> DataFrame:
         if not self._hashed or desc is None:
             return df
+        bounded = desc.start is not None or desc.end is not None
         if desc.start is not None:
             df = df.filter(F.col("row_key") >= desc.start)
         if desc.end is not None:
             df = df.filter(F.col("row_key") < desc.end)
+        # re-apply the limit that _hash_desc lifted out of the pushed
+        # descriptor (only lifted when bounds were present)
+        if bounded and desc.number_limit is not None:
+            df = df.limit(desc.number_limit)
         return df
 
     # -- sequence bookkeeping (LevelDB sequence analog) ---------------
@@ -221,7 +246,9 @@ class Table:
         if isinstance(batch, RowMutation):
             batch = batch._batch
         if self._hashed:
-            batch.map_row_keys(self._hk)
+            # translate into a COPY: retrying the same caller batch
+            # must not double-prefix its row keys
+            batch = batch.translated(self._hk)
         batch._base_seq = self._seq(len(batch))
         self._cat.append(
             self.name,
@@ -275,7 +302,9 @@ class Table:
     ) -> bool:
         """CheckAndApply (table.h:140-142). True iff the mutation landed."""
         if self._hashed:
-            batch.map_row_keys(self._hk)
+            # copy, not in-place: a failed CAS is retried with the same
+            # batch object, which must keep its user-space keys
+            batch = batch.translated(self._hk)
             row_key = self._hk(row_key)
         batch._base_seq = self._seq(len(batch))  # gap on failed CAS is harmless
         out = check_and_apply(

@@ -109,6 +109,15 @@ class MutationBatch:
         self._rows = [(fn(r[0]),) + tuple(r[1:]) for r in self._rows]
         return self
 
+    def translated(self, fn) -> "MutationBatch":
+        """Non-destructive form of map_row_keys: returns a NEW batch
+        with rewritten keys, leaving the caller's batch untouched so a
+        failed CAS / write can be retried with the same object without
+        double-prefixing the row keys."""
+        out = MutationBatch(self._base_seq)
+        out._rows = [(fn(r[0]),) + tuple(r[1:]) for r in self._rows]
+        return out
+
     def to_df(
         self, spark: SparkSession, *, now_us: int | None = None, ts_oracle=None
     ) -> DataFrame:

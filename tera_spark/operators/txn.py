@@ -140,6 +140,20 @@ class GlobalTransaction:
         self._batches: dict[str, "MutationBatch"] = {}
         self._write_rows: dict[str, set[str]] = {}
 
+    # --- hash-distribution key translation ----------------------------
+    def _hk(self, table: str, key: str) -> str:
+        """Hash-distributed tables (<hash=on>) store murmur-prefixed
+        keys; Table promises transparency at the SDK layer, so the txn
+        path must apply the same translation (reads: hashed point
+        range; writes: prefixed batch keys) or a global txn on a hash
+        table reads nothing and writes keys scans can never see."""
+        schema = self._cat.get_schema(table)
+        if schema is not None and getattr(schema, "hash_distribution", False):
+            from tera_spark.functions.keys import py_hash_prefix_key
+
+            return py_hash_prefix_key(key)
+        return key
+
     # --- snapshot machinery -------------------------------------------
     def _snapshot(self, table: str) -> int:
         if table not in self._snap:
@@ -160,6 +174,7 @@ class GlobalTransaction:
     def read(self, table: str, row_key: str, cf: str, qualifier: str) -> bytes | None:
         from tera_spark.operators.scan import ScanDescriptor, scan
 
+        row_key = self._hk(table, row_key)
         rows = scan(
             self._cat.read_oplog(table),
             self._cat.get_schema(table),
@@ -171,11 +186,13 @@ class GlobalTransaction:
 
     # --- writes -------------------------------------------------------
     def put(self, table: str, row_key: str, cf: str, qualifier: str, value, ts=None):
+        row_key = self._hk(table, row_key)
         self._batch(table).put(row_key, cf, qualifier, value, ts=ts)
         self._write_rows[table].add(row_key)
         return self
 
     def delete_column(self, table: str, row_key: str, cf: str, qualifier: str, ts=None):
+        row_key = self._hk(table, row_key)
         self._batch(table).delete_column(row_key, cf, qualifier, ts=ts)
         self._write_rows[table].add(row_key)
         return self
@@ -185,6 +202,7 @@ class GlobalTransaction:
         mark the observed column dirty in the same commit."""
         from tera_spark.streaming.observer import NOTIFY_CF
 
+        row_key = self._hk(table, row_key)
         self._batch(table).put(row_key, NOTIFY_CF, f"{cf}+{qualifier}", b"1", ts=ts)
         self._write_rows[table].add(row_key)
         return self
