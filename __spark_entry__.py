@@ -28,44 +28,49 @@ def _registry():
 
 # Driver-sample ordering: the correctness driver checks the FIRST 50
 # queries() entries each round. Rounds 1-2 covered the 50 relational/
-# cell entries (CORRECTNESS_r01/r02.json, all green); round 3 surfaces
-# a class-spanning 50 of the not-yet-driver-checked LLM-pipeline /
-# events / graph queries, then the remaining unchecked ones, then the
-# already-green 50 last. All entries pass the identical local DuckDB
+# cell entries (CORRECTNESS_r01/r02.json), round 3 the 50 lead
+# LLM-pipeline/events/graph entries (CORRECTNESS_r03.json) — all 100
+# green. Round 4 leads with 50 of the 53 never-driver-checked entries;
+# the 3 deferred to positions 51-53 each have a driver-green sibling
+# covering the same operator path (events_sliding_window ↔
+# events_tumbling_window, events_asof_next_purchase ↔
+# events_asof_prev_click, text_bigram_surprisal ↔
+# text_unigram_surprisal). All entries pass the identical local DuckDB
 # gate at sf0.01 (tests/test_oracle_parity.py) regardless of position.
 _DRIVER_PRIORITY = [
-    # dedup family
-    "dedup_exact_hash", "dedup_minhash_lsh_pairs", "dedup_lsh_verified",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_components", "dedup_edit_distance", "dedup_containment_pairs",
-    "dedup_incremental_batch",
-    # similarity / ANN
-    "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_near_pairs",
-    "ann_hyperplane_pairs", "ann_int8_topk", "ann_hard_negatives",
-    "ann_embedding_health",
-    # text analysis
-    "text_language_id", "text_quality_score", "text_tfidf_bm25",
-    "text_unigram_surprisal", "text_zipf_slope", "text_pii_redaction",
-    "text_bpe_pair_counts", "text_vocab_profile", "text_tokenizer_fertility",
-    "text_pmi_collocations",
-    # document stats / fingerprints
-    "doc_fingerprint_rolling", "doc_token_stats", "doc_bpe_token_stats",
-    # multimodal columns
-    "multimodal_features", "multimodal_audio_features", "multimodal_resize",
-    "multimodal_frame_plan",
-    # pipeline ops
-    "pipeline_token_packing", "pipeline_leakage_safe_split",
-    "pipeline_dedup_drop_list", "pipeline_decontaminate",
-    "pipeline_dsir_importance", "pipeline_weighted_interleave",
-    "pipeline_doc_chunking",
-    # sampling
-    "sample_stratified_deterministic", "sample_weighted_reservoir",
-    # events analytics
-    "events_tumbling_window", "events_sessionize", "events_funnel_3step",
-    "events_retention_cohorts", "events_asof_prev_click",
-    "events_range_join_windows",
-    # graph over the near-dup graph
-    "graph_pagerank_neardup",
+    # core §2 cell/kv semantics never sampled in r1-r3
+    "cell_filter_if_missing", "cell_addint64_merge", "cell_hash_key_batch_get",
+    "cell_changefeed_diff", "kv_lww_scan",
+    # ANN / clustering
+    "ann_centroid_outliers", "ann_kmeans_clusters", "ann_pq_topk",
+    # dedup long tail
+    "dedup_cross_source_matrix", "dedup_repeated_ngram_spans",
+    "dedup_semantic_drop_list", "dedup_span_removal",
+    # events analytics long tail
+    "events_ab_test_lift", "events_anomaly_zscore", "events_bot_regularity",
+    "events_churn_risk", "events_dau_mau_stickiness",
+    "events_dedup_latest_props", "events_equidepth_histogram",
+    "events_hourly_seasonality", "events_json_props",
+    "events_k_anonymity_audit", "events_m4_downsample", "events_ohlc_bars",
+    "events_pareto_concentration", "events_salted_distinct_users",
+    "events_session_transcripts", "events_sketch_profile",
+    "events_subseq_topk", "events_trajectory_similarity",
+    "events_transition_matrix", "events_type_correlation",
+    "events_value_histogram", "events_value_trend", "events_window_topk",
+    # graph
+    "graph_triangles_neardup",
+    # pipeline / curation long tail
+    "pipeline_contamination_report", "pipeline_corpus_curation",
+    "pipeline_dedup_savings_report", "pipeline_filter_audit",
+    "pipeline_mixture_allocation", "pipeline_pseudonymize_users",
+    "pipeline_ref_integrity_audit", "source_profile_stats",
+    # text analysis long tail
+    "text_bpe_merges", "text_compression_ratio", "text_inverted_index",
+    "text_language_id_margin", "text_quality_calibrated",
+    "text_repetition_signals",
+    # deferred trio (positions 51-53): driver-green siblings exist
+    "events_sliding_window", "events_asof_next_purchase",
+    "text_bigram_surprisal",
 ]
 
 # keys with a green driver row in CORRECTNESS_r01/r02.json — ordered last

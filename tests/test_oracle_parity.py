@@ -14,7 +14,7 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
