@@ -41,6 +41,60 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _first_collision_candidates(
+    keyed: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from bucket-key collisions
+    with NO pair-level shuffle.
+
+    ``keyed`` is (id, keys: array) — per-document bucket keys in a fixed
+    per-document order (LSH band keys, or a sorted bottom-k sketch),
+    distinct within a document. A pair colliding in several buckets is
+    emitted exactly once, from its FIRST shared key: each exploded row
+    carries the document's earlier keys as ``prefix``, and the join
+    filters out any collision where the two prefixes overlap (an
+    overlap IS an earlier shared bucket, because keys are exact hashes).
+    That check is map-side on the join output — it replaces the old
+    `.distinct()` over the full candidate-pair set, which was a second
+    wide shuffle proportional to pair volume (the largest intermediate
+    in the whole dedup pipeline at 100 TB).
+
+    With ``max_bucket_size`` the degenerate-bucket cap runs first (see
+    `_cap_buckets` rationale) and the per-document key sequence is
+    rebuilt from the SURVIVING buckets, so a pair whose first shared
+    bucket was capped away is still paired by its first surviving one —
+    identical output to cap-then-distinct. The rebuild shuffles the
+    O(N·bands) signature rows by id, still far below pair volume."""
+    ex = keyed.select("id", "keys", F.posexplode("keys").alias("pos", "bucket"))
+    if max_bucket_size is not None:
+        ex = _cap_buckets(ex.drop("keys"), max_bucket_size)
+        per = ex.groupBy("id").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "bucket"))).alias("pb")
+        )
+        ex = per.select("id", F.col("pb.bucket").alias("keys")).select(
+            "id", "keys", F.posexplode("keys").alias("pos", "bucket")
+        )
+    # prefix keys travel through the bucket shuffle on every exploded
+    # row — compact them to xxhash64 longs (8 B vs a 32-char md5; the
+    # 2^-64 collision odds of a spurious earlier-overlap are far below
+    # the minhash signature's own collision floor)
+    prefix = F.transform(
+        F.slice("keys", F.lit(1), F.col("pos")), lambda k: F.xxhash64(k)
+    )
+    sigs = ex.select(
+        "id", "bucket", prefix.alias("prefix")
+    ).persist()  # self-join: one fingerprint materialization, not two
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & ~F.arrays_overlap(F.col("a.prefix"), F.col("b.prefix"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+
 def _cap_buckets(sigs: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """Drop degenerate LSH buckets before the self-join. A bucket with
     m members emits m² candidate rows — one boilerplate-heavy bucket
@@ -66,22 +120,13 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing ≥1 LSH band
-    bucket. Returns (id_a, id_b) with id_a < id_b, distinct."""
-    sigs = _cap_buckets(
-        with_minhash_signature(ensure_parallelism(docs), text_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(band_keys(F.col("sig"))).alias("bucket"),
-        ),
-        max_bucket_size,
-    ).persist()  # self-join: one materialization, not two minhash passes
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    bucket. Returns (id_a, id_b) with id_a < id_b, distinct — dedup by
+    first-collision filter, no pair-level shuffle (see
+    `_first_collision_candidates`)."""
+    keyed = with_minhash_signature(ensure_parallelism(docs), text_col).select(
+        F.col(id_col).alias("id"), band_keys(F.col("sig")).alias("keys")
     )
+    return _first_collision_candidates(keyed, max_bucket_size)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -154,16 +199,8 @@ def verified_near_duplicates(
         .repartition("id")
         .persist()
     )
-    sigs = _cap_buckets(
-        base.select("id", F.explode(band_keys(F.col("sig"))).alias("bucket")),
-        max_bucket_size,
-    )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    cand = _first_collision_candidates(
+        base.select("id", band_keys(F.col("sig")).alias("keys")), max_bucket_size
     )
     sh = base.select("id", "sh")
     j = (
@@ -223,15 +260,8 @@ def containment_pairs(
         1,
         k,
     )
-    sigs = _cap_buckets(
-        base.select("id", F.explode(bottom).alias("bucket")), max_bucket_size
-    )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    cand = _first_collision_candidates(
+        base.select("id", bottom.alias("keys")), max_bucket_size
     )
     j = (
         cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -333,17 +363,11 @@ def edit_distance_near_duplicates(
     base = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
-    sigs = _cap_buckets(
-        with_minhash_signature(docs, text_col)
-        .select(F.col(id_col).alias("id"), F.explode(band_keys(F.col("sig"))).alias("bucket")),
+    cand = _first_collision_candidates(
+        with_minhash_signature(docs, text_col).select(
+            F.col(id_col).alias("id"), band_keys(F.col("sig")).alias("keys")
+        ),
         max_bucket_size,
-    ).persist()  # self-join: one materialization, not two minhash passes
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
     return (
         cand.join(base.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), "id_a")

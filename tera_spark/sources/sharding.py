@@ -75,12 +75,17 @@ def weighted_interleave(
     weight-0.6 source contributes 6 of every 10 consecutive records,
     deterministically, with no RNG and no coordination.
 
-    Scale shape: per-source row_number is one window partitioned by
-    source (same exchange the final range-sort would need anyway);
-    emitting `global_rank` is a total order — at 100 TB skip the rank
-    column and `repartitionByRange(position)` + sortWithinPartitions
-    instead, which is the same plan minus the global row_number.
-    Sources absent from ``weights`` are dropped (weight 0)."""
+    Scale shape (the 100 TB path IS the implementation): the total
+    order is materialized by `repartitionByRange(position, source,
+    key)` — every executor holds one contiguous slice of the schedule —
+    and `global_rank` is computed distributively as per-slice
+    row_number plus an exclusive prefix sum of slice sizes (one
+    driver-side pass over ≤ n_partitions counts, never over rows).
+    There is no single-partition Exchange anywhere in the plan
+    (asserted by tests/test_plan_quality.py); the old
+    `row_number() OVER (ORDER BY ...)` form funneled the entire corpus
+    through one task. Sources absent from ``weights`` are dropped
+    (weight 0)."""
     from pyspark.sql import Window as W
 
     pairs = [p for kv in sorted(weights.items()) for p in (F.lit(kv[0]), F.lit(float(kv[1])))]
@@ -92,7 +97,25 @@ def weighted_interleave(
         .withColumn("_rn", F.row_number().over(wsrc))
         .withColumn("position", (F.col("_rn") - 0.5) / F.col("_w"))
     )
-    wg = W.orderBy("position", source_col, key_col)
-    return d.withColumn("global_rank", F.row_number().over(wg).cast("long")).select(
+    order_cols = ["position", source_col, key_col]
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        d.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()  # pin slice boundaries: counts and ranks must see one layout
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    acc, offsets = 0, {}
+    for pid in sorted(sizes):  # ≤ n_parts entries — O(partitions), not O(rows)
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_lits = [lit for pid in sorted(offsets) for lit in (F.lit(pid), F.lit(offsets[pid]))]
+    off_map = F.create_map(*off_lits) if off_lits else F.create_map()
+    wloc = W.partitionBy("_pid").orderBy(*order_cols)
+    rank = (F.row_number().over(wloc).cast("long") + off_map[F.col("_pid")]).cast("long")
+    return ranged.withColumn("global_rank", rank).select(
         "global_rank", F.col(key_col), F.col(source_col), F.round("position", 6).alias("position")
     )

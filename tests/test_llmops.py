@@ -208,6 +208,48 @@ def test_lsh_bucket_cap(docs):
     assert verified_near_duplicates(docs, max_bucket_size=1).collect() == []
 
 
+def test_lsh_pairs_distinct_without_pair_shuffle(spark):
+    """Exact duplicates collide in ALL 4 bands; the first-collision
+    filter must still emit the pair exactly once — and the plan must
+    contain no aggregate over the candidate-pair set (the old
+    `.distinct()`), only the bucket join itself."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(3)]
+    rows += [(10, "completely different words entirely here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(docs)
+    pairs = [tuple(r) for r in out.collect()]
+    assert sorted(pairs) == [(0, 1), (0, 2), (1, 2)]
+    assert len(pairs) == len(set(pairs))  # exactly once despite 4-band collision
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the join's output flows straight to the project — no HashAggregate
+    # keyed on (id_a, id_b) downstream of the join
+    after_join = plan.split("SortMergeJoin")[0].split("BroadcastHashJoin")[0]
+    assert "HashAggregate(keys=[id_a" not in after_join
+
+
+def test_lsh_cap_rescues_later_band_first_collision(spark):
+    """A pair whose FIRST shared bucket is capped away must still be
+    paired via its first surviving shared bucket (cap-then-dedup
+    equivalence: the per-doc key sequence is rebuilt post-cap)."""
+    from tera_spark.operators.dedup import _first_collision_candidates
+
+    # hand-built bucket keys: docs 1,2 share K0 (first) and K9 (later);
+    # K0 is boilerplate (shared by everyone -> capped at 3)
+    rows = [
+        (1, ["K0", "K9", "a1", "a2"]),
+        (2, ["K0", "K9", "b1", "b2"]),
+        (3, ["K0", "c1", "c2", "c3"]),
+        (4, ["K0", "d1", "d2", "d3"]),
+    ]
+    keyed = spark.createDataFrame(rows, "id long, keys array<string>")
+    got = sorted(tuple(r) for r in _first_collision_candidates(keyed, 3).collect())
+    assert got == [(1, 2)]  # K0 capped (4 members), K9 rescues exactly once
+    uncapped = sorted(
+        tuple(r) for r in _first_collision_candidates(keyed, None).collect()
+    )
+    assert uncapped == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     """The approximate IVF search path must track the exact brute-force
     ranking: decent recall at small nprobe, non-degrading as nprobe

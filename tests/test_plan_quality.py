@@ -74,6 +74,14 @@ def test_lineitem_filter_pushdown(spark):
     assert m and "l_shipdate" in m.group(1), "q6: shipdate filter not pushed to scan"
 
 
+def test_weighted_interleave_no_single_partition_exchange(spark):
+    """The interleave scale claim: global_rank is computed from range
+    partitions + size offsets, never a row_number over one partition —
+    the plan must contain no SinglePartition exchange."""
+    plan = _plan(spark, "pipeline_weighted_interleave")
+    assert "SinglePartition" not in plan, "interleave funnels rows through one task"
+
+
 def test_pq_encode_is_map_only(spark):
     """The PQ scale claim: with the codebook inlined as a literal,
     encoding is a pure projection — zero exchanges when the input is
