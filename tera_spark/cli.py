@@ -71,6 +71,19 @@ def _access_cmd(args) -> int:
     return 0
 
 
+def _versions_lifted(schema):
+    """COPY of ``schema`` with the scan-time version trim lifted
+    (scanallv). Never mutate the catalog's schema object in place —
+    safe today only because get_schema re-reads schema.json per call;
+    a schema cache would leak the 1<<30 cap into later operations."""
+    from tera_spark.registry import TableSchema
+
+    s = TableSchema.from_json(schema.to_json())
+    for cf in s.column_families.values():
+        cf.max_versions = 1 << 30
+    return s
+
+
 def _apply(cat, name, batch):
     """Apply a CLI mutation with a real write sequence (the SDK facade's
     max(seq)+1 allocation) so snapshot/diff see CLI writes in order."""
@@ -426,11 +439,10 @@ def main(argv: list[str] | None = None) -> int:
 
             if getattr(args, "all_versions", False):
                 # scanallv applies here too: lift the version trim on
-                # the schema handed to the fold (Table.scan re-fetches
-                # the schema from disk, so the lift must ride the same
-                # schema object the scan consumes)
-                for cf in schema.column_families.values():
-                    cf.max_versions = 1 << 30
+                # a COPY handed to the fold (Table.scan re-fetches the
+                # schema from disk, so the lift must ride the schema
+                # object the scan consumes)
+                schema = _versions_lifted(schema)
             v = with_plain_row_key(
                 scan(
                     cat.read_oplog(args.table),
@@ -451,9 +463,8 @@ def main(argv: list[str] | None = None) -> int:
         if getattr(args, "all_versions", False):
             # teracli scanallv: show every version still retained in the
             # op-log (tombstones/TTL still apply; compaction trims to
-            # the schema cap) — scan-time version trim lifted
-            for cf in schema.column_families.values():
-                cf.max_versions = 1 << 30
+            # the schema cap) — scan-time version trim lifted on a copy
+            schema = _versions_lifted(schema)
         for r in scan(
             cat.read_oplog(args.table),
             schema,

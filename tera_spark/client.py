@@ -165,15 +165,17 @@ class Table:
         # expire. Refuse the combination instead of silently mixing
         # bases (same rule for µs ts_range scans: one ts source per
         # table — see functions/timeoracle.py).
-        if timeoracle is not None and any(
-            cf.ttl > 0 for cf in schema.column_families.values()
-        ):
-            raise ValueError(
-                f"table {name!r}: timeoracle timestamps (logical 10000/ms "
-                "ticks) are incompatible with cf-level ttl>0 (epoch-µs "
-                "expiry) — use wall-clock timestamps or ttl=0"
-            )
+        if timeoracle is not None:
+            self._refuse_oracle_ttl_mix(schema)
         self._oracle = timeoracle
+
+    def _refuse_oracle_ttl_mix(self, schema) -> None:
+        if any(cf.ttl > 0 for cf in schema.column_families.values()):
+            raise ValueError(
+                f"table {self.name!r}: timeoracle timestamps (logical "
+                "10000/ms ticks) are incompatible with cf-level ttl>0 "
+                "(epoch-µs expiry) — use wall-clock timestamps or ttl=0"
+            )
 
     # -- hash-distribution key translation ----------------------------
     def _hk(self, key: str) -> str:
@@ -219,9 +221,14 @@ class Table:
         if desc.end is not None:
             df = df.filter(F.col("row_key") < desc.end)
         # re-apply the limit that _hash_desc lifted out of the pushed
-        # descriptor (only lifted when bounds were present)
+        # descriptor (only lifted when bounds were present) — on top of
+        # scan order, so a bounded+limited hash scan returns the FIRST
+        # N cells in user-key order, not an arbitrary N (plans as
+        # TakeOrderedAndProject: per-partition top-k, no global sort)
         if bounded and desc.number_limit is not None:
-            df = df.limit(desc.number_limit)
+            df = df.orderBy("row_key", "cf", "qualifier", F.desc("ts")).limit(
+                desc.number_limit
+            )
         return df
 
     # -- sequence bookkeeping (LevelDB sequence analog) ---------------
@@ -245,6 +252,12 @@ class Table:
     def apply_mutation(self, batch: MutationBatch | RowMutation) -> None:
         if isinstance(batch, RowMutation):
             batch = batch._batch
+        if self._oracle is not None:
+            # the construction-time guard can be bypassed by a later
+            # update_schema adding cf ttl>0 to an open oracle-stamped
+            # handle; re-check against the CURRENT schema on every
+            # write (get_schema re-reads schema.json, so this sees it)
+            self._refuse_oracle_ttl_mix(self._cat.get_schema(self.name))
         if self._hashed:
             # translate into a COPY: retrying the same caller batch
             # must not double-prefix its row keys

@@ -182,6 +182,9 @@ class GlobalTransaction:
             now_us=self._now_us,
             snapshot_seq=self._snapshot(table),
         ).collect()
+        # collect() order is not the fold order: on maxversions>1 cfs
+        # several versions survive — the txn read means the NEWEST one
+        rows.sort(key=lambda r: r.ts, reverse=True)
         return bytes(rows[0].value) if rows and rows[0].value is not None else None
 
     # --- writes -------------------------------------------------------

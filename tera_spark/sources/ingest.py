@@ -79,10 +79,20 @@ def import_table(
     return spark.read.parquet(dest_path).count()
 
 
-def export_rows(visible: DataFrame, key_col: str = "row_key") -> DataFrame:
+def export_rows(
+    visible: DataFrame, key_col: str = "row_key", *, max_qualifiers: int = 10_000
+) -> DataFrame:
     """Inverse pivot: visible cells → one row per row_key with one
     string column per qualifier (newest version wins; the caller
-    controls versions via the view it passes in)."""
+    controls versions via the view it passes in).
+
+    The distinct-qualifier set becomes the output SCHEMA, so it is
+    collected to the driver by construction — bounded by
+    ``max_qualifiers`` (mirrors the reference's per-row qualifier cap,
+    `include/tera/scan.h:91-94` SetMaxQualifiers). A sparse-wide CF
+    (per-row qualifiers as data, e.g. tags) past the cap raises rather
+    than OOM-ing the driver / planner: keep such data long-form (the
+    cell view itself) or export the map column instead."""
     latest = (
         visible.groupBy("row_key", "qualifier")
         .agg(F.max_by("value", "ts").alias("value"))
@@ -92,7 +102,16 @@ def export_rows(visible: DataFrame, key_col: str = "row_key") -> DataFrame:
         latest.groupBy("row_key")
         .agg(F.map_from_entries(F.collect_list(F.struct("qualifier", "sval"))).alias("m"))
     )
-    quals = sorted(r.qualifier for r in visible.select("qualifier").distinct().collect())
+    qrows = (
+        visible.select("qualifier").distinct().limit(max_qualifiers + 1).collect()
+    )
+    if len(qrows) > max_qualifiers:
+        raise ValueError(
+            f"export_rows: more than {max_qualifiers} distinct qualifiers — "
+            "a pivoted schema this wide is a sparse-CF misuse; raise "
+            "max_qualifiers explicitly or export the long/cell form"
+        )
+    quals = sorted(r.qualifier for r in qrows)
     return wide.select(
         F.col("row_key").alias(key_col),
         *[F.element_at("m", q).alias(q) for q in quals],

@@ -126,3 +126,69 @@ def test_cli_scan_all_versions_on_hash_table(spark, tmp_path, capsys):
     assert main(["--root", root, "scan", "h", "--all-versions"]) == 0
     out = capsys.readouterr().out
     assert "new" in out and "old" in out
+
+
+# --- round-3 ADVICE lows -------------------------------------------------
+
+
+def test_hash_scan_bounded_limit_returns_first_n_in_key_order(cat):
+    """A bounded+limited hash scan must return the FIRST N cells in
+    user-key order, not an arbitrary in-range subset (ADVICE low,
+    client.py _user_range)."""
+    cat.create_table("ho <hash=on> {d}")
+    t = Table(cat, "ho")
+    b = MutationBatch()
+    for i in range(20):
+        b.put(f"k{i:02d}", "d", "q", f"v{i}", ts=1)
+    t.apply_mutation(b)
+    rows = list(t.scan(ScanDescriptor(start="k03", end="k15", number_limit=4)))
+    assert [r.row_key for r in rows] == ["k03", "k04", "k05", "k06"]
+    df_keys = [r.row_key for r in
+               t.scan_df(ScanDescriptor(start="k03", end="k15", number_limit=4)).collect()]
+    assert sorted(df_keys) == ["k03", "k04", "k05", "k06"]
+
+
+def test_update_schema_cannot_sneak_ttl_under_open_oracle_handle(cat):
+    """update_schema adding cf ttl>0 after an oracle-stamped handle is
+    open must not silently reintroduce the mixed-basis bug — the next
+    write through the stale handle is refused (ADVICE low)."""
+    from tera_spark.functions.timeoracle import Timeoracle
+
+    from tera_spark.registry import parse_schema_string
+
+    cat.create_table("os {d}")
+    t = Table(cat, "os", timeoracle=Timeoracle())
+    t.put("r", "d", "q", "fine")
+    cat.update_schema(parse_schema_string("os {d <ttl=60>}"))
+    with pytest.raises(ValueError, match="timeoracle"):
+        t.put("r", "d", "q", "now-mixed-basis")
+
+
+def test_global_txn_read_returns_newest_version(cat):
+    """GlobalTransaction.read on a maxversions>1 cf must return the
+    newest surviving version, not an arbitrary collect() row
+    (ADVICE low, txn.py)."""
+    from tera_spark.operators.txn import GlobalTransaction
+
+    cat.create_table("gv {d <maxversions=3>}")
+    t = Table(cat, "gv")
+    t.put("r", "d", "q", "v1", ts=10)
+    t.put("r", "d", "q", "v3", ts=30)
+    t.put("r", "d", "q", "v2", ts=20)
+    txn = GlobalTransaction(cat)
+    assert txn.read("gv", "r", "d", "q") == b"v3"
+
+
+def test_cli_scanallv_does_not_leak_version_lift(spark, tmp_path):
+    """The scanallv version-trim lift must ride a schema COPY — the
+    catalog's own schema object stays untouched (ADVICE low, cli.py)."""
+    from tera_spark.cli import main
+
+    root = str(tmp_path / "cat")
+    assert main(["--root", root, "create", "hl <hash=on> {d <maxversions=1>}"]) == 0
+    assert main(["--root", root, "put", "hl", "k", "d:q", "x", "--ts", "1"]) == 0
+    cat2 = Catalog(spark, root)
+    before = cat2.get_schema("hl").column_families["d"].max_versions
+    assert main(["--root", root, "scan", "hl", "--all-versions"]) == 0
+    after = cat2.get_schema("hl").column_families["d"].max_versions
+    assert before == after == 1

@@ -103,6 +103,29 @@ def test_orc_import_round_trip(spark, tmpdir):
     assert got["1"] == ("alice", "10.5") and got["2"] == ("bob", None)
 
 
+def test_export_rows_qualifier_cap(spark):
+    """A sparse-wide CF (qualifiers as data) must refuse to pivot into
+    a driver-sized schema instead of OOM-ing (SetMaxQualifiers analog,
+    include/tera/scan.h:91-94)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    cells = spark.range(50).select(
+        F.lit("r1").alias("row_key"),
+        F.lit("d").alias("cf"),
+        F.concat(F.lit("tag_"), F.col("id")).alias("qualifier"),
+        F.lit(1).cast("long").alias("ts"),
+        F.lit(0).alias("op"),
+        F.col("id").cast("string").cast("binary").alias("value"),
+        F.col("id").alias("seq"),
+    )
+    with pytest.raises(ValueError, match="distinct qualifiers"):
+        export_rows(cells, max_qualifiers=10)
+    wide = export_rows(cells, max_qualifiers=50)
+    assert len(wide.columns) == 51  # row_key + 50 tags
+
+
 def test_training_shard_writer(spark, tmp_path):
     from tera_spark.sources.sharding import read_shard, shard_id, write_training_shards
     import glob
