@@ -1,17 +1,28 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, processed via Arrow-batched Pandas UDFs over mapInPandas.
 
-The decode step itself is STUBBED (the image/audio codec libraries are
-not in this container): `decode_image`/`decode_audio` raise
-NotImplementedError unless ``fake=True``, in which case a deterministic
-fake derived from the raw bytes stands in. Everything around the stub —
-schema, batch iteration, partition-size control, UDF signatures — is
-the real Spark plumbing a production pipeline needs, and the fake path
-is deterministic so it is oracle-checkable.
+Two codec tiers:
+
+* REAL, stdlib-pure: PNG (zlib inflate + full scanline unfiltering,
+  gray/RGB/RGBA 8-bit; plus a grayscale encoder for the resize
+  re-encode path) and WAV (RIFF PCM16 parse/emit via `wave`). A
+  payload whose magic bytes identify one of these containers decodes
+  for real — pixels/samples out, no fakery.
+* STUBBED: formats needing external codec libraries (JPEG, MP3, ...)
+  raise NotImplementedError unless ``fake=True``, in which case a
+  deterministic fake derived from the raw bytes stands in (keeps
+  fixtures oracle-checkable without binary assets).
+
+Everything around the codecs — schema, Arrow batch iteration,
+partition-size control, UDF signatures — is the production Spark
+plumbing either way: payload bytes never cross a shuffle, and decode
+parallelism is whatever the upstream partitioning says.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -19,6 +30,131 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal real PNG encoder: 8-bit grayscale, filter 0 scanlines,
+    one zlib-deflated IDAT. Round-trips through any PNG decoder."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real stdlib PNG decode: chunk walk, zlib inflate, and full
+    scanline unfiltering (filter types 0-4 incl. Paeth). Supports
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced. Returns
+    {width, height, channels, pixels} with pixels as the raw
+    channel-interleaved bytes."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG depth={depth} color_type={ctype}")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            meta = (w, h, _PNG_CHANNELS[ctype])
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = raw[y * (stride + 1)]
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0  # left (already unfiltered)
+            b = prev[x]  # up
+            c = prev[x - ch] if x >= ch else 0  # upper-left
+            if ftype == 1:
+                row[x] = (row[x] + a) & 0xFF
+            elif ftype == 2:
+                row[x] = (row[x] + b) & 0xFF
+            elif ftype == 3:
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth predictor
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter type {ftype}")
+        prev = bytes(row)
+        out += row
+    return {"width": w, "height": h, "channels": ch, "pixels": bytes(out)}
+
+
+def encode_wav_pcm16(sample_rate: int, samples: list[int] | bytes) -> bytes:
+    """Real WAV encoder: mono PCM16 via the stdlib `wave` module."""
+    import io
+    import wave
+
+    if not isinstance(samples, (bytes, bytearray)):
+        samples = struct.pack(f"<{len(samples)}h", *samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real stdlib WAV decode (RIFF PCM): sample rate, sample count,
+    channels, and the int16 samples (first channel)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        nframes = w.getnframes()
+        frames = w.readframes(nframes)
+    if width != 2:
+        raise NotImplementedError(f"WAV sample width {width}")
+    all_samples = struct.unpack(f"<{nframes * nch}h", frames)
+    return {
+        "sample_rate": rate,
+        "n_samples": nframes,
+        "channels": nch,
+        "samples": all_samples[::nch],
+    }
 
 # media asset table schema: opaque payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -32,31 +168,41 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "asset_id long, media_type string, n_bytes long, head_byte int, "
-    "byte_sum long, width int, height int"
+    "byte_sum long, width int, height int, n_pixels long, pixel_sum long"
 )
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
-    """Stub decode: a real deployment plugs PIL/libvips here."""
+    """Image decode. PNG payloads (magic-sniffed) decode for REAL via
+    the stdlib codec above. Other formats need external libs (PIL/
+    libvips): they raise unless ``fake=True``, whose deterministic
+    stand-in derives pseudo-dimensions from the bytes and uses the
+    payload itself as the 'pixels'."""
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     if not fake:
-        raise NotImplementedError("image codecs not available in this container")
-    # deterministic fake: derive pseudo-dimensions from the bytes
+        raise NotImplementedError("non-PNG image codecs not available in this container")
     n = len(payload)
     return {
         "width": 16 + (payload[0] if n else 0) % 64,
         "height": 16 + (payload[-1] if n else 0) % 64,
+        "channels": 1,
+        "pixels": bytes(payload),
     }
 
 
 def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
-    """Stub decode: a real deployment plugs ffmpeg/soundfile here. The
-    deterministic fake derives sample_rate/n_samples from the bytes so
-    downstream duration math is testable."""
+    """Audio decode. RIFF/WAVE payloads decode for REAL via the stdlib
+    `wave` parser. Other formats (MP3/FLAC/...) need ffmpeg/soundfile:
+    they raise unless ``fake=True`` (deterministic rate/sample-count
+    stand-in derived from the bytes)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     if not fake:
-        raise NotImplementedError("audio codecs not available in this container")
+        raise NotImplementedError("non-WAV audio codecs not available in this container")
     n = len(payload)
     rate = 8000 * (1 + (payload[0] if n else 0) % 3)  # 8/16/24 kHz
-    return {"sample_rate": rate, "n_samples": n * 256}
+    return {"sample_rate": rate, "n_samples": n * 256, "channels": 1, "samples": ()}
 
 
 def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
@@ -77,6 +223,10 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
                     "byte_sum": payloads.apply(lambda b: sum(b) % (1 << 31)).astype("int64"),
                     "width": dims.apply(lambda d: d["width"]).astype("int32"),
                     "height": dims.apply(lambda d: d["height"]).astype("int32"),
+                    "n_pixels": dims.apply(lambda d: len(d["pixels"])).astype("int64"),
+                    "pixel_sum": dims.apply(lambda d: sum(d["pixels"]) % (1 << 31)).astype(
+                        "int64"
+                    ),
                 }
             )
             yield out
@@ -108,11 +258,30 @@ RESIZED_SCHEMA = (
 
 
 def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
-    """Stub resize: a real deployment plugs PIL/libvips here. The fake
-    path is deterministic — output length is width*height//256 bytes of
-    the payload cycled — so the batch plumbing is testable."""
+    """Image resize. PNG payloads resize for REAL: decode, grayscale
+    (integer-mean across channels), nearest-neighbor resample, and
+    re-encode through `encode_png_gray` — a full decode→transform→
+    encode round trip in pure stdlib. Non-PNG formats raise unless
+    ``fake=True`` (deterministic stand-in: width*height//256 payload
+    bytes cycled)."""
+    if payload[:8] == PNG_MAGIC:
+        d = decode_png(payload)
+        w, h, ch, px = d["width"], d["height"], d["channels"], d["pixels"]
+        if ch == 1:
+            gray = px
+        else:
+            gray = bytes(
+                sum(px[i * ch : i * ch + min(ch, 3)]) // min(ch, 3)  # alpha excluded
+                for i in range(w * h)
+            )
+        out = bytes(
+            gray[(y * h // height) * w + (x * w // width)]
+            for y in range(height)
+            for x in range(width)
+        )
+        return encode_png_gray(width, height, out)
     if not fake:
-        raise NotImplementedError("image codecs not available in this container")
+        raise NotImplementedError("non-PNG image codecs not available in this container")
     n = max(width * height // 256, 1)
     if not payload:
         return bytes(n)
@@ -149,7 +318,8 @@ def resize_images(
 
 
 AUDIO_SCHEMA = (
-    "asset_id long, n_bytes long, sample_rate int, n_samples long, duration_ms long"
+    "asset_id long, n_bytes long, sample_rate int, n_samples long, duration_ms long, "
+    "amp_sum long"
 )
 
 
@@ -171,6 +341,11 @@ def extract_audio_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
                     "sample_rate": rate,
                     "n_samples": samples,
                     "duration_ms": (samples * 1000 // rate).astype("int64"),
+                    # mean-absolute-amplitude numerator; 0 on the fake
+                    # path (no samples to decode)
+                    "amp_sum": dec.apply(
+                        lambda d: sum(abs(s) for s in d.get("samples", ()))
+                    ).astype("int64"),
                 }
             )
 
@@ -180,19 +355,30 @@ def extract_audio_features(media: DataFrame, *, fake_decode: bool = True) -> Dat
 
 
 def phash64(payload: bytes, *, fake: bool = False) -> int:
-    """Perceptual hash of an image payload. A real deployment decodes
-    pixels and DCT-hashes them (pHash); the container has no codecs,
-    so the decode is the stubbed deterministic fake — but the hash
-    math downstream of "pixels" is real: an 8x8 mean-threshold bit
-    matrix packed into 64 bits. Near-identical payloads (e.g. the
-    same image re-encoded with small byte diffs) land within a small
-    Hamming distance; unrelated payloads differ in ~32 bits."""
-    if not fake:
-        raise NotImplementedError("image codecs not available in this container")
+    """Perceptual hash of an image payload: an 8x8 mean-threshold bit
+    matrix over the luma plane packed into 64 bits (aHash — the
+    mean-threshold member of the pHash family). PNG payloads hash
+    their REAL decoded pixels; other formats raise unless ``fake=True``
+    (raw payload bytes stand in for luma). Near-identical images land
+    within a small Hamming distance; unrelated ones differ in ~32
+    bits."""
+    if payload[:8] == PNG_MAGIC:
+        d = decode_png(payload)
+        ch, px = d["channels"], d["pixels"]
+        payload = (
+            px
+            if ch == 1
+            else bytes(
+                sum(px[i * ch : i * ch + min(ch, 3)]) // min(ch, 3)
+                for i in range(d["width"] * d["height"])
+            )
+        )
+    elif not fake:
+        raise NotImplementedError("non-PNG image codecs not available in this container")
     if not payload:
         return 0
-    # fake "pixels": average byte value per 8x8 grid cell over the raw
-    # payload (stands in for decoded luma; deterministic)
+    # average luma per 8x8 grid cell (on the fake path, raw payload
+    # bytes stand in for decoded luma; deterministic either way)
     n = len(payload)
     cell = max(n // 64, 1)
     cells = [
@@ -262,3 +448,69 @@ def phash_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- deterministic real-media synthesis ---------------------------------
+# Fixture generators for the oracle gate: REAL PNG/WAV containers whose
+# content is a closed-form function of table columns, so a SQL oracle
+# can predict every decode-derived value without being able to (or
+# needing to) parse the container itself. The formulas below are the
+# contract shared with the oracle SQL in queries/llmops.py.
+
+PNG_W = "8 + (id % 9)"  # oracle formula, id = doc_id
+PNG_H = "8 + (n % 7)"  # n = n_chars
+PNG_PIX = "(id * 131 + i * 17) % 256"  # i = row-major pixel index
+WAV_RATE = "8000 * (1 + id % 3)"
+WAV_N = "64 + (n % 128)"
+WAV_SAMPLE = "((id * 7 + i * 13) % 2048 - 1024) * 16"
+
+
+def synth_png_media(docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars") -> DataFrame:
+    """Encode one real grayscale PNG per row: dimensions and pixels
+    from the PNG_* formulas above. mapInPandas (Arrow-batched), so the
+    encode stage has the same plumbing as a production ingest."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["id"], pdf["n"]):
+                did, n = int(did), int(n)
+                w, h = 8 + did % 9, 8 + n % 7
+                px = bytes((did * 131 + i * 17) % 256 for i in range(w * h))
+                payloads.append(encode_png_gray(w, h, px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars") -> DataFrame:
+    """Encode one real mono PCM16 WAV per row (WAV_* formulas)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["id"], pdf["n"]):
+                did, n = int(did), int(n)
+                rate = 8000 * (1 + did % 3)
+                cnt = 64 + n % 128
+                samples = [((did * 7 + i * 13) % 2048 - 1024) * 16 for i in range(cnt)]
+                payloads.append(encode_wav_pcm16(rate, samples))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)

@@ -264,99 +264,115 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "multimodal_features",
     """
-    SELECT cast(doc_id AS bigint) AS asset_id,
-           cast(octet_length(encode(text)) AS bigint) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS head_byte,
-           16 + ascii(substr(text, 1, 1)) % 64 AS width,
-           16 + ascii(substr(text, length(text), 1)) % 64 AS height
-    FROM documents WHERE doc_id % 6 = 0
+    WITH m AS (
+      SELECT doc_id AS id, 8 + (doc_id % 9) AS w, 8 + (n_chars % 7) AS h
+      FROM documents WHERE doc_id % 6 = 0
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(w AS int) AS width, cast(h AS int) AS height,
+           cast(w * h AS bigint) AS n_pixels,
+           cast(sum((id * 131 + i * 17) % 256) AS bigint) AS pixel_sum
+    FROM m, unnest(range(0, w * h)) AS u(i)
+    GROUP BY id, w, h
     """,
 )
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary-column plumbing: documents.text cast to an opaque payload,
-    features extracted through the real mapInPandas path with the
-    deterministic fake decoder (codec libs are stubbed, SURVEY §north-star)."""
-    from tera_spark.operators.multimodal import extract_features
+    """REAL image decode end-to-end: one genuine grayscale PNG per
+    document (stdlib zlib/struct encoder, content a closed-form
+    function of (doc_id, n_chars) — operators/multimodal.py PNG_*),
+    decoded back by the stdlib PNG decoder inside the Arrow-batched
+    mapInPandas feature extractor. The oracle predicts width/height/
+    pixel_sum from the formulas — it never parses the container, so a
+    decoder bug cannot cancel out an encoder bug on the Spark side
+    (pixel_sum pins the whole unfiltered pixel plane)."""
+    from tera_spark.operators.multimodal import extract_features, synth_png_media
 
     docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 0)
-    media = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
-        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
-    )
-    feats = extract_features(media, fake_decode=True)
+    feats = extract_features(synth_png_media(docs), fake_decode=False)
     return feats.select(
         "asset_id",
-        "n_bytes",
-        F.col("head_byte").cast("int").alias("head_byte"),
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
+        "n_pixels",
+        "pixel_sum",
     )
 
 
 @query(
     "multimodal_audio_features",
     """
-    SELECT cast(doc_id AS bigint) AS asset_id,
-           cast(octet_length(encode(text)) AS bigint) AS n_bytes,
-           8000 * (1 + ascii(substr(text, 1, 1)) % 3) AS sample_rate,
-           cast(octet_length(encode(text)) * 256 AS bigint) AS n_samples,
-           cast((octet_length(encode(text)) * 256 * 1000)
-                // (8000 * (1 + ascii(substr(text, 1, 1)) % 3)) AS bigint)
-             AS duration_ms
-    FROM documents WHERE doc_id % 9 = 0 AND length(text) >= 1
+    WITH m AS (
+      SELECT doc_id AS id,
+             8000 * (1 + doc_id % 3) AS rate,
+             64 + (n_chars % 128) AS cnt
+      FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(44 + 2 * cnt AS bigint) AS n_bytes,
+           cast(rate AS int) AS sample_rate,
+           cast(cnt AS bigint) AS n_samples,
+           cast((cnt * 1000) // rate AS bigint) AS duration_ms,
+           cast(sum(abs(((id * 7 + i * 13) % 2048 - 1024) * 16)) AS bigint) AS amp_sum
+    FROM m, unnest(range(0, cnt)) AS u(i)
+    GROUP BY id, rate, cnt
     """,
 )
 def multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
-    """Audio-modality plumbing: payloads through the stubbed decoder's
-    deterministic fake (rate/sample-count derived from bytes), duration
-    computed batch-side — the same mapInPandas shape as images."""
-    from tera_spark.operators.multimodal import extract_audio_features
+    """REAL audio decode end-to-end: one genuine mono PCM16 WAV per
+    document (stdlib `wave` encoder, samples a closed-form function of
+    (doc_id, n_chars) — operators/multimodal.py WAV_*), parsed back by
+    the stdlib RIFF decoder in the mapInPandas extractor. The oracle
+    predicts rate/count/duration/amp_sum from the formulas, plus the
+    container size (44-byte canonical PCM header + 2 bytes/sample)."""
+    from tera_spark.operators.multimodal import extract_audio_features, synth_wav_media
 
-    docs = load(spark, sf, "documents").filter(
-        (F.col("doc_id") % 9 == 0) & (F.length("text") >= 1)
-    )
-    media = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("audio").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
-        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
-    )
-    return extract_audio_features(media, fake_decode=True)
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 9 == 0)
+    return extract_audio_features(synth_wav_media(docs), fake_decode=False)
 
 
 @query(
     "multimodal_resize",
     """
-    SELECT cast(doc_id AS bigint) AS asset_id, 64 AS width, 64 AS height,
-           cast(16 AS bigint) AS n_bytes, substr(text, 1, 16) AS head
-    FROM documents WHERE doc_id % 6 = 0 AND length(text) >= 16
+    WITH m AS (
+      SELECT doc_id AS id, 8 + (doc_id % 9) AS w, 8 + (n_chars % 7) AS h
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    cells AS (
+      SELECT id, (y * h // 4) * w + (x * w // 4) AS src
+      FROM m, unnest(range(0, 4)) AS uy(y), unnest(range(0, 4)) AS ux(x)
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(4 AS int) AS width, cast(4 AS int) AS height,
+           cast(16 AS bigint) AS n_pixels,
+           cast(sum((id * 131 + src * 17) % 256) AS bigint) AS pixel_sum
+    FROM cells GROUP BY id
     """,
 )
 def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
-    """Resize stage through the real mapInPandas batch path with the
-    deterministic fake codec (64x64 -> 16-byte fake payload = the
-    source bytes cycled/truncated); schema, batching, and partition
-    preservation are the production plumbing."""
-    from tera_spark.operators.multimodal import resize_images
+    """REAL decode→resize→re-encode→decode round trip: synthesized
+    PNGs nearest-neighbor-downsampled to 4x4 (stdlib codec both ways,
+    payloads never crossing a shuffle), then the resized PNG is decoded
+    AGAIN by the feature extractor — so the oracle's predicted resized
+    pixel_sum pins the encoder, the resampler, and the decoder at
+    once (resized pixel (y,x) = source pixel (y*h//4, x*w//4))."""
+    from tera_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synth_png_media,
+    )
 
-    docs = load(spark, sf, "documents").filter(
-        (F.col("doc_id") % 6 == 0) & (F.length("text") >= 16)
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 0)
+    resized = resize_images(synth_png_media(docs), width=4, height=4, fake_decode=False)
+    feats = extract_features(
+        resized.select("asset_id", "media_type", "payload", F.lit(None).alias("meta")),
+        fake_decode=False,
     )
-    media = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("media_type"),
-        F.col("text").cast("binary").alias("payload"),
-        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
-    )
-    out = resize_images(media, width=64, height=64, fake_decode=True)
-    return out.select(
+    return feats.select(
         "asset_id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
-        "n_bytes",
-        F.col("payload").cast("string").alias("head"),
+        "n_pixels",
+        "pixel_sum",
     )
 
 

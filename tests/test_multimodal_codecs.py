@@ -1,0 +1,166 @@
+"""Real stdlib media codecs: PNG encode/decode (all 5 scanline filter
+types, gray/RGB), WAV PCM16 round trip, real resize and pHash paths,
+and the synthesized-media formulas the oracle SQL predicts."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from tera_spark.operators.multimodal import (
+    PNG_MAGIC,
+    decode_audio,
+    decode_image,
+    decode_png,
+    decode_wav,
+    encode_png_gray,
+    encode_wav_pcm16,
+    phash64,
+    resize_image,
+)
+
+W, H = 13, 9
+PIX = bytes((i * 17 + 5) % 256 for i in range(W * H))
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filtered(w: int, h: int, px: bytes, ftype: int) -> bytes:
+    """Hand-encode a grayscale PNG using a specific scanline filter, so
+    the decoder's unfiltering is tested against an independent coder."""
+    rows, prev = [], bytes(w)
+    for y in range(h):
+        row = px[y * w : (y + 1) * w]
+        enc = bytearray()
+        for x in range(w):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ftype == 1:
+                v = (row[x] - a) & 0xFF
+            elif ftype == 2:
+                v = (row[x] - b) & 0xFF
+            elif ftype == 3:
+                v = (row[x] - (a + b) // 2) & 0xFF
+            else:
+                p0 = a + b - c
+                pa, pb, pc = abs(p0 - a), abs(p0 - b), abs(p0 - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (row[x] - pred) & 0xFF
+            enc.append(v)
+        rows.append(bytes([ftype]) + bytes(enc))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_gray_round_trip():
+    d = decode_png(encode_png_gray(W, H, PIX))
+    assert (d["width"], d["height"], d["channels"]) == (W, H, 1)
+    assert d["pixels"] == PIX
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_decode_unfilters(ftype):
+    assert decode_png(_png_filtered(W, H, PIX, ftype))["pixels"] == PIX
+
+
+def test_png_decode_rgb():
+    rgb = bytes((i * 7) % 256 for i in range(W * H * 3))
+    raw = b"".join(b"\x00" + rgb[y * W * 3 : (y + 1) * W * 3] for y in range(H))
+    p = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    d = decode_png(p)
+    assert d["channels"] == 3 and d["pixels"] == rgb
+
+
+def test_real_resize_nearest_neighbor():
+    rz = decode_png(resize_image(encode_png_gray(W, H, PIX), 4, 4))
+    expect = bytes(PIX[(y * H // 4) * W + (x * W // 4)] for y in range(4) for x in range(4))
+    assert (rz["width"], rz["height"]) == (4, 4) and rz["pixels"] == expect
+
+
+def test_wav_round_trip():
+    samples = [((i * 13) % 2048 - 1024) * 16 for i in range(100)]
+    d = decode_wav(encode_wav_pcm16(16000, samples))
+    assert d["sample_rate"] == 16000 and d["n_samples"] == 100
+    assert list(d["samples"]) == samples
+    # canonical PCM container: 44-byte header + 2 bytes/sample (the
+    # n_bytes formula the audio oracle predicts)
+    assert len(encode_wav_pcm16(16000, samples)) == 44 + 2 * 100
+
+
+def test_magic_routing():
+    png = encode_png_gray(W, H, PIX)
+    wav = encode_wav_pcm16(8000, [0] * 10)
+    assert decode_image(png)["width"] == W  # no fake flag needed
+    assert decode_audio(wav)["n_samples"] == 10
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8jpegdata")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3mp3data")
+
+
+def test_phash_real_pixels_stable_under_reencode():
+    """The hash must come from decoded pixels, not container bytes:
+    re-encoding the same pixels at a different zlib level changes the
+    payload but not the pHash."""
+    p1 = encode_png_gray(W, H, PIX)
+    body = b"".join(b"\x00" + PIX[y * W : (y + 1) * W] for y in range(H))
+    p2 = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(body, 1))
+        + _chunk(b"IEND", b"")
+    )
+    assert p1 != p2
+    assert phash64(p1) == phash64(p2)
+    near = bytes(min(b + 1, 255) for b in PIX)
+    ham = bin(phash64(p1) ^ phash64(encode_png_gray(W, H, near))).count("1")
+    assert ham <= 8  # near-identical image stays close
+
+
+def test_synth_media_formulas(spark):
+    """The synthesized fixtures decode back to exactly the closed-form
+    values the oracle SQL predicts."""
+    from tera_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_features,
+        synth_png_media,
+        synth_wav_media,
+    )
+
+    docs = spark.createDataFrame([(6, 40), (12, 7)], "doc_id long, n_chars long")
+    feats = {r.asset_id: r for r in extract_features(synth_png_media(docs)).collect()}
+    for did, n in [(6, 40), (12, 7)]:
+        w, h = 8 + did % 9, 8 + n % 7
+        r = feats[did]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.pixel_sum == sum((did * 131 + i * 17) % 256 for i in range(w * h))
+    aud = {r.asset_id: r for r in extract_audio_features(synth_wav_media(docs)).collect()}
+    for did, n in [(6, 40), (12, 7)]:
+        rate, cnt = 8000 * (1 + did % 3), 64 + n % 128
+        r = aud[did]
+        assert (r.sample_rate, r.n_samples, r.n_bytes) == (rate, cnt, 44 + 2 * cnt)
+        assert r.duration_ms == cnt * 1000 // rate
+        assert r.amp_sum == sum(
+            abs(((did * 7 + i * 13) % 2048 - 1024) * 16) for i in range(cnt)
+        )
