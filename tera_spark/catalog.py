@@ -822,6 +822,98 @@ class Catalog:
                 f"table {name!r} writes fenced: lease held by {cur['holder']!r}"
             )
 
+    # --- multi-writer commit CAS --------------------------------------
+    # The writer lease above fences a SECOND long-lived writer out
+    # entirely. append_cas is the cooperative alternative (SCALE.md §7
+    # commit-manifest upgrade): racing committers serialize on a
+    # per-watermark claim file — the optimistic-commit role of the
+    # reference's Percolator primary-lock CAS (global_txn.cc:578-720,
+    # prewrite locks + one atomic primary commit decide a single
+    # winner) — so both batches land, one after the other, instead of
+    # one being refused. Exactly one writer can hold claim-<W>.lock
+    # (O_EXCL create) while the watermark is W; its commit record's
+    # atomic rename advances the watermark, after which contenders
+    # re-read and race for claim-<W'>. A claim whose holder died
+    # expires after ttl and is taken over (same documented small
+    # takeover window as the lease); a torn parquet tail left by the
+    # dead holder is rolled back by the existing watermark recovery,
+    # and new sequences are always allocated ABOVE any torn tail, so
+    # readers never see a partial batch.
+
+    def _claim_commit_slot(self, name: str, base_mark: int, holder: str, ttl_s: float) -> bool:
+        import os
+
+        d = self.root / name / "commits"
+        d.mkdir(exist_ok=True)
+        p = d / f"claim-{base_mark}.lock"
+        rec = json.dumps({"holder": holder, "expires": time.time() + ttl_s})
+        try:
+            fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                cur = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                cur = None
+            if cur is not None and cur.get("expires", 0) > time.time():
+                return False  # live claim: lose this round
+            tmp = p.with_suffix(".tmp")
+            tmp.write_text(rec)
+            tmp.replace(p)  # expired/corrupt claim: take over
+            return True
+        with os.fdopen(fd, "w") as f:
+            f.write(rec)
+        return True
+
+    def append_cas(
+        self,
+        name: str,
+        batch,
+        *,
+        holder: str | None = None,
+        max_wait_s: float = 10.0,
+        claim_ttl_s: float = 60.0,
+    ) -> int:
+        """Serialized multi-writer group commit. ``batch`` is a
+        MutationBatch whose base sequence THIS method assigns — under
+        contention each committer's window lands strictly after the
+        previous winner's record, so seq ranges never interleave.
+        Returns the batch's committed high sequence. Raises
+        WriterFenced if the slot can't be claimed within
+        ``max_wait_s`` (a held lease still fences as usual)."""
+        holder = holder or self.writer_id or f"pid-{id(self)}"
+        deadline = time.time() + max_wait_s
+        while True:
+            w = self.commit_watermark(name)
+            base_mark = w if w is not None else -1
+            if self._claim_commit_slot(name, base_mark, holder, claim_ttl_s):
+                claim = self.root / name / "commits" / f"claim-{base_mark}.lock"
+                try:
+                    # the watermark may have advanced between the read
+                    # and the claim win (stale slot freed by its
+                    # winner): detect and go claim the current one
+                    w2 = self.commit_watermark(name)
+                    if (w2 if w2 is not None else -1) != base_mark:
+                        continue
+                    # allocate ABOVE any rolled-back torn tail, not just
+                    # the watermark (same rule as Table._seq)
+                    raw = self.raw_max_seq(name)
+                    base = max(base_mark, raw if raw is not None else -1) + 1
+                    batch._base_seq = base
+                    self.append(
+                        name,
+                        batch.to_df(self.spark),
+                        commit_seq=base + len(batch) - 1,
+                        op_kinds=batch.op_kinds,
+                    )
+                    return base + len(batch) - 1
+                finally:
+                    claim.unlink(missing_ok=True)
+            if time.time() >= deadline:
+                raise WriterFenced(
+                    f"table {name!r}: commit slot contended past {max_wait_s}s"
+                )
+            time.sleep(0.05)
+
     def table_stats(self, name: str) -> dict:
         """One-call observability roll-up per table (teracli `stat`
         spirit): metadata-only — files/rows/bytes from footers, op mix

@@ -86,7 +86,9 @@ def ivf_assign(
     scored = v.crossJoin(F.broadcast(c)).select("id", "vec", "cid", dist2.alias("d2"))
     return (
         scored.groupBy("id")
-        .agg(F.min_by("cid", "d2").alias("cluster"), F.first("vec").alias("vec"))
+        # struct key: exact-d2 ties break toward the lower centroid id
+        # (deterministic on any engine — the oracle replays this argmin)
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cluster"), F.first("vec").alias("vec"))
     )
 
 
@@ -212,6 +214,29 @@ def ivf_topk(
     )
 
 
+def train_sample(
+    v: DataFrame, n: int | None, *, id_col: str = "id"
+) -> DataFrame:
+    """Deterministic training sample: the ``n`` rows with smallest
+    h60(id) — a hash-uniform draw that any engine replays exactly
+    (md5-based, so the DuckDB oracle can too; plans as a distributed
+    TakeOrdered, never a global sort). Lloyd's
+    centroids converge on sample statistics, so training on a bounded
+    sample and encoding ALL vectors is the standard large-corpus
+    k-means recipe (FAISS trains on ~max(10k·k, 256k) points); this
+    turns the per-iteration cost from O(N) to O(n) while the encode
+    pass stays one map-only sweep. ``n=None`` trains on everything.
+
+    The seed rows (smallest k by the same hash) are always inside the
+    sample, so small corpora (N <= n, e.g. every oracle fixture) train
+    bit-identically with or without sampling."""
+    if n is None:
+        return v
+    from tera_spark.functions.text import h60
+
+    return v.orderBy(h60(F.col(id_col).cast("string")), id_col).limit(n)
+
+
 def train_kmeans(
     vectors: DataFrame,
     *,
@@ -220,6 +245,8 @@ def train_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cid_col: str = "centroid_id",
+    sample: int | None = 100_000,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — the training pass that
     produces a real IVF codebook (``ivf_assign``/``ivf_topk`` otherwise
@@ -232,16 +259,30 @@ def train_kmeans(
     centroids, §ivf_assign) + mean recompute (posexplode → one shuffle
     keyed by (cluster, pos) with map-side partial avg). Only k rows ever
     reach the driver per round, so the loop scales to any N; cost is
-    iters × one shuffle — the canonical distributed Lloyd plan. Empty
-    clusters keep their previous centroid (left-join + coalesce), so
-    exactly k centroids survive every round."""
+    iters × one shuffle over the TRAINING SAMPLE (``sample`` smallest-
+    hash rows, persisted across rounds — see `train_sample`; pass
+    sample=None for full-corpus training). Empty clusters keep their
+    previous centroid (left-join + coalesce), so exactly k centroids
+    survive every round.
+
+    ``round_to`` quantizes every recomputed centroid component to that
+    many decimals. This pins the ONLY engine-order-sensitive float op
+    (the per-cluster mean's summation order) to a grid, making the
+    whole training run reproducible on any engine — the
+    ann_kmeans_clusters oracle replays it in DuckDB SQL. Seeds hash
+    with the md5-based h60 (not xxhash64) for the same reason."""
+    from tera_spark.functions.text import h60
+
     spark = vectors.sparkSession
-    v = ensure_parallelism(vectors).select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
-    )
+    v = train_sample(
+        ensure_parallelism(vectors).select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        ),
+        sample,
+    ).persist()  # read every Lloyd round: materialize once
     seed_rows = (
-        v.orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+        v.orderBy(h60(F.col("id").cast("string")), "id")
         .limit(k)
         .select("vec")
         .collect()
@@ -253,10 +294,13 @@ def train_kmeans(
             "cid", F.col("c_vec").alias("vec")
         )
         assigned = ivf_assign(v, cdf, id_col="id", vec_col="vec", cid_col="cid")
+        mean_expr = F.avg("val")
+        if round_to is not None:
+            mean_expr = F.round(mean_expr, round_to)
         means = (
             assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("cluster")
             .agg(
                 F.transform(
@@ -268,6 +312,7 @@ def train_kmeans(
         new = {row["cluster"]: list(row["vec"]) for row in means}
         cents = [(cid, new.get(cid, old)) for cid, old in cents]
 
+    v.unpersist()
     return spark.createDataFrame(cents, "cid long, c_vec array<double>").select(
         F.col("cid").alias(cid_col), F.col("c_vec").alias(vec_col)
     )
@@ -401,6 +446,8 @@ def train_pq(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: int | None = 100_000,
+    round_to: int | None = None,
 ) -> list[list[list[float]]]:
     """Train a product-quantization codebook: split each vector into
     ``m`` subvectors and run Lloyd's k-means with ``k`` centroids in
@@ -415,15 +462,23 @@ def train_pq(
     encode and ADC search then compile to map-only expressions with no
     join at all (the FAISS design point, re-expressed relationally).
 
-    Deterministic: seeds are the k subvectors with smallest
-    xxhash64(id) per subspace; ties in assignment break toward the
-    lower centroid index."""
+    Deterministic: seeds are the k subvectors with smallest h60(id)
+    per subspace; ties in assignment break toward the lower centroid
+    index. Training runs on the `train_sample` draw (``sample``
+    smallest-hash vectors; None = all) — encode still sweeps every
+    vector map-only. ``round_to`` quantizes recomputed sub-centroids
+    (same engine-reproducibility role as in train_kmeans)."""
     from pyspark.sql import Window as W
 
+    from tera_spark.functions.text import h60
+
     spark = vectors.sparkSession
-    v = ensure_parallelism(vectors).select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+    v = train_sample(
+        ensure_parallelism(vectors).select(
+            F.col(id_col).alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("vec"),
+        ),
+        sample,
     )
     dim = len(v.select("vec").first()[0])
     if dim % m:
@@ -442,7 +497,7 @@ def train_pq(
     ).select("id", F.col("s.sub").alias("sub"), F.col("s.svec").alias("svec"))
     sub = sub.persist()
 
-    ws = W.partitionBy("sub").orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+    ws = W.partitionBy("sub").orderBy(h60(F.col("id").cast("string")), "id")
     seeds = (
         sub.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= k)
@@ -468,10 +523,13 @@ def train_pq(
             .groupBy("id", "sub")
             .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cluster"), F.first("svec").alias("svec"))
         )
+        mean_expr = F.avg("val")
+        if round_to is not None:
+            mean_expr = F.round(mean_expr, round_to)
         means = (
             assigned.select("sub", "cluster", F.posexplode("svec").alias("pos", "val"))
             .groupBy("sub", "cluster", "pos")
-            .agg(F.avg("val").alias("mv"))
+            .agg(mean_expr.alias("mv"))
             .groupBy("sub", "cluster")
             .agg(
                 F.transform(

@@ -68,6 +68,104 @@ def hll_distinct(
     return sk.agg(agg)
 
 
+def reproducible_hll_distinct(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str],
+    m: int = 16,
+) -> DataFrame:
+    """Engine-reproducible HLL distinct estimate (Flajolet et al. 2007):
+    unlike Spark's Datasketches `approx_count_distinct` (opaque binary
+    state), every step here is portable arithmetic on a 60-bit md5
+    hash, so ANY engine — including the DuckDB oracle — computes the
+    bit-identical estimate:
+
+      bucket = low log2(m) hash bits; rho = leading-zeros+1 of the
+      remaining 56-bit field (via integer length of bin(), no float
+      log); per-bucket max(rho); and the harmonic sum is EXACT integer
+      math — sum(2^(57-rho)) scaled by 2^57 — so no float-summation
+      order can perturb it. The only float ops left (alpha·m²·2^57 /
+      S, and the small-range ln branch) are IEEE-exact or quantized.
+
+    Same mergeable-scale story as build_hll_table: per-bucket max is
+    associative, partials stay map-side. Returns one row per group
+    with `approx_distinct` (double, rounded to 4dp)."""
+    from tera_spark.functions.text import h60
+
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    p = m.bit_length() - 1
+    h = h60(F.col(value_col).cast("string"))
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    rest = F.shiftright(h, p)
+    field_bits = 60 - p
+    scale = field_bits + 1  # rho ranges 1..field_bits+1
+    rho = F.when(rest == 0, F.lit(scale)).otherwise(
+        F.lit(scale) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select(*group_cols, bucket.alias("bkt"), rho.alias("rho"))
+        .groupBy(*group_cols, "bkt")
+        .agg(F.max("rho").alias("mr"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("present"),
+        # variable-distance shift: the DataFrame shiftleft only takes a
+        # literal count, so this one goes through the SQL form
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {scale} - mr)")).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("present")
+    s_total = F.col("s_present") + zeros * F.lit(1 << scale)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / s_total
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    return per_group.select(*group_cols, F.round(est, 4).alias("approx_distinct"))
+
+
+def fixed_bin_quantiles(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    quantiles: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Engine-reproducible quantile sketch: fixed-width histogram →
+    CDF walk → first-bin midpoint per requested quantile, one column
+    per quantile (q50/q95/...). Deterministic counterpart of
+    `percentile_approx` (GK sketches are engine-specific): bin
+    assignment and cumulative counts are integer math, so any engine
+    agrees exactly. Mergeable at scale exactly like build_hist_table
+    (per-bin counts add); values outside [lo, hi) clamp to edge bins."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+    bins = (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wg = W.partitionBy(*group_cols)
+    cdf = bins.withColumn("cum", F.sum("cnt").over(wg.orderBy("bin"))).withColumn(
+        "total", F.sum("cnt").over(wg)
+    )
+    mid = F.lit(lo) + (F.col("bin") + 0.5) * F.lit(width)
+    aggs = [
+        F.min(F.when(F.col("cum") >= F.lit(q) * F.col("total"), mid)).alias(
+            f"q{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return cdf.groupBy(*group_cols).agg(*aggs)
+
+
 def build_hist_table(
     df: DataFrame,
     path: str,

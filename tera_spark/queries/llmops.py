@@ -1371,27 +1371,112 @@ def ann_hyperplane(spark: SparkSession, sf: str) -> DataFrame:
     return hyperplane_lsh_pairs(emb, threshold=0.35)
 
 
-@query("ann_kmeans_clusters")
+def _sql_kmeans_oracle(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """DuckDB replay of train_kmeans(k, iters, round_to=3): the Lloyd
+    loop is a FIXED iteration count, so it unrolls into one CTE chain —
+    seeds by h60(id), argmin assignment with (d2, cid) tie-break,
+    per-(cluster, dim) mean rounded to 3dp (the quantization that pins
+    the only summation-order-sensitive op), empty clusters keeping the
+    previous centroid. Generated, not handwritten, so k/iters stay in
+    sync with the Spark query."""
+    d2 = (
+        "list_reduce(list_transform(range(1, {d}+1), i -> "
+        "(v.vec[i] - c.c_vec[i]) * (v.vec[i] - c.c_vec[i])), (x, y) -> x + y)"
+    ).format(d=dim)
+    parts = [
+        "WITH v AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> x::double) AS vec, label FROM embeddings)",
+        # seeds: k smallest h60(id) -> centroid ids 0..k-1 in that order
+        f"""seeds AS (
+          SELECT row_number() OVER (
+            ORDER BY (('0x' || substr(md5(cast(id AS varchar)), 1, 15))::bigint), id
+          ) - 1 AS cid, vec
+          FROM v QUALIFY cid < {k}
+        )""",
+        "cents0 AS (SELECT cid, vec AS c_vec FROM seeds)",
+    ]
+    for t in range(iters):
+        parts.append(f"""assign{t} AS (
+          SELECT id, vec, label, cid AS cluster FROM (
+            SELECT v.id, v.vec, v.label, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {d2}, c.cid) AS rn
+            FROM v, cents{t} c
+          ) WHERE rn = 1
+        )""")
+        parts.append(f"""means{t} AS (
+          SELECT cluster AS cid,
+                 list(round(m, 3) ORDER BY pos) AS c_vec
+          FROM (
+            SELECT cluster, pos, avg(vec[pos]) AS m
+            FROM assign{t}, unnest(range(1, {dim}+1)) AS u(pos)
+            GROUP BY cluster, pos
+          ) GROUP BY cluster
+        )""")
+        parts.append(f"""cents{t + 1} AS (
+          SELECT p.cid, coalesce(m.c_vec, p.c_vec) AS c_vec
+          FROM cents{t} p LEFT JOIN means{t} m USING (cid)
+        )""")
+    parts.append(f"""final AS (
+      SELECT id, label, cid AS cluster FROM (
+        SELECT v.id, v.label, c.cid,
+               row_number() OVER (PARTITION BY v.id ORDER BY {d2}, c.cid) AS rn
+        FROM v, cents{iters} c
+      ) WHERE rn = 1
+    )""")
+    parts.append("""lab AS (
+      SELECT cluster, label, count(*) AS nl FROM final GROUP BY cluster, label
+    )""")
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT cast(cluster AS bigint) AS cluster,
+           cast(sum(nl) AS bigint) AS n_members,
+           cast(min(CASE WHEN rnk = 1 THEN label END) AS bigint) AS majority_label
+    FROM (
+      SELECT cluster, label, nl,
+             row_number() OVER (PARTITION BY cluster ORDER BY nl DESC, label) AS rnk
+      FROM lab
+    ) GROUP BY cluster
+    """
+    )
+
+
+@query("ann_kmeans_clusters", _sql_kmeans_oracle())
 def ann_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Train an IVF codebook with distributed Lloyd's k-means (8
-    clusters, 4 rounds), then profile the clustering: member count and
-    majority ground-truth label per centroid. Iterative algorithm —
-    the documented non-SQL-expressible case (rows-only check; the
-    clustering invariants are unit-tested in test_llmops.py)."""
+    clusters, 4 rounds, centroids quantized to 3dp per round — see
+    train_kmeans round_to), then profile the clustering: member count
+    and majority ground-truth label per centroid (ties toward the
+    lower label). The fixed iteration count makes the "iterative"
+    algorithm SQL-expressible after all: the oracle unrolls the same
+    4 Lloyd rounds in DuckDB and must land on bit-identical clusters —
+    a full value-level driver row where rounds 1-3 only had the
+    rows-only check."""
     from tera_spark.operators.similarity import ivf_assign, train_kmeans
 
     emb = load(spark, sf, "embeddings")
-    cents = train_kmeans(emb, k=8, iters=4)
+    cents = train_kmeans(emb, k=8, iters=4, round_to=3)
     assigned = ivf_assign(emb, cents, cid_col="centroid_id")
     labels = emb.select(F.col("vec_id").alias("id"), "label")
-    return (
+    counts = (
         assigned.join(labels, "id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("cluster").orderBy(F.desc("nl"), "label")
+    )
+    return (
+        counts.withColumn("rnk", rnk)
         .groupBy("cluster")
         .agg(
-            F.count("*").cast("long").alias("n_members"),
-            F.mode("label").cast("long").alias("majority_label"),
+            F.sum("nl").cast("long").alias("n_members"),
+            F.min(F.when(F.col("rnk") == 1, F.col("label")))
+            .cast("long")
+            .alias("majority_label"),
         )
-        .orderBy("cluster")
         .select(F.col("cluster").cast("long").alias("cluster"), "n_members", "majority_label")
     )
 
@@ -1525,16 +1610,113 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(F.col("id").cast("long").alias("doc_id"), "verdict")
 
 
-@query("ann_pq_topk")  # rows-only: Lloyd training is iterative (driver loop)
+def _sql_pq_oracle(m: int = 8, k: int = 16, iters: int = 2, dim: int = 64, topk: int = 5) -> str:
+    """DuckDB replay of train_pq(m, k, iters, round_to=3) + pq_topk:
+    per-subspace Lloyd unrolled (same quantized-mean trick as the
+    kmeans oracle), map-only encode as an argmin with (d2, cid)
+    tie-break, and ADC scoring as an ORDERED fold over the m lookup
+    terms — matching Spark's F.aggregate summation order exactly, so
+    the comparison is bit-level, not approximate."""
+    d_sub = dim // m
+    # ordered L2 fold between two equal-length lists (matches Spark's
+    # 0.0-seeded left fold: the 0.0 prefix is exact)
+    sd2 = (
+        "list_reduce(list_transform(range(1, {n}+1), i -> "
+        "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> x::double) AS vec FROM embeddings)",
+        f"""subs AS (
+          SELECT id, s AS sub, vec[s*{d_sub}+1 : (s+1)*{d_sub}] AS svec
+          FROM v, unnest(range(0, {m})) AS u(s)
+        )""",
+        f"""seed_ids AS (
+          SELECT id, row_number() OVER (
+            ORDER BY (('0x' || substr(md5(cast(id AS varchar)), 1, 15))::bigint), id
+          ) - 1 AS cid
+          FROM v QUALIFY cid < {k}
+        )""",
+        "book0 AS (SELECT s.sub, si.cid, s.svec AS c_vec "
+        "FROM subs s JOIN seed_ids si USING (id))",
+    ]
+    pair_d2 = sd2.format(n=d_sub, a="s.svec", b="c.c_vec")
+    for t in range(iters):
+        parts.append(f"""assign{t} AS (
+          SELECT id, sub, svec, cid AS cluster FROM (
+            SELECT s.id, s.sub, s.svec, c.cid,
+                   row_number() OVER (
+                     PARTITION BY s.id, s.sub ORDER BY {pair_d2}, c.cid
+                   ) AS rn
+            FROM subs s JOIN book{t} c USING (sub)
+          ) WHERE rn = 1
+        )""")
+        parts.append(f"""means{t} AS (
+          SELECT sub, cluster AS cid, list(round(mv, 3) ORDER BY pos) AS c_vec
+          FROM (
+            SELECT sub, cluster, pos, avg(svec[pos]) AS mv
+            FROM assign{t}, unnest(range(1, {d_sub}+1)) AS u(pos)
+            GROUP BY sub, cluster, pos
+          ) GROUP BY sub, cluster
+        )""")
+        parts.append(f"""book{t + 1} AS (
+          SELECT p.sub, p.cid, coalesce(m.c_vec, p.c_vec) AS c_vec
+          FROM book{t} p LEFT JOIN means{t} m ON p.sub = m.sub AND p.cid = m.cid
+        )""")
+    parts.append(f"""codes AS (
+      SELECT id, list(cid ORDER BY sub) AS cds FROM (
+        SELECT s.id, s.sub, c.cid,
+               row_number() OVER (
+                 PARTITION BY s.id, s.sub ORDER BY {pair_d2}, c.cid
+               ) AS rn
+        FROM subs s JOIN book{iters} c USING (sub)
+      ) WHERE rn = 1 GROUP BY id
+    )""")
+    q_d2 = sd2.format(n=d_sub, a="q.svec", b="c.c_vec")
+    parts.append(f"""qtab AS (
+      SELECT q_id, list(dl ORDER BY sub) AS qt FROM (
+        SELECT q.id AS q_id, c.sub AS sub,
+               list({q_d2} ORDER BY c.cid) AS dl
+        FROM (SELECT * FROM subs WHERE id < 5) q
+        JOIN book{iters} c ON q.sub = c.sub
+        GROUP BY q.id, c.sub
+      ) GROUP BY q_id
+    )""")
+    parts.append(f"""scored AS (
+      SELECT t.q_id, e.id AS v_id,
+             round(list_reduce(
+               list_transform(range(1, {m}+1), s -> t.qt[s][e.cds[s] + 1]),
+               (x, y) -> x + y
+             ), 6) AS adc_d2
+      FROM codes e, qtab t WHERE e.id <> t.q_id
+    )""")
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT cast(q_id AS bigint) AS q_id, cast(v_id AS bigint) AS v_id,
+           adc_d2, cast(rank AS bigint) AS rank
+    FROM (
+      SELECT q_id, v_id, adc_d2,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, v_id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+    )
+
+
+@query("ann_pq_topk", _sql_pq_oracle())
 def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ scale path: train a product-quantization codebook
-    (distributed Lloyd over all subspaces at once), encode map-only,
-    search by asymmetric distance (per-query m×k lookup table). The
-    encoded side never shuffles; see operators/similarity.py."""
+    (distributed Lloyd over all subspaces at once, sub-centroids
+    quantized to 3dp per round), encode map-only, search by asymmetric
+    distance (per-query m×k lookup table). The encoded side never
+    shuffles; see operators/similarity.py. Fixed round count → the
+    oracle unrolls the same training + ADC search in DuckDB and the
+    driver row is a full bit-level value check."""
     from tera_spark.operators.similarity import pq_topk, train_pq
 
     emb = load(spark, sf, "embeddings")
-    cb = train_pq(emb, m=8, k=16, iters=2)
+    cb = train_pq(emb, m=8, k=16, iters=2, round_to=3)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, cb, queries_df, k=5).select(
         F.col("q_id").cast("long").alias("q_id"),
@@ -1570,10 +1752,75 @@ def text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_pair_counts(docs).select("a", "b", "n")
 
 
-@query("text_bpe_merges")  # rows-only: greedy merge loop is iterative
+def _sql_bpe_oracle(n_merges: int = 8) -> str:
+    """DuckDB replay of bpe_train_merges(n_merges): the greedy loop has
+    a FIXED round count, so it unrolls — each round counts adjacent
+    symbol pairs over the word-frequency table, picks the top pair
+    (count desc, a, b), and applies it leftmost-first/non-overlapping
+    via a recursive-CTE fold over symbol positions (the same fold
+    _apply_merge runs as a Spark aggregate expression; plain string
+    replace() can NOT stand in — its resume-after-match semantics
+    diverge from leftmost-first on runs like 'aaaa' under rule (a,a))."""
+    # every CTE that feeds a later round is MATERIALIZED: DuckDB would
+    # otherwise inline the chain and re-evaluate all earlier rounds at
+    # every recursion step — exponential blowup across 8 rounds
+    parts = [
+        """words0 AS MATERIALIZED (
+          SELECT list_transform(range(1, length(w)+1), i -> w[i]) AS syms,
+                 count(*) AS freq
+          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents)
+          WHERE w <> '' GROUP BY w
+        )"""
+    ]
+    for t in range(n_merges):
+        parts.append(f"""pairs{t} AS MATERIALIZED (
+          SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS n
+          FROM words{t}, unnest(range(1, greatest(len(syms)-1, 0)+1)) AS u(i)
+          GROUP BY a, b
+        )""")
+        parts.append(
+            f"top{t} AS MATERIALIZED (SELECT a, b FROM pairs{t} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        # leftmost-first non-overlapping apply: positional fold. A pair
+        # merges iff the out-list's tail equals `a` AND the tail was not
+        # itself produced by a merge this round (matches _apply_merge:
+        # a merged symbol never chains, since a+b != a always).
+        parts.append(f"""fold{t} AS (
+          SELECT syms, freq, 1 AS pos,
+                 CAST([] AS VARCHAR[]) AS out, false AS merged_last
+          FROM words{t}
+          UNION ALL
+          SELECT f.syms, f.freq, f.pos + 1,
+                 CASE WHEN len(f.out) > 0 AND NOT f.merged_last
+                           AND f.out[-1] = t.a AND f.syms[f.pos] = t.b
+                      THEN list_append(f.out[1:len(f.out)-1], t.a || t.b)
+                      ELSE list_append(f.out, f.syms[f.pos]) END,
+                 (len(f.out) > 0 AND NOT f.merged_last
+                  AND f.out[-1] = t.a AND f.syms[f.pos] = t.b)
+          FROM fold{t} f, top{t} t
+          WHERE f.pos <= len(f.syms)
+        )""")
+        parts.append(f"""words{t + 1} AS MATERIALIZED (
+          SELECT out AS syms, freq FROM fold{t} WHERE pos = len(syms) + 1
+        )""")
+    tops = "\nUNION ALL\n".join(
+        f"SELECT {t + 1} AS rank, a, b FROM top{t}" for t in range(n_merges)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"\nSELECT cast(rank AS bigint) AS rank, a, b FROM ({tops})"
+    )
+
+
+@query("text_bpe_merges", _sql_bpe_oracle())
 def text_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Learned BPE merge rules (greedy top-pair, leftmost-first apply)
-    with their rank — the tokenizer-training step itself."""
+    with their rank — the tokenizer-training step itself. The fixed
+    round count makes the greedy loop SQL-expressible: the oracle
+    unrolls 8 rounds in DuckDB (recursive-CTE fold for the apply step)
+    and must produce the identical rule list."""
     from tera_spark.operators.textops import bpe_train_merges
 
     docs = load(spark, sf, "documents")

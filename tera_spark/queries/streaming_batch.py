@@ -145,22 +145,96 @@ def events_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("events_sketch_profile")  # no oracle: sketch outputs are engine-specific
+@query(
+    "events_sketch_profile",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5(cast(user_id AS varchar)), 1, 15))::bigint) AS hv,
+             value
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, hv & 15 AS bkt,
+             max(CASE WHEN hv >> 4 = 0 THEN 57
+                      ELSE 57 - length(bin(hv >> 4)) END) AS mr
+      FROM h GROUP BY event_type, bkt
+    ),
+    hll AS (
+      SELECT event_type,
+             count(*) AS present,
+             sum(1::bigint << (57 - mr)) AS s_present
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             (0.673 * 16 * 16 * 144115188075855872.0)
+               / (s_present + (16 - present) * (1::bigint << 57)) AS raw,
+             16 - present AS zeros
+      FROM hll
+    ),
+    card AS (
+      SELECT event_type,
+             round(CASE WHEN raw <= 40 AND zeros > 0
+                        THEN 16.0 * ln(16.0 / zeros) ELSE raw END, 4) AS approx_users
+      FROM est
+    ),
+    bins AS (
+      SELECT event_type,
+             least(127, greatest(0, floor(value / 4.0)::int)) AS bin,
+             count(*) AS cnt
+      FROM h GROUP BY event_type, bin
+    ),
+    cdf AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM bins
+    ),
+    qs AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= 0.5 * total THEN (bin + 0.5) * 4.0 END) AS q50,
+             min(CASE WHEN cum >= 0.95 * total THEN (bin + 0.5) * 4.0 END) AS q95,
+             min(CASE WHEN cum >= 0.99 * total THEN (bin + 0.5) * 4.0 END) AS q99,
+             cast(sum(cnt) AS bigint) AS n
+      FROM cdf GROUP BY event_type
+    )
+    SELECT event_type, approx_users, q50, q95, q99, n
+    FROM card JOIN qs USING (event_type)
+    """,
+)
 def events_sketch_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based profiling — the 100 TB path for cardinality and
-    quantiles: HLL++ (approx_count_distinct) and the GK quantile sketch
-    (approx_percentile) both merge associatively, so partial aggregation
-    stays map-side and reducer state is O(sketch), not O(distinct
-    values). Approximate answers are engine-specific by nature, so this
-    entry registers without a DuckDB oracle and the driver's weaker
-    rows-only check applies; the EXACT versions of both statistics are
-    oracled elsewhere (q_distinct_agg, events_* windows)."""
-    ev = load(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
-        F.count(F.lit(1)).alias("n"),
+    quantiles, in the ENGINE-REPRODUCIBLE sketch forms (operators/
+    sketches.py): a 60-bit-md5 HLL whose harmonic sum is exact integer
+    math, and a fixed-bin histogram CDF for quantiles. Both merge
+    associatively (per-bucket max / per-bin sum), so partial
+    aggregation stays map-side and reducer state is O(sketch) — the
+    same scale story as Spark's built-in Datasketches aggregates
+    (which remain in sketches.py build_hll_table for interop), but
+    hash-checkable: the DuckDB oracle recomputes the identical
+    estimates, so this entry gets a full value-level driver row
+    instead of the old rows-only check."""
+    from tera_spark.operators.sketches import (
+        fixed_bin_quantiles,
+        reproducible_hll_distinct,
     )
+
+    ev = load(spark, sf, "events")
+    card = reproducible_hll_distinct(
+        ev, value_col="user_id", group_cols=["event_type"], m=16
+    ).withColumnRenamed("approx_distinct", "approx_users")
+    quants = fixed_bin_quantiles(
+        ev,
+        value_col="value",
+        group_cols=["event_type"],
+        lo=0.0,
+        hi=512.0,
+        n_bins=128,
+        quantiles=[0.5, 0.95, 0.99],
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return card.join(quants, "event_type").join(n, "event_type")
 
 
 @query(

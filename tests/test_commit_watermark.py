@@ -143,3 +143,64 @@ def test_writer_lease_fences_second_writer(spark, tmp_path):
     a.create_table("open { d }")
     b.append("open", MutationBatch(base_seq=1).put("r", "d", "q", "v", ts=1).to_df(spark),
              commit_seq=1, op_kinds=[5])
+
+
+def test_commit_cas_two_writers_serialize(spark, tmp_path):
+    """Two cooperating committers racing the same watermark slot:
+    exactly one wins the claim, the loser lands AFTER it with a
+    non-overlapping seq window — both batches visible, no refusal
+    (append_cas vs the lease's hard fence)."""
+    from tera_spark.catalog import Catalog, WriterFenced
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    b = Catalog(spark, root, writer_id="writer-b")
+    a.create_table("t { d }")
+
+    # force the race deterministically: A holds the slot claim for the
+    # current watermark, then B's append_cas must wait...
+    w0 = a.commit_watermark("t")
+    base_mark = w0 if w0 is not None else -1
+    assert a._claim_commit_slot("t", base_mark, "writer-a", ttl_s=60)
+    with pytest.raises(WriterFenced):
+        b.append_cas(
+            "t", MutationBatch().put("rb", "d", "q", "vb", ts=1), max_wait_s=0.2
+        )
+    # ...until A commits (its claim path releases the slot)
+    (tmp_path / "cat" / "t" / "commits" / f"claim-{base_mark}.lock").unlink()
+    hi_a = a.append_cas("t", MutationBatch().put("ra", "d", "q", "va", ts=1))
+    hi_b = b.append_cas("t", MutationBatch().put("rb", "d", "q", "vb", ts=1))
+    assert hi_b > hi_a  # strictly ordered, non-overlapping windows
+    assert a.commit_watermark("t") == hi_b
+    assert {r.row_key for r in a.view("t").collect()} == {"ra", "rb"}
+
+
+def test_commit_cas_takeover_after_crash_no_torn_visibility(spark, tmp_path):
+    """A committer that died between parquet append and commit record
+    leaves a claim + a torn tail. After claim expiry the next
+    committer takes the slot over, the torn window is rolled back by
+    watermark recovery, and the new batch's sequences sit ABOVE the
+    torn tail — the dead batch never becomes visible."""
+    import time as _time
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    b = Catalog(spark, root, writer_id="writer-b")
+    a.create_table("t { d }")
+    hi = a.append_cas("t", MutationBatch().put("r0", "d", "q", "v0", ts=1))
+
+    # simulate A dying mid-commit: claim held (short ttl), parquet
+    # written above the watermark, NO commit record
+    assert a._claim_commit_slot("t", hi, "writer-a", ttl_s=0.01)
+    torn = MutationBatch(base_seq=hi + 1).put("torn", "d", "q", "dead", ts=1)
+    torn.to_df(spark).write.mode("append").parquet(a.oplog_path("t"))
+    _time.sleep(0.05)
+
+    hi_b = b.append_cas("t", MutationBatch().put("r1", "d", "q", "v1", ts=1))
+    assert hi_b > hi + 1  # allocated above the torn tail, not inside it
+    keys = {r.row_key for r in b.view("t").collect()}
+    assert keys == {"r0", "r1"}, f"torn batch leaked: {keys}"

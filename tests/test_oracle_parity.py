@@ -58,20 +58,12 @@ def test_every_query_has_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may omit oracles, but must be deliberate
     allowed_weak = {
-        # sketch outputs (HLL++, GK quantiles) are engine-specific by
-        # construction; exact twins are oracled (q_distinct_agg, events_*)
-        "events_sketch_profile",
-        # iterative Lloyd's k-means — the documented non-SQL-expressible
-        # case; invariants covered in test_llmops.py
-        "ann_kmeans_clusters",
-        # PQ training is the same iterative case (per-subspace Lloyd);
-        # encode/ADC correctness pinned in test_llmops.py
-        "ann_pq_topk",
-        # greedy BPE merge loop is iterative; round-0 pair counts ARE
-        # oracled (text_bpe_pair_counts), merges pinned in test_llmops.py
-        "text_bpe_merges",
-        # zlib is not SQL-expressible; ordering/determinism pinned in
-        # test_llmops.py
+        # zlib is not SQL-expressible (no DuckDB compression function);
+        # ordering/determinism pinned in test_llmops.py. The other four
+        # former rows-only entries (kmeans, PQ, BPE merges, sketch
+        # profile) gained full oracles in round 4 — fixed iteration
+        # counts unroll, and engine-reproducible sketch/quantized-mean
+        # arithmetic replaces engine-specific state.
         "text_compression_ratio",
     }
     assert missing <= allowed_weak, f"queries without oracles: {missing}"
