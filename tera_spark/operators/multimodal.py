@@ -465,18 +465,26 @@ WAV_N = "64 + (n % 128)"
 WAV_SAMPLE = "((id * 7 + i * 13) % 2048 - 1024) * 16"
 
 
-def synth_png_media(docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars") -> DataFrame:
+def synth_png_media(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed_col: str | None = None,
+) -> DataFrame:
     """Encode one real grayscale PNG per row: dimensions and pixels
     from the PNG_* formulas above. mapInPandas (Arrow-batched), so the
-    encode stage has the same plumbing as a production ingest."""
+    encode stage has the same plumbing as a production ingest.
+    ``seed_col`` (default: the id) drives the formulas — point several
+    ids at one seed to plant identical images (near-dup fixtures)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for did, n in zip(pdf["id"], pdf["n"]):
-                did, n = int(did), int(n)
-                w, h = 8 + did % 9, 8 + n % 7
-                px = bytes((did * 131 + i * 17) % 256 for i in range(w * h))
+            for sid, n in zip(pdf["seed"], pdf["n"]):
+                sid, n = int(sid), int(n)
+                w, h = 8 + sid % 9, 8 + n % 7
+                px = bytes((sid * 131 + i * 17) % 256 for i in range(w * h))
                 payloads.append(encode_png_gray(w, h, px))
             yield pd.DataFrame(
                 {
@@ -487,7 +495,11 @@ def synth_png_media(docs: DataFrame, *, id_col: str = "doc_id", size_col: str = 
                 }
             )
 
-    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(size_col).alias("n"),
+        F.col(seed_col if seed_col else id_col).alias("seed"),
+    )
     return base.mapInPandas(op, MEDIA_SCHEMA)
 
 

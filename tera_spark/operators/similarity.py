@@ -580,12 +580,16 @@ def pq_encode(
                 F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p
             )
 
-        acc0 = F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d"))
-        return F.aggregate(
+        # argmin via array_min over (d2, c) structs: one d2 evaluation
+        # per candidate (the old when-fold evaluated it twice — 2× the
+        # flops of the encode sweep, the N-sized build stage), and the
+        # struct order ties toward the lower code exactly like the
+        # strict-< fold did
+        scored = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
-            acc0,
-            lambda acc, c: F.when(d2(c) < acc["d"], F.struct(c.alias("c"), d2(c).alias("d"))).otherwise(acc),
-        )["c"]
+            lambda c: F.struct(d2(c).alias("d"), c.alias("c")),
+        )
+        return F.array_min(scored)["c"]
 
     # j is a plan constant — unroll the m argmins into one array expr
     codes = F.array(*[code_for(j) for j in range(m)])

@@ -377,6 +377,81 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_phash_dups",
+    """
+    WITH m AS (
+      SELECT doc_id AS id,
+             CASE WHEN (doc_id // 3) % 10 = 9 THEN doc_id - 3 ELSE doc_id END AS seed
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+      SELECT id, seed, 8 + seed % 9 AS w, 8 + (64 + seed % 100) % 7 AS h FROM m
+    ),
+    geom AS (
+      SELECT id, seed, w * h AS n, greatest((w * h) // 64, 1) AS cell FROM dims
+    ),
+    cellv AS (
+      SELECT id, i,
+             list_reduce(
+               list_transform(range(i * cell, (i + 1) * cell),
+                              p -> ((seed * 131 + p * 17) % 256)::double),
+               (x, y) -> x + y
+             ) / cell AS cv
+      FROM geom, unnest(range(0, 64)) AS u(i)
+    ),
+    hashed AS (
+      SELECT id,
+             list(cv ORDER BY i) AS cells,
+             list_reduce(list(cv ORDER BY i), (x, y) -> x + y) / 64 AS mean
+      FROM cellv GROUP BY id
+    ),
+    bits AS (
+      SELECT id, list_transform(cells, c -> CASE WHEN c > mean THEN 1 ELSE 0 END) AS bv
+      FROM hashed
+    ),
+    banded AS (
+      SELECT id, bv,
+             [list_reduce(list_transform(range(0, 16), j -> bv[b * 16 + j + 1] *
+                (1::bigint << j)), (x, y) -> x + y) FOR b IN range(0, 4)] AS bands
+      FROM bits
+    )
+    SELECT cast(a.id AS bigint) AS id_a, cast(b.id AS bigint) AS id_b,
+           cast(len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i])) AS bigint)
+             AS hamming
+    FROM banded a JOIN banded b ON a.id < b.id
+    WHERE len(list_filter(range(1, 5), j -> a.bands[j] = b.bands[j])) > 0
+      AND len(list_filter(range(1, 65), i -> a.bv[i] <> b.bv[i])) <= 4
+    """,
+)
+def multimodal_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-duplicate pairs over REAL PNGs: synthesized assets
+    (every 10th one reusing its predecessor's pixel seed — the planted
+    duplicate), pHashed from their DECODED pixels (mean-threshold 8x8
+    aHash), banded into 4×16-bit keys, paired on band collision with
+    Hamming <= 4. The oracle recomputes the hash from the pixel
+    formulas — including the banding rule, which is semantic, not just
+    an optimization: 4 bit flips spread across all 4 bands share no
+    band and are correctly NOT paired. One shuffle on the band key;
+    payloads never travel past the hash stage."""
+    from tera_spark.operators.multimodal import phash_duplicates, synth_png_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    assets = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when((F.col("doc_id") / 3).cast("long") % 10 == 9, F.col("doc_id") - 3)
+        .otherwise(F.col("doc_id"))
+        .alias("seed"),
+    ).withColumn("n2", F.lit(64) + F.col("seed") % 100)
+    media = synth_png_media(assets, id_col="id", size_col="n2", seed_col="seed")
+    out = phash_duplicates(media, max_hamming=4, fake_decode=False)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+@query(
     "doc_token_stats",
     """
     SELECT doc_id,
