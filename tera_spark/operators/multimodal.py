@@ -404,7 +404,16 @@ def phash_duplicates(
     Hamming distance <= max_hamming — the SimHash/LSH banding trick
     applied to images (a pair within distance 4 must agree exactly on
     at least one of 4 bands). One shuffle on the band key; the payload
-    never travels past the hash stage."""
+    never travels past the hash stage.
+
+    A pair agreeing on several bands collides once per shared band;
+    only the FIRST shared band's collision survives — whether an
+    earlier band matched is read straight off the pair's hash XOR
+    (its 16-bit slice is zero), a map-side filter on the join output,
+    so no pair-level `.distinct()` shuffle (cf. the minhash path's
+    `_first_collision_candidates`, which needs prefix arrays because
+    its band keys are lossy hashes; here both full hashes are in the
+    row)."""
     from collections.abc import Iterator as _It
 
     def op(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -434,19 +443,30 @@ def phash_duplicates(
                 for i in range(4)
             ])
         ).alias("b"),
-    ).select("asset_id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    ).select(
+        "asset_id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    ).persist()  # self-join: decode+hash each image once, not twice
     a, b2 = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    xor = F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+
+    def band_differs(j: int):
+        return F.shiftrightunsigned(xor, j * 16).bitwiseAND(F.lit(0xFFFF)) != 0
+
+    first_shared = F.when(F.col("band") == 0, F.lit(True))
+    for i in range(1, 4):
+        cond = band_differs(0)
+        for j in range(1, i):
+            cond = cond & band_differs(j)
+        first_shared = first_shared.when(F.col("band") == i, cond)
     return (
         a.join(b2, ["band", "key"])
-        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .filter((F.col("a.asset_id") < F.col("b.asset_id")) & first_shared)
         .select(
             F.col("a.asset_id").alias("id_a"),
             F.col("b.asset_id").alias("id_b"),
-            ham.alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

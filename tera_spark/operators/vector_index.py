@@ -118,9 +118,11 @@ class VectorIndex:
             residuals, m=m, k=k_codes, iters=iters, id_col=id_col, vec_col=vec_col,
             sample=sample,
         )
-        codes = pq_encode(residuals, codebook, id_col=id_col, vec_col=vec_col)
-        table = (
-            residuals.select(F.col(id_col).alias("id"), "cluster").join(codes, "id")
+        # cluster rides through the encode projection (keep=) — joining
+        # the codes back to residuals on id would shuffle 2×N rows to
+        # reattach a column the encode row already has
+        table = pq_encode(
+            residuals, codebook, id_col=id_col, vec_col=vec_col, keep=("cluster",)
         )
         p = Path(path)
         p.mkdir(parents=True, exist_ok=True)
@@ -249,16 +251,7 @@ class VectorIndex:
             F.array(*[qtab_for(j, base) for j in range(m)]).alias("qtab"),
         )
         codes = self.spark.read.parquet(str(self.path / "codes"))
-        adc = F.aggregate(
-            F.zip_with(F.col("codes"), F.col("qtab"), lambda c, row: F.get(row, c)),
-            F.lit(0.0),
-            lambda a, p: a + p,
-        )
-        scored = (
-            codes.join(F.broadcast(q), "cluster")
-            .filter(F.col("id") != F.col("q_id"))
-            .select("q_id", F.col("id").alias("v_id"), F.round(adc, 6).alias("adc_d2"))
-        )
+        scored = self._adc_scores(codes, q)
         wr = W.partitionBy("q_id").orderBy("adc_d2", "v_id")
         if rerank is None or not self.has_rerank_store:
             return (
@@ -299,6 +292,77 @@ class VectorIndex:
             .select("q_id", "v_id", "adc_d2", "d2", F.col("rank").cast("long").alias("rank"))
         )
 
+    def _adc_scores(self, codes: DataFrame, q: DataFrame) -> DataFrame:
+        """ADC scoring of every (probed-cluster code row × query) pair:
+        (q_id, v_id, adc_d2). The distance-table side is tiny
+        (nq × nprobe rows of m×k doubles) but the scoring side is the
+        probe-volume hot loop — with numpy it runs as an Arrow-batched
+        kernel over the codes table (the qtab map rides in the task
+        closure; sequential-over-j accumulation and a Spark-side
+        F.round keep results identical to the expression fold, which
+        remains the no-numpy path). The codes side still never
+        shuffles either way."""
+        adc = F.aggregate(
+            F.zip_with(F.col("codes"), F.col("qtab"), lambda c, row: F.get(row, c)),
+            F.lit(0.0),
+            lambda a, p: a + p,
+        )
+        try:
+            import numpy as np
+            import pandas as pd
+        except ImportError:  # pragma: no cover - numpy is baked in
+            np = None
+        if np is None:
+            return (
+                codes.join(F.broadcast(q), "cluster")
+                .filter(F.col("id") != F.col("q_id"))
+                .select("q_id", F.col("id").alias("v_id"), F.round(adc, 6).alias("adc_d2"))
+            )
+        qrows = q.collect()
+        qmap: dict[int, list] = {}
+        for r in qrows:
+            qmap.setdefault(r["cluster"], []).append(
+                (r["q_id"], np.asarray([list(row) for row in r["qtab"]], dtype=np.float64))
+            )
+        probed = sorted(qmap)
+        m = len(self.codebook)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField("q_id", q.schema["q_id"].dataType),
+                StructField("v_id", codes.schema["id"].dataType),
+                StructField("_adc", DoubleType()),
+            ]
+        )
+
+        def op(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for cl in pdf["cluster"].unique():
+                    hits = qmap.get(cl)
+                    if not hits:
+                        continue
+                    mask = pdf["cluster"] == cl
+                    ids = pdf["id"][mask].to_numpy()
+                    CODES = np.stack(pdf["codes"][mask].to_numpy())
+                    for q_id, QT in hits:
+                        d2 = np.zeros(len(ids))
+                        for j in range(m):
+                            d2 += QT[j, CODES[:, j]]
+                        keep = ids != q_id
+                        if not keep.any():
+                            continue
+                        yield pd.DataFrame(
+                            {"q_id": q_id, "v_id": ids[keep], "_adc": d2[keep]}
+                        )
+
+        pruned = codes.filter(F.col("cluster").isin(probed))
+        return pruned.select("id", "cluster", "codes").mapInPandas(op, out_schema).select(
+            "q_id", "v_id", F.round(F.col("_adc"), 6).alias("adc_d2")
+        )
+
     # -- incremental maintenance ---------------------------------------
     def append(
         self,
@@ -335,13 +399,15 @@ class VectorIndex:
             if self.residual
             else F.col(vec_col)
         )
-        codes = pq_encode(
-            assigned.select(F.col("id").alias(id_col), enc_vec.alias(vec_col)),
+        table = pq_encode(
+            assigned.select(
+                F.col("id").alias(id_col), "cluster", enc_vec.alias(vec_col)
+            ),
             self.codebook,
             id_col=id_col,
             vec_col=vec_col,
+            keep=("cluster",),
         )
-        table = assigned.select("id", "cluster").join(codes, "id")
         table.write.mode("append").partitionBy("cluster").parquet(str(self.path / "codes"))
         if self.has_rerank_store:
             assigned.select(

@@ -83,9 +83,10 @@ def test_weighted_interleave_no_single_partition_exchange(spark):
 
 
 def test_pq_encode_is_map_only(spark):
-    """The PQ scale claim: with the codebook inlined as a literal,
-    encoding is a pure projection — zero exchanges when the input is
-    already parallel enough (ensure_parallelism no-ops)."""
+    """The PQ scale claim: encoding is map-only in BOTH kernels — the
+    default Arrow-numpy kernel plans exactly one declared MapInPandas
+    (no exchange), and the expression fallback inlines the codebook as
+    a literal pure projection (zero Python)."""
     from pyspark.sql import functions as F
 
     from tera_spark.operators.similarity import pq_encode
@@ -100,4 +101,97 @@ def test_pq_encode_is_map_only(spark):
     cb = [[[0.0] * 4, [5.0] * 4], [[0.0] * 4, [9.0] * 4]]  # m=2, k=2, d_sub=4
     feats = explain_features(pq_encode(v, cb))
     assert feats["exchanges"] <= 1  # the repartition itself at most
-    assert feats["python"] == 0
+    assert feats["python"] == 1  # the declared Arrow kernel, nothing else
+    expr = explain_features(pq_encode(v, cb, kernel="expr"))
+    assert expr["exchanges"] <= 1
+    assert expr["python"] == 0
+    # keep= passthrough must stay a projection too (it exists so the
+    # index build never joins codes back to their source)
+    v2 = v.withColumn("cluster", (F.col("vec_id") % 4).cast("int"))
+    feats2 = explain_features(pq_encode(v2, cb, keep=("cluster",)))
+    assert feats2["exchanges"] <= 1
+    assert "cluster" in pq_encode(v2, cb, keep=("cluster",)).columns
+
+
+def test_ivf_assign_is_map_only(spark):
+    """The IVF scale claim: nearest-centroid assignment is map-only in
+    BOTH kernels — no crossJoin row blow-up, no groupBy(id) exchange
+    shuffling the corpus (which train_kmeans would otherwise pay once
+    per Lloyd round)."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.similarity import ivf_assign
+    from tera_spark.plans import explain_features
+
+    v = spark.range(1000).repartition(32).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)), lambda i: (F.col("id") % 7 + i).cast("float")
+        ).alias("embedding"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [5.0] * 8)], "centroid_id long, embedding array<double>"
+    )
+    feats = explain_features(ivf_assign(v, cents))
+    assert feats["exchanges"] <= 1  # the repartition itself at most
+    assert feats["python"] == 1  # the declared Arrow kernel
+    expr = explain_features(ivf_assign(v, cents, kernel="expr"))
+    assert expr["exchanges"] <= 1
+    assert expr["python"] == 0
+
+
+def test_ann_kernels_bit_equal(spark):
+    """The numpy kernels must reproduce the expression fold exactly —
+    same d² accumulation order, same argmin tie rule — so the two
+    paths are interchangeable under the oracle parity gate."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.similarity import ivf_assign, pq_encode
+
+    v = spark.range(500).repartition(8).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: ((F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) - F.lit(1000.0)) / 1000.0).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    cb = [
+        [[((j * 31 + c * 7 + l) % 17 - 8) / 8.0 for l in range(4)] for c in range(3)]
+        for j in range(2)
+    ]
+    a = {r["id"]: list(r["codes"]) for r in pq_encode(v, cb).collect()}
+    b = {r["id"]: list(r["codes"]) for r in pq_encode(v, cb, kernel="expr").collect()}
+    assert a == b
+    cents = spark.createDataFrame(
+        [(i, [((i * 13 + l) % 21 - 10) / 10.0 for l in range(8)]) for i in range(5)],
+        "centroid_id long, embedding array<double>",
+    )
+    ka = {r["id"]: r["cluster"] for r in ivf_assign(v, cents).collect()}
+    kb = {r["id"]: r["cluster"] for r in ivf_assign(v, cents, kernel="expr").collect()}
+    assert ka == kb
+
+
+def test_phash_pairs_first_collision_no_distinct(spark):
+    """The image near-dup scale claim: multi-band collisions are
+    deduped by the first-shared-band filter read off the hash XOR —
+    map-side on the join output — so the plan has no pair-volume
+    aggregate (the old `.distinct()`) and only the two band-key
+    exchanges feeding the self-join."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.multimodal import phash_duplicates
+    from tera_spark.plans import explain_features, plan_str
+
+    media = spark.range(64).select(
+        F.col("id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("id").cast("string").cast("binary").alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+    )
+    pairs = phash_duplicates(media, max_hamming=4, fake_decode=True)
+    plan = plan_str(pairs)
+    assert "HashAggregate" not in plan, "pair-level distinct is back"
+    assert explain_features(pairs)["exchanges"] <= 2
