@@ -218,6 +218,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("op", choices=["show", "set", "delete"])
     sp.add_argument("params", nargs="*")
+    sp = sub.add_parser(
+        "http",
+        help="serve the terahttp JSON proxy (tera.http.HttpProxy.Get/.Put) over this root",
+    )
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8657)  # the sample's default port
 
     args = ap.parse_args(argv)
 
@@ -231,6 +237,18 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("teracli")
     cat = Catalog(spark, args.root)
+
+    if args.cmd == "http":
+        from tera_spark.client import Client
+        from tera_spark.sources.http_proxy import HttpProxy
+
+        proxy = HttpProxy(Client(spark, args.root), host=args.host, port=args.port)
+        print(f"terahttp proxy on {args.host}:{proxy.port}")
+        try:
+            proxy._server.serve_forever()
+        except KeyboardInterrupt:
+            proxy.stop()
+        return 0
 
     if args.cmd == "create":
         from pathlib import Path

@@ -224,8 +224,15 @@ def ivf_near_pairs(
     cid_col: str = "centroid_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs restricted to IVF
-    clusters — the scale-path variant of all-pairs cosine dedup."""
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col)
+    clusters — the scale-path variant of all-pairs cosine dedup.
+
+    The assignment output is persisted before the self-join: both join
+    sides read the same cached partitions, so the Arrow assignment
+    kernel runs ONCE over the corpus instead of once per side (the
+    dominant cost at volume — lineage recomputation would double it)."""
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col
+    ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
     return (

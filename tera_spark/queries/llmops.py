@@ -1446,14 +1446,17 @@ def ann_hyperplane(spark: SparkSession, sf: str) -> DataFrame:
     return hyperplane_lsh_pairs(emb, threshold=0.35)
 
 
-def _sql_kmeans_oracle(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+def _sql_kmeans_ctes(k: int = 8, iters: int = 4, dim: int = 64) -> tuple[list, str]:
     """DuckDB replay of train_kmeans(k, iters, round_to=3): the Lloyd
     loop is a FIXED iteration count, so it unrolls into one CTE chain —
     seeds by h60(id), argmin assignment with (d2, cid) tie-break,
     per-(cluster, dim) mean rounded to 3dp (the quantization that pins
     the only summation-order-sensitive op), empty clusters keeping the
     previous centroid. Generated, not handwritten, so k/iters stay in
-    sync with the Spark query."""
+    sync with the Spark queries. Returns (parts, d2_expr); the chain
+    ends with ``final(id, label, cluster)`` plus the source
+    ``v(id, vec, label)`` for downstream oracles
+    (ann_kmeans_clusters, dedup_semantic_trained)."""
     d2 = (
         "list_reduce(list_transform(range(1, {d}+1), i -> "
         "(v.vec[i] - c.c_vec[i]) * (v.vec[i] - c.c_vec[i])), (x, y) -> x + y)"
@@ -1498,6 +1501,12 @@ def _sql_kmeans_oracle(k: int = 8, iters: int = 4, dim: int = 64) -> str:
         FROM v, cents{iters} c
       ) WHERE rn = 1
     )""")
+    return parts, d2
+
+
+def _sql_kmeans_oracle(k: int = 8, iters: int = 4, dim: int = 64) -> str:
+    """Cluster-profile oracle on the shared unrolled-Lloyd chain."""
+    parts, _ = _sql_kmeans_ctes(k, iters, dim)
     parts.append("""lab AS (
       SELECT cluster, label, count(*) AS nl FROM final GROUP BY cluster, label
     )""")
@@ -1553,6 +1562,54 @@ def ann_kmeans(spark: SparkSession, sf: str) -> DataFrame:
             .alias("majority_label"),
         )
         .select(F.col("cluster").cast("long").alias("cluster"), "n_members", "majority_label")
+    )
+
+
+def _sql_semdedup_trained_oracle(
+    k: int = 8, iters: int = 4, dim: int = 64, eps: float = 0.35
+) -> str:
+    """Within-learned-cluster cosine pairs on the shared unrolled-Lloyd
+    chain — the DuckDB replay of train_kmeans -> ivf_assign ->
+    ivf_near_pairs."""
+    parts, _ = _sql_kmeans_ctes(k, iters, dim)
+    parts.append(
+        "pairsrc AS (SELECT f.id, f.cluster, v.vec FROM final f JOIN v ON v.id = f.id)"
+    )
+    cos = _sql_cos("a.vec", "b.vec")
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT cast(a.cluster AS bigint) AS cluster,
+           cast(a.id AS bigint) AS id_a, cast(b.id AS bigint) AS id_b,
+           round({cos}, 6) AS sim
+    FROM pairsrc a JOIN pairsrc b ON a.cluster = b.cluster AND a.id < b.id
+    WHERE round({cos}, 6) >= {eps}
+    """
+    )
+
+
+@query("dedup_semantic_trained", _sql_semdedup_trained_oracle())
+def dedup_semantic_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup on LEARNED clusters (the production shape of
+    dedup_semantic_drop_list, which uses fixture centroids): train the
+    k-means codebook on the corpus itself (k=8, 4 Lloyd rounds,
+    centroids on the 3dp grid — reproducible, see train_kmeans), assign
+    every vector map-only, and confine the quadratic cosine comparison
+    within clusters. The oracle unrolls the same 4 Lloyd rounds in
+    DuckDB and must land on bit-identical pairs — full value-level
+    check of the train -> assign -> within-cluster-verify composition.
+    At 100 TB: training cost is pinned by the 100k hash-sample, the
+    assignment is a zero-shuffle literal argmin, and k grows ~sqrt(N)
+    so sum(cluster_size^2) stays bounded — never an all-pairs join."""
+    from tera_spark.operators.similarity import ivf_near_pairs, train_kmeans
+
+    emb = load(spark, sf, "embeddings")
+    cents = train_kmeans(emb, k=8, iters=4, round_to=3)
+    return ivf_near_pairs(emb, cents, threshold=0.35).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "sim",
     )
 
 

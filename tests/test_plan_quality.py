@@ -140,6 +140,36 @@ def test_ivf_assign_is_map_only(spark):
     assert expr["python"] == 0
 
 
+def test_ivf_near_pairs_caches_assignment(spark):
+    """The self-join in ivf_near_pairs must read the persisted
+    assignment on BOTH sides (InMemoryTableScan), so the Arrow
+    assignment kernel runs once over the corpus — not recomputed per
+    join side, which would double the dominant cost at volume."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.similarity import ivf_near_pairs
+    from tera_spark.plans import plan_str
+
+    v = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)), lambda i: (F.col("id") % 5 + i).cast("float")
+        ).alias("embedding"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [5.0] * 8)], "centroid_id long, embedding array<double>"
+    )
+    pairs = ivf_near_pairs(v, cents, threshold=0.0)
+    plan = plan_str(pairs, "simple")
+    assert plan.count("InMemoryTableScan") >= 2, "self-join sides must reuse the cache"
+    # after folding each cached subtree to one occurrence, the kernel
+    # appears exactly once: it is only the cache-build plan, never a
+    # per-side recomputation
+    from tera_spark.plans import dedupe_cached_subtrees
+
+    assert dedupe_cached_subtrees(plan).count("MapInPandas") == 1
+
+
 def test_ann_kernels_bit_equal(spark):
     """The numpy kernels must reproduce the expression fold exactly —
     same d² accumulation order, same argmin tie rule — so the two
