@@ -227,9 +227,10 @@ def ivf_near_pairs(
     clusters — the scale-path variant of all-pairs cosine dedup.
 
     The assignment output is persisted before the self-join: both join
-    sides read the same cached partitions, so the Arrow assignment
-    kernel runs ONCE over the corpus instead of once per side (the
-    dominant cost at volume — lineage recomputation would double it)."""
+    sides read the same cached partitions, so the corpus scan + Arrow
+    assignment kernel run ONCE instead of once per side. (The verify
+    itself dominates wall time — see SCALE.md "Semantic dedup"; the
+    persist's value is not re-reading the source at cluster scale.)"""
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col
     ).persist()
