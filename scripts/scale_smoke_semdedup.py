@@ -91,6 +91,14 @@ def main() -> None:
     t_pairs = time.time() - t0
     assert n_pairs_recompute == n_pairs
 
+    # the sorted-neighborhood scale path: N·window cosines instead of
+    # sum(cluster²) — report speedup and recall vs the full verify
+    from tera_spark.operators.similarity import windowed_semantic_pairs
+
+    t0 = time.time()
+    n_windowed = windowed_semantic_pairs(v, cents, threshold=EPS, window=8).count()
+    t_windowed = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -100,6 +108,8 @@ def main() -> None:
                 "pairs_cached_s": round(t_pairs, 1),
                 "pairs_recompute_s": round(t_recompute, 1),
                 "n_pairs": n_pairs,
+                "windowed_s": round(t_windowed, 1),
+                "windowed_recall": round(n_windowed / max(n_pairs, 1), 4),
             }
         )
     )

@@ -249,6 +249,80 @@ def ivf_near_pairs(
     )
 
 
+def windowed_semantic_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    window: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Sorted-neighborhood semantic near-dup pairs — the linear-work
+    scale path for the within-cluster verify that dominates
+    ``ivf_near_pairs`` (measured in scripts/scale_smoke_semdedup.py:
+    the pair cosines are ~all of the wall time).
+
+    Within each cluster, members are ordered by exact L2 distance to
+    their own centroid (ties → lower id): near-identical vectors have
+    near-identical centroid distances, so true duplicates land in
+    adjacent positions. Only pairs within ``window`` positions are
+    cosine-verified — N·window comparisons total instead of
+    sum(cluster²). Approximate by construction: a duplicate pair
+    separated by more than ``window`` unrelated-but-equidistant
+    vectors is missed (the classic sorted-neighborhood trade; recall
+    is measured in the smoke).
+
+    Plan shape: one cluster-keyed shuffle for the rank window, then an
+    EQUI-join on (cluster, position) against a window-exploded copy
+    (position+1 … position+window) — never a range-predicate join that
+    Catalyst would plan as a filtered cross product. Deterministic on
+    any engine: the d² sort key is the same sequential float64
+    component fold the assignment kernel and the DuckDB oracles pin.
+    """
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col)
+    c = centroids.select(
+        F.col(cid_col).alias("cluster"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("c_vec"),
+    )
+    diff = F.zip_with(
+        F.col("vec"), F.col("c_vec"), lambda x, y: (x.cast("double") - y.cast("double"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda acc, p: acc + p
+    )
+    ranked = (
+        assigned.join(F.broadcast(c), "cluster")
+        .select("cluster", "id", "vec", d2.alias("d2"))
+        .withColumn(
+            "pos", F.row_number().over(W.partitionBy("cluster").orderBy("d2", "id"))
+        )
+        .select("cluster", "pos", "id", "vec")
+        .persist()
+    )
+    probe = ranked.select(
+        "cluster",
+        F.explode(
+            F.sequence(F.col("pos") + F.lit(1), F.col("pos") + F.lit(window))
+        ).alias("pos_b"),
+        F.col("id").alias("id_l"),
+        F.col("vec").alias("vec_l"),
+    )
+    sim = F.round(cosine(F.col("vec_l"), F.col("vec")), 6)
+    pairs = probe.join(
+        ranked.withColumnRenamed("pos", "pos_b"), ["cluster", "pos_b"]
+    ).select(
+        "cluster",
+        F.least(F.col("id_l"), F.col("id")).alias("id_a"),
+        F.greatest(F.col("id_l"), F.col("id")).alias("id_b"),
+        sim.alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= threshold)
+
+
 def blocked_cosine_pairs(
     vectors: DataFrame,
     *,

@@ -1613,6 +1613,55 @@ def dedup_semantic_trained(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_semdedup_windowed_oracle(
+    k: int = 8, iters: int = 4, dim: int = 64, eps: float = 0.35, w: int = 4
+) -> str:
+    """Sorted-neighborhood replay: rank cluster members by d² to their
+    final centroid (ties → lower id), verify only pairs within ``w``
+    positions — the DuckDB twin of windowed_semantic_pairs."""
+    parts, d2 = _sql_kmeans_ctes(k, iters, dim)
+    parts.append(f"""ranked AS (
+      SELECT f.cluster, f.id, v.vec,
+             row_number() OVER (PARTITION BY f.cluster ORDER BY {d2}, f.id) AS pos
+      FROM final f JOIN v ON v.id = f.id JOIN cents{iters} c ON c.cid = f.cluster
+    )""")
+    cos = _sql_cos("a.vec", "b.vec")
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT cast(a.cluster AS bigint) AS cluster,
+           cast(least(a.id, b.id) AS bigint) AS id_a,
+           cast(greatest(a.id, b.id) AS bigint) AS id_b,
+           round({cos}, 6) AS sim
+    FROM ranked a JOIN ranked b
+      ON a.cluster = b.cluster AND b.pos BETWEEN a.pos + 1 AND a.pos + {w}
+    WHERE round({cos}, 6) >= {eps}
+    """
+    )
+
+
+@query("dedup_semantic_windowed", _sql_semdedup_windowed_oracle())
+def dedup_semantic_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood semantic dedup — the linear-work scale path
+    for the within-cluster verify that dominates dedup_semantic_trained
+    (SCALE.md "Semantic dedup"): rank each cluster's members by L2
+    distance to their centroid, cosine-verify only pairs within 4
+    positions — N·w comparisons instead of sum(cluster²). The rank and
+    the window join are deterministic (d² is the same sequential
+    float64 fold on both engines, ties break on id), so even this
+    approximate method gets a full value-level oracle."""
+    from tera_spark.operators.similarity import train_kmeans, windowed_semantic_pairs
+
+    emb = load(spark, sf, "embeddings")
+    cents = train_kmeans(emb, k=8, iters=4, round_to=3)
+    return windowed_semantic_pairs(emb, cents, threshold=0.35, window=4).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "sim",
+    )
+
+
 @query(
     "sample_weighted_reservoir",
     """
