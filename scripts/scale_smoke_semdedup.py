@@ -99,6 +99,22 @@ def main() -> None:
     n_windowed = windowed_semantic_pairs(v, cents, threshold=EPS, window=8).count()
     t_windowed = time.time() - t0
 
+    # nightly-ingest shape: admit a 10% batch against the other 90%
+    # as the standing corpus, on the frozen codebook
+    from tera_spark.operators.similarity import semantic_admission
+
+    batch = v.filter(F.col("vec_id") % 10 == 0)
+    corpus = v.filter(F.col("vec_id") % 10 != 0)
+    t0 = time.time()
+    verdicts = {
+        r["verdict"]: r["n"]
+        for r in semantic_admission(corpus, batch, cents, threshold=EPS)
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t_admit = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -110,6 +126,8 @@ def main() -> None:
                 "n_pairs": n_pairs,
                 "windowed_s": round(t_windowed, 1),
                 "windowed_recall": round(n_windowed / max(n_pairs, 1), 4),
+                "admission_s": round(t_admit, 1),
+                "admission_verdicts": verdicts,
             }
         )
     )

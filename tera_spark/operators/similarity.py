@@ -323,6 +323,61 @@ def windowed_semantic_pairs(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+def semantic_admission(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+) -> DataFrame:
+    """Batch-vs-corpus semantic admission — the embedding-space twin of
+    ``dedup.incremental_dedup``'s band-bucket check, and the shape a
+    continuously-ingesting pipeline actually runs (batch against the
+    standing corpus, never corpus against corpus).
+
+    Both sides are assigned to the FROZEN codebook (map-only kernel);
+    each incoming vector is cosine-verified only against corpus members
+    of its own cluster. Returns one row per incoming id:
+    ``verdict`` = 'near' (best same-cluster corpus cosine ≥ threshold,
+    with ``match_id``/``sim`` of that best match — ties break to the
+    lower corpus id) or 'unique' (no same-cluster corpus member over
+    the threshold; match_id/sim NULL).
+
+    Scale shape: corpus scanned once, the verify join keys on cluster
+    (cost = |incoming| × corpus-cluster size, bounded by k), and the
+    best-match fold is a map-side-combinable max_by — no window over
+    the pair set."""
+    ca = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col)
+    ia = ivf_assign(incoming, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col)
+    sim = F.round(cosine(F.col("i.vec"), F.col("c.vec")), 6)
+    scored = (
+        ia.alias("i")
+        .join(ca.alias("c"), "cluster")
+        .select(
+            F.col("i.id").alias("id"),
+            F.col("c.id").alias("match_id"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    best = scored.groupBy("id").agg(
+        F.max_by(
+            F.struct(F.col("match_id"), F.col("sim")),
+            F.struct(F.col("sim"), (-F.col("match_id")).alias("nc")),
+        ).alias("b")
+    )
+    inc_ids = ensure_parallelism(incoming).select(F.col(id_col).alias("id"))
+    return inc_ids.join(best, "id", "left").select(
+        "id",
+        F.when(F.col("b").isNotNull(), F.lit("near")).otherwise(F.lit("unique")).alias("verdict"),
+        F.col("b.match_id").alias("match_id"),
+        F.col("b.sim").alias("sim"),
+    )
+
+
 def blocked_cosine_pairs(
     vectors: DataFrame,
     *,

@@ -2141,6 +2141,75 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic_incremental",
+    f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+    inc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 < 3),
+    corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 >= 3),
+    ia AS (
+      SELECT id, vec, cid AS cluster FROM (
+        SELECT v.vec_id AS id, v.embedding AS vec, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_SQL_L2.format(a='v.embedding', b='c.c_vec')}, c.cid
+               ) AS rn
+        FROM inc v, cents c
+      ) WHERE rn = 1
+    ),
+    ca AS (
+      SELECT id, vec, cid AS cluster FROM (
+        SELECT v.vec_id AS id, v.embedding AS vec, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_SQL_L2.format(a='v.embedding', b='c.c_vec')}, c.cid
+               ) AS rn
+        FROM corp v, cents c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT i.id, c.id AS match_id, round({_sql_cos('i.vec', 'c.vec')}, 6) AS sim
+      FROM ia i JOIN ca c USING (cluster)
+      WHERE round({_sql_cos('i.vec', 'c.vec')}, 6) >= 0.35
+    ),
+    best AS (
+      SELECT id, match_id, sim FROM (
+        SELECT id, match_id, sim,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, match_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT cast(i.vec_id AS bigint) AS id,
+           CASE WHEN b.id IS NOT NULL THEN 'near' ELSE 'unique' END AS verdict,
+           cast(b.match_id AS bigint) AS match_id, b.sim AS sim
+    FROM inc i LEFT JOIN best b ON b.id = i.vec_id
+    """,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental batch-vs-corpus SEMANTIC admission — the
+    embedding-space member of the incremental-dedup family
+    (dedup_incremental_batch covers MinHash text): each incoming vector
+    is verified only against corpus members of its own cluster on a
+    frozen codebook (fixture centroids: vec_id < 8, as
+    dedup_semantic_drop_list), reporting near/unique plus the best
+    corpus match. The nightly-ingest shape — never corpus × corpus."""
+    from tera_spark.operators.similarity import semantic_admission
+
+    emb = load(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    incoming = emb.filter(F.col("vec_id") % 10 < 3)
+    corpus = emb.filter(F.col("vec_id") % 10 >= 3)
+    out = semantic_admission(corpus, incoming, cents, threshold=0.35)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "verdict",
+        F.col("match_id").cast("long").alias("match_id"),
+        "sim",
+    )
+
+
 @query("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
 def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib redundancy signal per document (Arrow-batched pandas UDF —

@@ -92,6 +92,69 @@ def test_ivf_assign(spark):
         assert got[i] == (0 if i % 2 == 1 else 1)
 
 
+def test_windowed_semantic_pairs_sound_and_complete_on_adjacent(spark):
+    """The sorted-neighborhood verify is SOUND (every emitted pair is a
+    true within-cluster pair over the threshold — exactly what
+    ivf_near_pairs emits) and COMPLETE for pairs within the window:
+    windowed ⊆ full always, and with window ≥ cluster size the two are
+    identical. Hash-derived corpus, no RNG state."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.similarity import ivf_near_pairs, windowed_semantic_pairs
+
+    v = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(6)),
+            lambda i: (
+                (F.col("id") % 3).cast("double") * 10.0
+                + (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / F.lit(500.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.5] * 6), (1, [10.5] * 6), (2, [20.5] * 6)],
+        "centroid_id long, embedding array<double>",
+    )
+    key = lambda r: (r.cluster, r.id_a, r.id_b)  # noqa: E731
+    full = {key(r): r.sim for r in ivf_near_pairs(v, cents, threshold=0.9).collect()}
+    win = {key(r): r.sim for r in windowed_semantic_pairs(v, cents, threshold=0.9, window=3).collect()}
+    assert set(win) <= set(full), "windowed emitted a pair the full verify does not"
+    assert all(full[k] == win[k] for k in win), "sim values must agree pairwise"
+    # window >= cluster size (40 members per cluster) -> exact equality
+    win_all = {
+        key(r): r.sim
+        for r in windowed_semantic_pairs(v, cents, threshold=0.9, window=40).collect()
+    }
+    assert win_all == full
+
+
+def test_semantic_admission_verdicts_and_tiebreak(spark):
+    """near/unique verdicts against a frozen codebook; the best-match
+    fold prefers the higher cosine and breaks exact ties toward the
+    LOWER corpus id."""
+    from tera_spark.operators.similarity import semantic_admission
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, embedding array<double>"
+    )
+    # corpus: ids 10, 11 identical in cluster 0 (tie), id 20 in cluster 1
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    incoming = spark.createDataFrame(
+        [(1, [1.0, 0.0]),       # near: ties 10/11 -> keep 10
+         (2, [0.0, 1.0]),       # near: matches 20
+         (3, [1.0, -1.0])],     # cluster 0, cosine ~0.707 < 0.9 -> unique
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.id: r for r in semantic_admission(corpus, incoming, cents, threshold=0.9).collect()}
+    assert rows[1].verdict == "near" and rows[1].match_id == 10 and rows[1].sim == 1.0
+    assert rows[2].verdict == "near" and rows[2].match_id == 20
+    assert rows[3].verdict == "unique" and rows[3].match_id is None and rows[3].sim is None
+
+
 def test_language_id(docs):
     out = {r.doc_id: r.lang for r in docs.select("doc_id", language_id(F.col("text")).alias("lang")).collect()}
     assert out[0] == "en" and out[4] == "es"
