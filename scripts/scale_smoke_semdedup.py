@@ -104,11 +104,11 @@ def main() -> None:
     from tera_spark.operators.similarity import semantic_admission
 
     batch = v.filter(F.col("vec_id") % 10 == 0)
-    corpus = v.filter(F.col("vec_id") % 10 != 0)
+    standing = v.filter(F.col("vec_id") % 10 != 0)
     t0 = time.time()
     verdicts = {
         r["verdict"]: r["n"]
-        for r in semantic_admission(corpus, batch, cents, threshold=EPS)
+        for r in semantic_admission(standing, batch, cents, threshold=EPS)
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()

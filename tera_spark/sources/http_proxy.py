@@ -38,12 +38,25 @@ from __future__ import annotations
 import base64
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from tera_spark.operators.mutation import MutationBatch
 
 PUT_PATH = "/tera.http.HttpProxy.Put"
 GET_PATH = "/tera.http.HttpProxy.Get"
+METRICS_PATH = "/metrics"
+
+# table_stats fields exported as per-table gauges (metadata-only)
+_TABLE_GAUGES = (
+    "files",
+    "rows",
+    "bytes",
+    "commit_watermark",
+    "snapshots",
+    "pending_rollback_windows",
+    "delimiters",
+)
 
 # mutation_list[].type -> MutationBatch verb (http.proto:7-17; the
 # documented subset is put/del-col/del-row, the rest complete the enum)
@@ -106,11 +119,26 @@ class HttpProxy:
         self._client = client
         self._tables: dict[str, object] = {}
         self._wlock = threading.Lock()
+        self._counters = {"put_requests": 0, "get_requests": 0}
         proxy = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # tests stay quiet
                 pass
+
+            def do_GET(self):
+                # the metric server analog (common/metric/
+                # metric_http_server.cc:162: GET /metrics, Prometheus
+                # text exposition — # HELP / # TYPE gauge / item lines)
+                if self.path != METRICS_PATH:
+                    self._reply(404, {"status": False, "reason": "unknown method"})
+                    return
+                body = proxy._metrics().encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def do_POST(self):
                 try:
@@ -144,7 +172,35 @@ class HttpProxy:
             self._tables[name] = self._client.open_table(name)
         return self._tables[name]
 
+    def _metrics(self) -> str:
+        """Prometheus text body, the ResponseBodyBuilder shape
+        (metric_http_server.cc:20-62): ``# HELP`` / ``# TYPE <name>
+        gauge`` headers, then ``name{labels,value_type="Gauge"} value
+        timestamp_ms`` items. Per-table gauges come from the
+        metadata-only ``catalog.table_stats``; proxy request counters
+        ride along with no table label."""
+        ts = int(time.time() * 1000)
+        out: list[str] = []
+
+        def item(name: str, labels: str, value) -> None:
+            out.append(f"# HELP {name} {name}\n# TYPE {name} gauge\n")
+            sep = "," if labels else ""
+            out.append(f'{name}{{{labels}{sep}value_type="Gauge"}} {value} {ts}\n')
+
+        for cname, cval in sorted(self._counters.items()):
+            item(f"tera_http_{cname}", "", cval)
+        cat = self._client.catalog
+        for tname in cat.list_tables():
+            try:
+                stats = cat.table_stats(tname)
+            except Exception:  # noqa: BLE001 — a broken table must not kill /metrics
+                continue
+            for field in _TABLE_GAUGES:
+                item(f"tera_table_{field}", f'table="{tname}"', stats[field])
+        return "".join(out)
+
     def _put(self, req: dict) -> dict:
+        self._counters["put_requests"] += 1
         try:
             table = self._table(req.get("tablename", ""))
         except Exception as exc:  # noqa: BLE001 — proxy reports, never dies
@@ -176,6 +232,7 @@ class HttpProxy:
         return {"status": ok_all, "reason": "", "results": results}
 
     def _get(self, req: dict) -> dict:
+        self._counters["get_requests"] += 1
         try:
             table = self._table(req.get("tablename", ""))
         except Exception as exc:  # noqa: BLE001

@@ -147,6 +147,41 @@ def test_per_row_status_isolates_bad_rows(proxy):
     assert got["results"][0]["value"] == "v"
 
 
+def test_metrics_endpoint_prometheus_text(proxy):
+    """GET /metrics serves the reference metric server's Prometheus
+    text shape (metric_http_server.cc: # HELP / # TYPE gauge /
+    name{labels,value_type="Gauge"} value ts) with per-table gauges
+    from table_stats and proxy request counters."""
+    _post(proxy, PUT_PATH, {"tablename": "oops", "mutation_list": [
+        {"rowkey": "m1", "type": "put", "columns": [
+            {"columnfamily": "cf0", "qualifier": "q", "value": "v"}]}]})
+    conn = http.client.HTTPConnection("127.0.0.1", proxy.port, timeout=30)
+    try:
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type", "").startswith("text/plain")
+        body = resp.read().decode("utf-8")
+    finally:
+        conn.close()
+    assert "# TYPE tera_table_rows gauge\n" in body
+    assert "# HELP tera_http_put_requests tera_http_put_requests\n" in body
+    import re
+
+    m = re.search(r'tera_table_rows\{table="oops",value_type="Gauge"\} (\d+) \d+', body)
+    assert m and int(m.group(1)) >= 1, body
+    m = re.search(r'tera_http_put_requests\{value_type="Gauge"\} (\d+) \d+', body)
+    assert m and int(m.group(1)) >= 1
+
+    # unknown GET path -> 404 (only /metrics is a GET verb)
+    conn = http.client.HTTPConnection("127.0.0.1", proxy.port, timeout=30)
+    try:
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+    finally:
+        conn.close()
+
+
 def test_errors_bad_json_unknown_path_unknown_table(proxy):
     conn = http.client.HTTPConnection("127.0.0.1", proxy.port, timeout=30)
     try:
