@@ -176,6 +176,86 @@ def test_commit_cas_two_writers_serialize(spark, tmp_path):
     assert {r.row_key for r in a.view("t").collect()} == {"ra", "rb"}
 
 
+def test_commit_cas_two_os_processes_contend(spark, tmp_path):
+    """A REAL two-process race on the same table root: a child Python
+    process (its own JVM, its own Catalog with a different writer_id)
+    commits 5 batches through append_cas while this process commits 5
+    concurrently. The exclusive-create claim file is the cross-process
+    primitive (O_EXCL on a shared filesystem — the reference serializes
+    racing committers via Percolator primary locks + ZK fencing,
+    global_txn.cc:578-720). Every batch from both writers must land,
+    with strictly non-overlapping seq windows and a watermark equal to
+    the global max."""
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="proc-main")
+    a.create_table("t { d }")
+
+    child = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from pyspark.sql import SparkSession
+        from tera_spark.catalog import Catalog
+        from tera_spark.operators.mutation import MutationBatch
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .appName("cas-child")
+            .getOrCreate()
+        )
+        cat = Catalog(spark, {root!r}, writer_id="proc-child")
+        for i in range(5):
+            cat.append_cas(
+                "t", MutationBatch().put(f"b{{i}}", "d", "q", "vb", ts=1),
+                max_wait_s=120.0,
+            )
+        print("CHILD-DONE")
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        for i in range(5):
+            a.append_cas(
+                "t", MutationBatch().put(f"a{i}", "d", "q", "va", ts=1),
+                max_wait_s=120.0,
+            )
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0 and "CHILD-DONE" in out, out
+
+    rows = {r.row_key for r in a.view("t").collect()}
+    assert rows == {f"a{i}" for i in range(5)} | {f"b{i}" for i in range(5)}
+    # commit marks: every batch produced its own strictly-higher record
+    # (windows are [prev_hi+1, hi], so distinct increasing marks ⇔
+    # pairwise-disjoint seq windows); watermark = the global max
+    marks = sorted(
+        int(p.stem) for p in (Path(root) / "t" / "commits").glob("*.json")
+    )
+    assert len(marks) >= 10 and len(set(marks)) == len(marks)
+    assert a.commit_watermark("t") == marks[-1]
+    # and every cell's seq is covered by exactly the committed range
+    seqs = sorted(r.seq for r in a.read_oplog("t").select("seq").collect())
+    assert len(seqs) == 10 and seqs[-1] == marks[-1]
+
+
 def test_commit_cas_takeover_after_crash_no_torn_visibility(spark, tmp_path):
     """A committer that died between parquet append and commit record
     leaves a claim + a torn tail. After claim expiry the next
