@@ -102,6 +102,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--delimiters-file",
                     help="pre-split delimiter file, one row key per line "
                          "(createbyfile <schema> <delimiter_file>)")
+    sp.add_argument("--hash-num", type=int,
+                    help="pre-split a <hash=on> table into N equal hash-space "
+                         "slices (CreateTable(desc, hash_num) overload)")
     sp = sub.add_parser("update"); sp.add_argument("schema")
     sp = sub.add_parser("enable"); sp.add_argument("table")
     sp = sub.add_parser("disable"); sp.add_argument("table")
@@ -266,6 +269,17 @@ def main(argv: list[str] | None = None) -> int:
                 for ln in Path(args.delimiters_file).read_text().splitlines()
                 if ln.strip()
             ]
+        if getattr(args, "hash_num", None):
+            from tera_spark.functions.keys import hash_delimiters
+            from tera_spark.registry import parse_schema_string
+
+            if delims:
+                print("--hash-num and --delimiters-file are mutually exclusive")
+                return 1
+            if not parse_schema_string(text).hash_distribution:
+                print("Create non-hash table with hash_num is invalid")
+                return 1
+            delims = hash_delimiters(args.hash_num)
         s = cat.create_table(text, delimiters=delims)
         extra = f", {len(s.delimiters)} pre-split delimiters" if s.delimiters else ""
         print(f"created {s.name} ({len(s.column_families)} cf{extra})")

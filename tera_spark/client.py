@@ -42,8 +42,25 @@ class Client:
         self.catalog = Catalog(spark, root)
 
     # lifecycle passthroughs, SDK names
-    def create_table(self, schema: TableSchema | str) -> TableSchema:
-        return self.catalog.create_table(schema)
+    def create_table(
+        self, schema: TableSchema | str, *, hash_num: int | None = None
+    ) -> TableSchema:
+        """``hash_num`` is the CreateTable(desc, hash_num) overload
+        (src/sdk/client_impl.cc:160-168): pre-split a HASH table into
+        hash_num equal slices of the 64-bit hash space via
+        GenerateHashDelimiters; invalid on a non-hash table (kBadParam,
+        same refusal)."""
+        if hash_num is None:
+            return self.catalog.create_table(schema)
+        from tera_spark.functions.keys import hash_delimiters
+        from tera_spark.registry import parse_schema_string
+
+        parsed = parse_schema_string(schema) if isinstance(schema, str) else schema
+        if not parsed.hash_distribution:
+            raise ValueError("Create non-hash table with hash_num is invalid")
+        return self.catalog.create_table(
+            parsed, delimiters=hash_delimiters(hash_num)
+        )
 
     def disable_table(self, name: str) -> None:
         self.catalog.disable_table(name)

@@ -44,6 +44,22 @@ def strip_hash_prefix(hashed: Column) -> Column:
     return F.substring(hashed, PREFIX_LEN + 1, 2_147_483_647)
 
 
+def hash_delimiters(hash_num: int) -> list[str]:
+    """Evenly-spaced pre-split points over the 64-bit hash space for a
+    hash-distributed table — GenerateHashDelimiters
+    (src/sdk/sdk_utils.cc:1089-1103, contract pinned by
+    src/sdk/test/hash_table_test.cc GenerateHashDelimiters): hash_num−1
+    delimiters at i·⌊(2⁶⁴−1)/hash_num⌋, 16-char zero-padded lowercase
+    hex; empty for hash_num ≤ 1. Because the distribution prefix is
+    the same 16-hex shape (``hash_prefix``), these compare
+    lexicographically against prefixed keys exactly as u64s — tablet i
+    covers an equal slice of the hash space regardless of key skew."""
+    if hash_num <= 1:
+        return []
+    bulk = (0xFFFFFFFFFFFFFFFF - 0x0) // hash_num
+    return [format((i * bulk), "016x") for i in range(1, hash_num)]
+
+
 def with_hashed_row_key(cells: DataFrame, key_col: str = "row_key") -> DataFrame:
     """Rewrite a cell table's row keys to hash-distributed form."""
     return cells.withColumn(key_col, hash_prefix_key(F.col(key_col)))

@@ -1257,3 +1257,29 @@ def test_sql_view_and_value_lookup_strip_hash_prefix(spark, tmp_path):
     cat.create_index("h", "d", "seg")
     hits2 = {r.row_key for r in cat.lookup_by_value("h", "d", "seg", "S0").collect()}
     assert hits2 == {"u0", "u2", "u4"}
+
+
+def test_cli_create_hash_num(spark, tmp_path, capsys):
+    """teracli create --hash-num: pre-split a <hash=on> table into N
+    equal hash-space slices (the CreateTable(desc, hash_num) overload);
+    refused for non-hash schemas and alongside --delimiters-file."""
+    from tera_spark.catalog import Catalog
+    from tera_spark.cli import main
+    from tera_spark.functions.keys import hash_delimiters
+
+    root = str(tmp_path / "cat")
+    assert main(["--root", root, "create", "hcli <hash=on> { d }", "--hash-num", "8"]) == 0
+    assert "7 pre-split delimiters" in capsys.readouterr().out
+    cat = Catalog(spark, root)
+    assert cat.get_schema("hcli").delimiters == hash_delimiters(8)
+
+    assert main(["--root", root, "create", "plaincli { d }", "--hash-num", "8"]) == 1
+    assert "non-hash table with hash_num is invalid" in capsys.readouterr().out
+
+    dfile = tmp_path / "delims.txt"
+    dfile.write_text("m\n")
+    assert main([
+        "--root", root, "create", "h2 <hash=on> { d }",
+        "--hash-num", "4", "--delimiters-file", str(dfile),
+    ]) == 1
+    assert "mutually exclusive" in capsys.readouterr().out

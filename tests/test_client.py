@@ -237,3 +237,35 @@ def test_row_mutation_terasdk_shim(spark, tmp_path):
 
     with pytest.raises(TypeError):
         t.NewRowMutation("r2").PutKV("v", 60)
+
+
+def test_create_hash_table_with_hash_num_presplits(client):
+    """CreateTable(desc, hash_num) (src/sdk/client_impl.cc:160-168):
+    a hash table pre-splits into hash_num equal slices of the 64-bit
+    hash space; after optimize no file spans a slice boundary, and the
+    overload is refused on a non-hash table (kBadParam message)."""
+    import pytest as _pytest
+
+    from tera_spark.functions.keys import hash_delimiters
+
+    s = client.create_table("ht <hash=on> { d }", hash_num=4)
+    delims = hash_delimiters(4)
+    assert s.delimiters == delims and len(delims) == 3
+
+    t = client.open_table("ht")
+    for i in range(40):
+        t.put(f"user{i:03d}", "d", "q", f"v{i}")
+    cat = client.catalog
+    cat.optimize("ht")
+    for info in cat.tablet_info("ht"):
+        if not info["rows"]:
+            continue
+        # file range must sit wholly inside one hash slice
+        s_slice = sum(1 for d in delims if d <= info["start_key"])
+        e_slice = sum(1 for d in delims if d <= info["end_key"])
+        assert s_slice == e_slice, info
+    # keys remain transparently readable after the layout job
+    assert t.get("user007")["d"]["q"][0][1] == b"v7"
+
+    with _pytest.raises(ValueError, match="non-hash table with hash_num"):
+        client.create_table("plain { d }", hash_num=4)

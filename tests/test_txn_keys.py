@@ -257,3 +257,24 @@ def test_py_xxhash64_matches_spark_hypothesis(spark):
     )
     for r in df.collect():
         assert py_xxhash64(r.k.encode("utf-8")) == r.h, repr(r.k)
+
+
+def test_generate_hash_delimiters_reference_contract():
+    """Transliterates hash_table_test.cc GenerateHashDelimiters
+    (src/sdk/test/hash_table_test.cc): n=2 -> the single midpoint
+    7fffffffffffffff; n<=1 (incl. negative) -> empty; n=32 -> 31
+    delimiters, evenly spaced, with 2^64 / spacing == 32."""
+    from tera_spark.functions.keys import hash_delimiters
+
+    assert hash_delimiters(2) == ["7fffffffffffffff"]
+    assert hash_delimiters(1) == []
+    assert hash_delimiters(-2029) == []
+    d = hash_delimiters(32)
+    assert len(d) == 31
+    vals = [int(x, 16) for x in d]
+    assert vals == sorted(vals)
+    gaps = {b - a for a, b in zip(vals, vals[1:])}
+    assert len(gaps) == 1  # even spacing
+    assert 0xFFFFFFFFFFFFFFFF // gaps.pop() == 32
+    # 16-hex, zero-padded, lowercase -- comparable against hash prefixes
+    assert all(len(x) == 16 and x == x.lower() for x in d)
