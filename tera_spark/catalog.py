@@ -842,27 +842,73 @@ class Catalog:
 
     def _claim_commit_slot(self, name: str, base_mark: int, holder: str, ttl_s: float) -> bool:
         import os
+        import uuid
 
         d = self.root / name / "commits"
         d.mkdir(exist_ok=True)
         p = d / f"claim-{base_mark}.lock"
         rec = json.dumps({"holder": holder, "expires": time.time() + ttl_s})
-        try:
-            fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        while True:
+            try:
+                fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                pass
+            else:
+                with os.fdopen(fd, "w") as f:
+                    f.write(rec)
+                return True
             try:
                 cur = json.loads(p.read_text())
+            except FileNotFoundError:
+                continue  # just released/taken aside: re-race the create
             except (OSError, json.JSONDecodeError):
-                cur = None
+                cur = None  # torn write by a dead holder: treat as corrupt
             if cur is not None and cur.get("expires", 0) > time.time():
                 return False  # live claim: lose this round
-            tmp = p.with_suffix(".tmp")
-            tmp.write_text(rec)
-            tmp.replace(p)  # expired/corrupt claim: take over
-            return True
-        with os.fdopen(fd, "w") as f:
-            f.write(rec)
-        return True
+            # Expired/corrupt takeover must be SINGLE-winner (two racers
+            # both rewriting claim-<W> in place would both think they
+            # won and append overlapping seq windows). Renaming the dead
+            # claim ASIDE to a unique name is the atomic arbiter: the
+            # source vanishes, so exactly one racer's rename succeeds,
+            # and the winner then re-races the O_EXCL create above.
+            aside = d / f"claim-{base_mark}.dead-{uuid.uuid4().hex}"
+            try:
+                os.rename(str(p), str(aside))
+            except OSError:
+                continue  # lost the rename race: re-read the new state
+            # Guard the read->rename window: if what we moved aside is
+            # now LIVE (takeover + fresh claim completed in between),
+            # restore it without clobbering any newer claim (link fails
+            # on EEXIST) and lose; append_cas re-verifies ownership
+            # before committing, so even an unrestorable victim cannot
+            # double-commit.
+            try:
+                got = json.loads(aside.read_text())
+            except (OSError, json.JSONDecodeError):
+                got = None
+            if got is not None and got.get("expires", 0) > time.time():
+                try:
+                    os.link(str(aside), str(p))
+                except OSError:
+                    pass
+                aside.unlink(missing_ok=True)
+                return False
+            aside.unlink(missing_ok=True)
+            # slot is now free: loop and race the O_EXCL create
+
+    def _claim_holder(self, name: str, base_mark: int) -> str | None:
+        p = self.root / name / "commits" / f"claim-{base_mark}.lock"
+        try:
+            return json.loads(p.read_text()).get("holder")
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _release_claim(self, name: str, base_mark: int, holder: str) -> None:
+        """Best-effort conditional release: never unlink a claim a
+        takeover handed to someone else."""
+        if self._claim_holder(name, base_mark) == holder:
+            p = self.root / name / "commits" / f"claim-{base_mark}.lock"
+            p.unlink(missing_ok=True)
 
     def append_cas(
         self,
@@ -886,13 +932,17 @@ class Catalog:
             w = self.commit_watermark(name)
             base_mark = w if w is not None else -1
             if self._claim_commit_slot(name, base_mark, holder, claim_ttl_s):
-                claim = self.root / name / "commits" / f"claim-{base_mark}.lock"
                 try:
                     # the watermark may have advanced between the read
                     # and the claim win (stale slot freed by its
                     # winner): detect and go claim the current one
                     w2 = self.commit_watermark(name)
                     if (w2 if w2 is not None else -1) != base_mark:
+                        continue
+                    # a stale expired-claim takeover may have handed
+                    # this slot to another holder in the meantime:
+                    # commit only while the claim still records US
+                    if self._claim_holder(name, base_mark) != holder:
                         continue
                     # allocate ABOVE any rolled-back torn tail, not just
                     # the watermark (same rule as Table._seq)
@@ -907,7 +957,7 @@ class Catalog:
                     )
                     return base + len(batch) - 1
                 finally:
-                    claim.unlink(missing_ok=True)
+                    self._release_claim(name, base_mark, holder)
             if time.time() >= deadline:
                 raise WriterFenced(
                     f"table {name!r}: commit slot contended past {max_wait_s}s"

@@ -205,7 +205,7 @@ def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
     return {"sample_rate": rate, "n_samples": n * 256, "channels": 1, "samples": ()}
 
 
-def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+def extract_features(media: DataFrame, *, fake_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, one feature
     row per asset out. Partition count is preserved, so upstream
     repartitioning controls decode parallelism and batch memory."""
@@ -290,7 +290,7 @@ def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False)
 
 
 def resize_images(
-    media: DataFrame, *, width: int = 64, height: int = 64, fake_decode: bool = True
+    media: DataFrame, *, width: int = 64, height: int = 64, fake_decode: bool = False
 ) -> DataFrame:
     """mapInPandas resize stage: Arrow batches of (payload, meta) in,
     re-encoded payloads + new dimensions out. Same partition-preserving
@@ -323,7 +323,7 @@ AUDIO_SCHEMA = (
 )
 
 
-def extract_audio_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+def extract_audio_features(media: DataFrame, *, fake_decode: bool = False) -> DataFrame:
     """mapInPandas audio feature extraction (sample rate, sample count,
     duration) through the stubbed decoder — same partition-preserving
     Arrow-batch shape as the image path."""
@@ -396,7 +396,7 @@ def phash64(payload: bytes, *, fake: bool = False) -> int:
 
 
 def phash_duplicates(
-    media: DataFrame, *, max_hamming: int = 4, fake_decode: bool = True
+    media: DataFrame, *, max_hamming: int = 4, fake_decode: bool = False
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual hash: compute the
     64-bit pHash per asset (mapInPandas, Arrow-batched), band the hash

@@ -288,7 +288,7 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     from tera_spark.operators.multimodal import extract_features, synth_png_media
 
     docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 0)
-    feats = extract_features(synth_png_media(docs), fake_decode=False)
+    feats = extract_features(synth_png_media(docs))
     return feats.select(
         "asset_id",
         F.col("width").cast("int").alias("width"),
@@ -327,7 +327,7 @@ def multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
     from tera_spark.operators.multimodal import extract_audio_features, synth_wav_media
 
     docs = load(spark, sf, "documents").filter(F.col("doc_id") % 9 == 0)
-    return extract_audio_features(synth_wav_media(docs), fake_decode=False)
+    return extract_audio_features(synth_wav_media(docs))
 
 
 @query(
@@ -362,10 +362,9 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 0)
-    resized = resize_images(synth_png_media(docs), width=4, height=4, fake_decode=False)
+    resized = resize_images(synth_png_media(docs), width=4, height=4)
     feats = extract_features(
         resized.select("asset_id", "media_type", "payload", F.lit(None).alias("meta")),
-        fake_decode=False,
     )
     return feats.select(
         "asset_id",
@@ -443,7 +442,7 @@ def multimodal_phash_dups(spark: SparkSession, sf: str) -> DataFrame:
         .alias("seed"),
     ).withColumn("n2", F.lit(64) + F.col("seed") % 100)
     media = synth_png_media(assets, id_col="id", size_col="n2", seed_col="seed")
-    out = phash_duplicates(media, max_hamming=4, fake_decode=False)
+    out = phash_duplicates(media, max_hamming=4)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -2213,11 +2212,59 @@ def dedup_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
 @query("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
 def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """zlib redundancy signal per document (Arrow-batched pandas UDF —
-    the deliberate Python path; see operators/textops.py)."""
+    the deliberate Python path; see operators/textops.py). Rows-only by
+    design: DuckDB SQL cannot run zlib, so the driver records a
+    rows-only check here and the SQL-expressible half of the redundancy
+    signal lives in the fully-oracled sibling text_redundancy_stats."""
     from tera_spark.operators.textops import compression_ratio
 
     docs = load(spark, sf, "documents")
     return compression_ratio(docs)
+
+
+@query(
+    "text_redundancy_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           cast(sum(c) AS bigint) AS n_tokens,
+           cast(count(*) AS bigint) AS n_types,
+           (floor(count(*)::double / sum(c) * 1000000)::double / 1000000) AS ttr,
+           (floor(max(c)::double / sum(c) * 1000000)::double / 1000000)
+             AS top_share
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_redundancy_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document lexical-redundancy stats — the SQL-expressible
+    half of the compression-ratio signal (text_compression_ratio keeps
+    the zlib column rows-only): type-token ratio and top-token share.
+    Low TTR or high top-share = degenerate repetition, the same docs
+    zlib flags; curation pipelines read the two side by side. Pure
+    integer counts divided once and floor-truncated (bit-stable).
+
+    Scale shape: token explode into a (doc_id, token) count, then a
+    doc_id rollup — two map-side-combined aggregations sharing the
+    doc_id key prefix, ONE exchange."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+
+    def t6(x):
+        return (F.floor(x * 1_000_000).cast("double") / 1_000_000)
+
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        t6(F.count("*").cast("double") / F.sum("c")).alias("ttr"),
+        t6(F.max("c").cast("double") / F.sum("c")).alias("top_share"),
+    )
 
 
 @query(

@@ -284,3 +284,117 @@ def test_commit_cas_takeover_after_crash_no_torn_visibility(spark, tmp_path):
     assert hi_b > hi + 1  # allocated above the torn tail, not inside it
     keys = {r.row_key for r in b.view("t").collect()}
     assert keys == {"r0", "r1"}, f"torn batch leaked: {keys}"
+
+
+def test_expired_claim_takeover_single_winner_two_processes(tmp_path):
+    """The ADVICE race: two processes both observe the SAME expired
+    claim and race the takeover. The in-place tmp+rename takeover let
+    BOTH win (both rename over claim-<W>, both return True, overlapping
+    seq windows follow). The rename-ASIDE takeover arbitrates
+    atomically — per round exactly one of the two racers may win.
+    No Spark needed: _claim_commit_slot is pure filesystem."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    root = str(tmp_path / "cat")
+    rounds = 40
+    cat = Catalog(None, root, writer_id="proc-main")
+    d = Path(root) / "t" / "commits"
+    d.mkdir(parents=True)
+    sync = Path(root) / "sync"
+    sync.mkdir()
+    for k in range(rounds):  # pre-seed one EXPIRED claim per round
+        (d / f"claim-{k}.lock").write_text(
+            json.dumps({"holder": "dead-writer", "expires": 0.0})
+        )
+
+    child = textwrap.dedent(
+        f"""
+        import sys, time
+        from pathlib import Path
+        sys.path.insert(0, {repo!r})
+        from tera_spark.catalog import Catalog
+
+        cat = Catalog(None, {root!r}, writer_id="proc-child")
+        sync = Path({root!r}) / "sync"
+        for k in range({rounds}):
+            (sync / f"ready-{{k}}").touch()
+            while not (sync / f"go-{{k}}").exists():
+                pass
+            won = cat._claim_commit_slot("t", k, "proc-child", ttl_s=60.0)
+            print(f"RES {{k}} {{int(won)}}", flush=True)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    mine = {}
+    try:
+        for k in range(rounds):
+            deadline = _time.time() + 30
+            while not (sync / f"ready-{k}").exists():
+                assert _time.time() < deadline, "child never became ready"
+                assert proc.poll() is None, proc.stdout.read()
+            (sync / f"go-{k}").touch()
+            mine[k] = cat._claim_commit_slot("t", k, "proc-main", ttl_s=60.0)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    theirs = {}
+    for line in out.splitlines():
+        if line.startswith("RES "):
+            _, k, won = line.split()
+            theirs[int(k)] = bool(int(won))
+    assert len(theirs) == rounds
+    for k in range(rounds):
+        assert mine[k] + theirs[k] == 1, (
+            f"round {k}: main={mine[k]} child={theirs[k]} — takeover must "
+            "have exactly one winner"
+        )
+        # the surviving claim records the actual winner
+        holder = cat._claim_holder("t", k)
+        assert holder == ("proc-main" if mine[k] else "proc-child")
+    # no leaked .dead-* takeover temp files
+    assert not list(d.glob("*.dead-*"))
+
+
+def test_expired_claim_takeover_sequential_semantics(tmp_path):
+    """Takeover of an expired claim wins and installs a LIVE claim;
+    a second attempt then loses to it; conditional release never
+    unlinks another holder's claim."""
+    import json
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    a = Catalog(None, root, writer_id="wa")
+    b = Catalog(None, root, writer_id="wb")
+    d = Path(root) / "t" / "commits"
+    d.mkdir(parents=True)
+    (d / "claim-7.lock").write_text(json.dumps({"holder": "dead", "expires": 0.0}))
+
+    assert a._claim_commit_slot("t", 7, "wa", ttl_s=60.0)
+    assert a._claim_holder("t", 7) == "wa"
+    assert not b._claim_commit_slot("t", 7, "wb", ttl_s=60.0)
+    # conditional release: wb cannot release wa's claim
+    b._release_claim("t", 7, "wb")
+    assert a._claim_holder("t", 7) == "wa"
+    a._release_claim("t", 7, "wa")
+    assert a._claim_holder("t", 7) is None
+    # corrupt claim (torn write by a dead holder) is also taken over
+    (d / "claim-9.lock").write_text("{torn")
+    assert b._claim_commit_slot("t", 9, "wb", ttl_s=60.0)
+    assert b._claim_holder("t", 9) == "wb"

@@ -428,7 +428,10 @@ def test_resize_images_fake_codec(spark):
         [(1, "image", b"hello-world-payload", {}), (2, "image", b"ab", {})],
         "asset_id long, media_type string, payload binary, meta map<string,string>",
     )
-    out = {r.asset_id: bytes(r.payload) for r in resize_images(media).collect()}
+    out = {
+        r.asset_id: bytes(r.payload)
+        for r in resize_images(media, fake_decode=True).collect()
+    }
     assert out[1] == b"hello-world-payl" and len(out[1]) == 16
     assert out[2] == b"ab" * 8
 
@@ -614,7 +617,10 @@ def test_phash_duplicates_near_and_far(spark):
     from tera_spark.operators.multimodal import MEDIA_SCHEMA
 
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_duplicates(df).collect()}
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_duplicates(df, fake_decode=True).collect()
+    }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert all({a, b} == {1, 2} for a, b in pairs)  # no far pair, no audio
 

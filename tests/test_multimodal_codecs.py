@@ -164,3 +164,29 @@ def test_synth_media_formulas(spark):
         assert r.amp_sum == sum(
             abs(((did * 7 + i * 13) % 2048 - 1024) * 16) for i in range(cnt)
         )
+
+
+def test_real_decode_is_the_default():
+    """Production default is REAL decode: genuine PNG/WAV containers
+    decode without any kwarg, and undecodable formats raise instead of
+    silently falling back to the fixture stand-in (fake is opt-in)."""
+    import pytest
+
+    from tera_spark.operators.multimodal import decode_audio, decode_image
+
+    import inspect
+
+    from tera_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_features,
+        phash_duplicates,
+        resize_images,
+    )
+
+    for fn in (extract_features, extract_audio_features, resize_images, phash_duplicates):
+        assert inspect.signature(fn).parameters["fake_decode"].default is False
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 not-a-png")  # JPEG magic, no codec
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04 not-a-wav")  # MP3 container
