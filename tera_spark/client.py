@@ -185,6 +185,24 @@ class Table:
         if timeoracle is not None:
             self._refuse_oracle_ttl_mix(schema)
         self._oracle = timeoracle
+        self._schema_memo: tuple | None = None  # (stat key, TableSchema)
+
+    def _current_schema(self):
+        """get_schema behind an mtime/size guard: the per-write
+        oracle/ttl recheck must see a later update_schema, but must not
+        pay a read+JSON-parse per mutation — schema.json is re-parsed
+        only when its stat signature changes."""
+        import os
+
+        p = self._cat.root / self.name / "schema.json"
+        try:
+            st = os.stat(p)
+            key = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        if self._schema_memo is None or self._schema_memo[0] != key:
+            self._schema_memo = (key, self._cat.get_schema(self.name))
+        return self._schema_memo[1]
 
     def _refuse_oracle_ttl_mix(self, schema) -> None:
         if any(cf.ttl > 0 for cf in schema.column_families.values()):
@@ -273,8 +291,9 @@ class Table:
             # the construction-time guard can be bypassed by a later
             # update_schema adding cf ttl>0 to an open oracle-stamped
             # handle; re-check against the CURRENT schema on every
-            # write (get_schema re-reads schema.json, so this sees it)
-            self._refuse_oracle_ttl_mix(self._cat.get_schema(self.name))
+            # write (stat-guarded memo: sees any schema.json change
+            # without per-mutation read+parse)
+            self._refuse_oracle_ttl_mix(self._current_schema())
         if self._hashed:
             # translate into a COPY: retrying the same caller batch
             # must not double-prefix its row keys

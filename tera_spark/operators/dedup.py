@@ -85,7 +85,7 @@ def _first_collision_candidates(
         "id", "bucket", prefix.alias("prefix")
     ).persist()  # self-join: one fingerprint materialization, not two
     a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    out = (
         a.join(b, "bucket")
         .filter(
             (F.col("a.id") < F.col("b.id"))
@@ -93,6 +93,9 @@ def _first_collision_candidates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(out, sigs)
 
 
 def _cap_buckets(sigs: DataFrame, max_bucket_size: int | None) -> DataFrame:
@@ -155,7 +158,7 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter.cast("double") / union
-    return (
+    out = (
         a.join(b, "bkt")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -165,6 +168,9 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(out, base)
 
 
 def verified_near_duplicates(
@@ -209,11 +215,14 @@ def verified_near_duplicates(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         j.select(
             "id_a", "id_b", F.round(inter.cast("double") / union, 6).alias("jaccard")
         ).filter(F.col("jaccard") >= threshold)
     )
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(out, base)
 
 
 def containment_pairs(
@@ -271,7 +280,7 @@ def containment_pairs(
     c_ab = (inter / F.size("sh_a")).alias("c_ab")
     c_ba = (inter / F.size("sh_b")).alias("c_ba")
     scored = j.select("id_a", "id_b", c_ab, c_ba)
-    return (
+    out = (
         scored.select(
             "id_a",
             "id_b",
@@ -282,6 +291,9 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(out, base)
 
 
 def connected_components(

@@ -458,7 +458,7 @@ def phash_duplicates(
         for j in range(1, i):
             cond = cond & band_differs(j)
         first_shared = first_shared.when(F.col("band") == i, cond)
-    return (
+    out = (
         a.join(b2, ["band", "key"])
         .filter((F.col("a.asset_id") < F.col("b.asset_id")) & first_shared)
         .select(
@@ -468,6 +468,9 @@ def phash_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(out, banded)
 
 
 # --- deterministic real-media synthesis ---------------------------------

@@ -231,12 +231,14 @@ def ivf_near_pairs(
     assignment kernel run ONCE instead of once per side. (The verify
     itself dominates wall time — see SCALE.md "Semantic dedup"; the
     persist's value is not re-reading the source at cluster scale.)"""
+    from tera_spark.functions.cache import tie_cache_lifetime
+
     assigned = ivf_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col
     ).persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
-    return (
+    out = (
         a.join(b, "cluster")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -247,6 +249,7 @@ def ivf_near_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+    return tie_cache_lifetime(out, assigned)
 
 
 def windowed_semantic_pairs(
@@ -320,7 +323,9 @@ def windowed_semantic_pairs(
         F.greatest(F.col("id_l"), F.col("id")).alias("id_b"),
         sim.alias("sim"),
     )
-    return pairs.filter(F.col("sim") >= threshold)
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(pairs.filter(F.col("sim") >= threshold), ranked)
 
 
 def semantic_admission(
@@ -682,7 +687,7 @@ def hyperplane_lsh_pairs(
         .distinct()
     )
     v = base.select("id", "vec")
-    return (
+    out = (
         cand.join(v.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
         .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
         .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
@@ -693,6 +698,9 @@ def hyperplane_lsh_pairs(
             "sim",
         )
     )
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(out, base)
 
 
 # --- product quantization (IVF-PQ scale path) -------------------------

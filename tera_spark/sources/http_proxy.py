@@ -119,6 +119,14 @@ class HttpProxy:
         self._client = client
         self._tables: dict[str, object] = {}
         self._wlock = threading.Lock()
+        # _mlock guards the shared mutable proxy state (_counters,
+        # _tables) across ThreadingHTTPServer handler threads: unlocked
+        # `+= 1` lost increments under concurrency, and racing table
+        # opens did duplicate work. Point READS of table data stay
+        # outside _wlock by design: a get is snapshot-consistent with
+        # respect to concurrent proxy writes (it sees the commit
+        # watermark as of its own scan, never a torn batch).
+        self._mlock = threading.Lock()
         self._counters = {"put_requests": 0, "get_requests": 0}
         proxy = self
 
@@ -168,9 +176,17 @@ class HttpProxy:
     # --- verbs ---------------------------------------------------------
 
     def _table(self, name: str):
-        if name not in self._tables:
-            self._tables[name] = self._client.open_table(name)
-        return self._tables[name]
+        with self._mlock:
+            t = self._tables.get(name)
+        if t is not None:
+            return t
+        t = self._client.open_table(name)  # open outside the lock: slow
+        with self._mlock:
+            return self._tables.setdefault(name, t)
+
+    def _count(self, counter: str) -> None:
+        with self._mlock:
+            self._counters[counter] += 1
 
     def _metrics(self) -> str:
         """Prometheus text body, the ResponseBodyBuilder shape
@@ -187,7 +203,9 @@ class HttpProxy:
             sep = "," if labels else ""
             out.append(f'{name}{{{labels}{sep}value_type="Gauge"}} {value} {ts}\n')
 
-        for cname, cval in sorted(self._counters.items()):
+        with self._mlock:
+            counters = dict(self._counters)
+        for cname, cval in sorted(counters.items()):
             item(f"tera_http_{cname}", "", cval)
         cat = self._client.catalog
         for tname in cat.list_tables():
@@ -200,7 +218,7 @@ class HttpProxy:
         return "".join(out)
 
     def _put(self, req: dict) -> dict:
-        self._counters["put_requests"] += 1
+        self._count("put_requests")
         try:
             table = self._table(req.get("tablename", ""))
         except Exception as exc:  # noqa: BLE001 — proxy reports, never dies
@@ -232,7 +250,7 @@ class HttpProxy:
         return {"status": ok_all, "reason": "", "results": results}
 
     def _get(self, req: dict) -> dict:
-        self._counters["get_requests"] += 1
+        self._count("get_requests")
         try:
             table = self._table(req.get("tablename", ""))
         except Exception as exc:  # noqa: BLE001

@@ -116,6 +116,9 @@ def weighted_interleave(
     off_map = F.create_map(*off_lits) if off_lits else F.create_map()
     wloc = W.partitionBy("_pid").orderBy(*order_cols)
     rank = (F.row_number().over(wloc).cast("long") + off_map[F.col("_pid")]).cast("long")
-    return ranged.withColumn("global_rank", rank).select(
+    out = ranged.withColumn("global_rank", rank).select(
         "global_rank", F.col(key_col), F.col(source_col), F.round("position", 6).alias("position")
     )
+    from tera_spark.functions.cache import tie_cache_lifetime
+
+    return tie_cache_lifetime(out, ranged)
