@@ -1460,9 +1460,23 @@ def _sql_kmeans_ctes(k: int = 8, iters: int = 4, dim: int = 64) -> tuple[list, s
         "list_reduce(list_transform(range(1, {d}+1), i -> "
         "(v.vec[i] - c.c_vec[i]) * (v.vec[i] - c.c_vec[i])), (x, y) -> x + y)"
     ).format(d=dim)
+    # Lloyd rounds run over vt, the SAME 100k smallest-h60 draw the
+    # Spark side trains on (train_sample) — without this mirror, parity
+    # would silently break the day a fixture grows past the sample size
+    # (the seeds are the k smallest by the same hash, so they are
+    # inside vt by construction). The FINAL assignment runs over all of
+    # v, exactly like the Spark queries' full-corpus ivf_assign.
+    sample = 100_000
     parts = [
         "WITH v AS (SELECT vec_id AS id, "
         "list_transform(embedding, x -> x::double) AS vec, label FROM embeddings)",
+        f"""vt AS (
+          SELECT id, vec, label FROM (
+            SELECT id, vec, label, row_number() OVER (
+              ORDER BY (('0x' || substr(md5(cast(id AS varchar)), 1, 15))::bigint), id
+            ) AS srn FROM v
+          ) WHERE srn <= {sample}
+        )""",
         # seeds: k smallest h60(id) -> centroid ids 0..k-1 in that order
         f"""seeds AS (
           SELECT row_number() OVER (
@@ -1477,7 +1491,7 @@ def _sql_kmeans_ctes(k: int = 8, iters: int = 4, dim: int = 64) -> tuple[list, s
           SELECT id, vec, label, cid AS cluster FROM (
             SELECT v.id, v.vec, v.label, c.cid,
                    row_number() OVER (PARTITION BY v.id ORDER BY {d2}, c.cid) AS rn
-            FROM v, cents{t} c
+            FROM vt v, cents{t} c
           ) WHERE rn = 1
         )""")
         parts.append(f"""means{t} AS (
@@ -1804,6 +1818,10 @@ def _sql_pq_oracle(m: int = 8, k: int = 16, iters: int = 2, dim: int = 64, topk:
         "list_reduce(list_transform(range(1, {n}+1), i -> "
         "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
     )
+    # training sweeps run over subs_t — the 100k smallest-h60 draw
+    # mirroring the Spark side's train_sample (see _sql_kmeans_ctes);
+    # the encode pass (codes) stays over ALL of subs, like pq_encode
+    sample = 100_000
     parts = [
         "WITH v AS (SELECT vec_id AS id, "
         "list_transform(embedding, x -> x::double) AS vec FROM embeddings)",
@@ -1811,6 +1829,14 @@ def _sql_pq_oracle(m: int = 8, k: int = 16, iters: int = 2, dim: int = 64, topk:
           SELECT id, s AS sub, vec[s*{d_sub}+1 : (s+1)*{d_sub}] AS svec
           FROM v, unnest(range(0, {m})) AS u(s)
         )""",
+        f"""trainset AS (
+          SELECT id FROM (
+            SELECT id, row_number() OVER (
+              ORDER BY (('0x' || substr(md5(cast(id AS varchar)), 1, 15))::bigint), id
+            ) AS srn FROM v
+          ) WHERE srn <= {sample}
+        )""",
+        "subs_t AS (SELECT s.id, s.sub, s.svec FROM subs s JOIN trainset USING (id))",
         f"""seed_ids AS (
           SELECT id, row_number() OVER (
             ORDER BY (('0x' || substr(md5(cast(id AS varchar)), 1, 15))::bigint), id
@@ -1828,7 +1854,7 @@ def _sql_pq_oracle(m: int = 8, k: int = 16, iters: int = 2, dim: int = 64, topk:
                    row_number() OVER (
                      PARTITION BY s.id, s.sub ORDER BY {pair_d2}, c.cid
                    ) AS rn
-            FROM subs s JOIN book{t} c USING (sub)
+            FROM subs_t s JOIN book{t} c USING (sub)
           ) WHERE rn = 1
         )""")
         parts.append(f"""means{t} AS (
