@@ -57,6 +57,7 @@ class Catalog:
         self.user = user
         self.writer_id = writer_id
         self._tail_checked: set[str] = set()  # per-process WAL-recovery memo
+        self._gap_memo: dict[str, tuple] = {}  # commit-gap cache (see _commit_gaps)
 
     def _authorize(self, action: str, table: str) -> None:
         if self.access is not None:
@@ -163,6 +164,14 @@ class Catalog:
             # watermark are a torn batch (crash between file write and
             # commit record) — never visible
             df = df.filter(F.col("seq") <= F.lit(w))
+            # window-granular form of the same rule: a seq GAP below
+            # the watermark is a concurrently-reserved window whose
+            # record hasn't landed (in-flight or crashed) — masked
+            # until its record appears (see _commit_gaps)
+            for g_lo, g_hi in self._commit_gaps(name):
+                df = df.filter(
+                    ~((F.col("seq") >= g_lo) & (F.col("seq") <= g_hi))
+                )
         return df
 
     def _rollbacks(self, name: str) -> list[dict]:
@@ -189,7 +198,13 @@ class Catalog:
         marks = [int(p.stem) for p in d.glob("*.json")]
         return max(marks) if marks else None
 
-    def _record_commit(self, name: str, hi: int, op_kinds: list[int] | None = None) -> None:
+    def _record_commit(
+        self,
+        name: str,
+        hi: int,
+        op_kinds: list[int] | None = None,
+        lo: int | None = None,
+    ) -> None:
         d = self.root / name / "commits"
         d.mkdir(exist_ok=True)
         # rolling op-kinds summary: fold the batch's kinds into
@@ -205,6 +220,11 @@ class Catalog:
         p = d / f"{hi}.json"
         tmp = d / f"{hi}.json.tmp"
         rec: dict = {"seq": int(hi)}
+        if lo is not None:
+            # the window's low end — lets readers distinguish a GAP
+            # (concurrent reserved window, record pending) from plain
+            # contiguous history (legacy records omit it = contiguous)
+            rec["lo"] = int(lo)
         if op_kinds is not None:
             # distinct CellOp codes in the batch — lets reads prove the
             # table PUT-only and take the fast fold (view.py put_only)
@@ -292,6 +312,7 @@ class Catalog:
         *,
         commit_seq: int | None = None,
         op_kinds: list[int] | None = None,
+        commit_lo: int | None = None,
     ) -> None:
         """Group commit: parquet append, then an atomic commit record.
         The record (commits/<max_seq>.json, written via rename) is the
@@ -310,16 +331,7 @@ class Catalog:
         self._authorize("write", name)
         self._check_writer_lease(name)
         self._consume(name, "write")
-        # recovery runs once per table per writer process: a torn tail
-        # can only come from a PREVIOUS writer's crash, and this
-        # writer's own appends are ordered behind their records
-        if name not in self._tail_checked:
-            self._tail_checked.add(name)
-            w = self.commit_watermark(name)
-            if w is not None:
-                raw = self.raw_max_seq(name)
-                if raw is not None and raw > w:
-                    self._add_rollback(name, w, raw)
+        self._recover_tail(name)
         cells.write.mode("append").parquet(self.oplog_path(name))
         if commit_seq is None:
             import pyspark.sql.functions as _F
@@ -331,7 +343,48 @@ class Catalog:
             if op_kinds is None:
                 op_kinds = [int(k) for k in kinds]
         if commit_seq is not None:
-            self._record_commit(name, commit_seq, op_kinds)
+            self._record_commit(name, commit_seq, op_kinds, lo=commit_lo)
+            if commit_lo is None:
+                # plain (non-reserved) commit on a table that has used
+                # CAS reservation: keep the counter above this window
+                self._bump_alloc(
+                    name, commit_seq, self.writer_id or f"pid-{id(self)}"
+                )
+
+    def _recover_tail(self, name: str) -> None:
+        """WAL-discard-uncommitted-tail recovery, once per table per
+        writer process: raw parquet above the watermark is a previous
+        writer's torn batch — rolled back, EXCLUDING windows covered by
+        a live reservation (a concurrent CAS committer whose record is
+        still pending; its own commit will close the window). Runs
+        BEFORE this writer reserves its own window, so the counter can
+        be bumped above the torn range and a fresh reservation can
+        never land inside (or shield) it."""
+        if name in self._tail_checked:
+            return
+        self._tail_checked.add(name)
+        w = self.commit_watermark(name)
+        if w is None:
+            return
+        raw = self.raw_max_seq(name)
+        if raw is None or raw <= w:
+            return
+        live = sorted(
+            (int(r["lo"]), int(r["hi"]))
+            for r in self._live_reservations(name)
+            if "lo" in r and "hi" in r
+        )
+        start = w + 1
+        for lo, hi in live:
+            if lo > raw or hi < start:
+                continue
+            if lo > start:
+                self._add_rollback(name, start - 1, lo - 1)
+            start = max(start, hi + 1)
+        if start <= raw:
+            self._add_rollback(name, start - 1, raw)
+        # reservations must never hand out seqs inside the torn range
+        self._bump_alloc(name, raw, self.writer_id or f"pid-{id(self)}")
 
     def view(self, name: str, **kw) -> DataFrame:
         from tera_spark.operators.view import current_view, kv_current_view
@@ -602,6 +655,7 @@ class Catalog:
         # committed rows) and restarts seq at 0 — stale high watermarks
         # would stop masking torn tails, so clear the records with it
         shutil.rmtree(self.root / name / "commits", ignore_errors=True)
+        shutil.rmtree(self.root / name / "casmeta", ignore_errors=True)
         # ... and re-seed one record for the base: compact() emits
         # "all PUTs, seq=0", so major compaction UPGRADES the table to
         # the PUT-only fast fold (the reference likewise has no
@@ -841,12 +895,17 @@ class Catalog:
     # readers never see a partial batch.
 
     def _claim_commit_slot(self, name: str, base_mark: int, holder: str, ttl_s: float) -> bool:
+        d = self.root / name / "commits"
+        d.mkdir(exist_ok=True)
+        return self._try_excl_claim(d / f"claim-{base_mark}.lock", holder, ttl_s)
+
+    @staticmethod
+    def _try_excl_claim(p, holder: str, ttl_s: float) -> bool:
+        """One attempt at an exclusive expiring filesystem claim."""
         import os
         import uuid
 
-        d = self.root / name / "commits"
-        d.mkdir(exist_ok=True)
-        p = d / f"claim-{base_mark}.lock"
+        d = p.parent
         rec = json.dumps({"holder": holder, "expires": time.time() + ttl_s})
         while True:
             try:
@@ -866,12 +925,12 @@ class Catalog:
             if cur is not None and cur.get("expires", 0) > time.time():
                 return False  # live claim: lose this round
             # Expired/corrupt takeover must be SINGLE-winner (two racers
-            # both rewriting claim-<W> in place would both think they
+            # both rewriting the claim in place would both think they
             # won and append overlapping seq windows). Renaming the dead
             # claim ASIDE to a unique name is the atomic arbiter: the
             # source vanishes, so exactly one racer's rename succeeds,
             # and the winner then re-races the O_EXCL create above.
-            aside = d / f"claim-{base_mark}.dead-{uuid.uuid4().hex}"
+            aside = d / f"{p.name}.dead-{uuid.uuid4().hex}"
             try:
                 os.rename(str(p), str(aside))
             except OSError:
@@ -910,6 +969,200 @@ class Catalog:
             p = self.root / name / "commits" / f"claim-{base_mark}.lock"
             p.unlink(missing_ok=True)
 
+    # --- seq-window reservation + row manifests (disjoint fast path) --
+    # The slot claim above serializes whole COMMITS; the reference's
+    # conflict granularity is the row (per-row lock columns,
+    # global_txn.cc:578-720) — two writers touching disjoint rows
+    # should not wait on each other. The fast path below gets there
+    # with two filesystem primitives:
+    #   * alloc.json — a tiny locked counter handing out NON-OVERLAPPING
+    #     seq windows, so concurrent appends can never interleave seqs;
+    #   * resv-<holder>.json — a reservation manifest carrying the
+    #     writer's row set and seq window. Two live manifests with
+    #     intersecting row sets never both proceed (each writer
+    #     registers its manifest BEFORE scanning others: whichever
+    #     scans later sees the earlier one and backs off to the
+    #     serialized slot path; if both see each other, both back off).
+    # Visibility stays torn-free without a single linear watermark:
+    # commit records now carry their window's low end, and read_oplog
+    # masks any seq GAP below the watermark (a reserved window whose
+    # record hasn't landed — in-flight or crashed) until its record
+    # appears. Crash recovery rolls back torn tails EXCLUDING live
+    # reservations, so a concurrent committer's parquet is never
+    # swept from under it.
+
+    def _alloc_paths(self, name: str):
+        # CAS metadata lives BESIDE commits/, not inside it: several
+        # paths (watermark, op-kinds census, stats) glob commits/*.json
+        # expecting numeric stems, and major compaction clears both
+        # dirs together to restart seq at 0.
+        d = self.root / name / "casmeta"
+        return d, d / "alloc.json", d / "alloc.lock"
+
+    def _reserve_seq_window(
+        self, name: str, n: int, holder: str, ttl_s: float = 60.0
+    ) -> tuple[int, int]:
+        """Atomically reserve ``n`` fresh sequence numbers. Returns
+        (lo, hi). The counter floors at watermark+1 always, and at
+        raw_max_seq+1 on first use (bootstrap above any legacy torn
+        tail); after that every committed window bumps it, so windows
+        never overlap each other or history."""
+        d, alloc, lock = self._alloc_paths(name)
+        d.mkdir(exist_ok=True)
+        floor = (self.commit_watermark(name) or -1) + 1
+        if not alloc.exists():  # bootstrap: one Spark job, outside the lock
+            raw = self.raw_max_seq(name)
+            floor = max(floor, (raw if raw is not None else -1) + 1)
+        while not self._try_excl_claim(lock, holder, ttl_s):
+            time.sleep(0.002)  # µs-scale critical section: spin briefly
+        try:
+            try:
+                nxt = int(json.loads(alloc.read_text())["next"])
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                nxt = 0
+            lo = max(nxt, floor)
+            tmp = alloc.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps({"next": lo + n}))
+            tmp.replace(alloc)
+        finally:
+            lock.unlink(missing_ok=True)
+        return lo, lo + n - 1
+
+    def _bump_alloc(self, name: str, hi: int, holder: str) -> None:
+        """Keep the counter above a commit made OUTSIDE the reservation
+        path (plain append on a table that has used CAS), so later
+        reservations stay fresh. No-op until alloc.json exists."""
+        d, alloc, lock = self._alloc_paths(name)
+        if not alloc.exists():
+            return
+        while not self._try_excl_claim(lock, holder, 60.0):
+            time.sleep(0.002)
+        try:
+            try:
+                nxt = int(json.loads(alloc.read_text())["next"])
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                nxt = 0
+            if hi + 1 > nxt:
+                tmp = alloc.with_suffix(".json.tmp")
+                tmp.write_text(json.dumps({"next": hi + 1}))
+                tmp.replace(alloc)
+        finally:
+            lock.unlink(missing_ok=True)
+
+    def _live_reservations(self, name: str, *, skip: str | None = None) -> list[dict]:
+        d = self.root / name / "casmeta"
+        out = []
+        now = time.time()
+        for p in d.glob("resv-*.json"):
+            if skip is not None and p.name == f"resv-{skip}.json":
+                continue
+            try:
+                rec = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if rec.get("expires", 0) > now:
+                out.append(rec)
+        return out
+
+    def _commit_gaps(self, name: str) -> list[tuple[int, int]]:
+        """Uncommitted seq windows BELOW the watermark: reserved ranges
+        whose commit record has not landed (in-flight or crashed
+        concurrent committer). Readers must mask them — they are the
+        window-granular form of the torn-batch rule. Empty unless the
+        table has ever used seq-window reservation (alloc.json), so
+        legacy/serialized tables pay one existence check. Memoized on
+        the commit-record census (records only ever accumulate)."""
+        _, alloc, _ = self._alloc_paths(name)
+        if not alloc.exists():
+            return []
+        d = self.root / name / "commits"
+        marks = sorted(int(p.stem) for p in d.glob("*.json") if p.stem.lstrip("-").isdigit())
+        sig = (len(marks), marks[-1] if marks else None)
+        memo = self._gap_memo.get(name)
+        if memo is not None and memo[0] == sig:
+            return memo[1]
+        gaps: list[tuple[int, int]] = []
+        expected = 0
+        for hi in marks:
+            try:
+                rec = json.loads((d / f"{hi}.json").read_text())
+            except (OSError, json.JSONDecodeError):
+                rec = {}
+            lo = rec.get("lo", expected)
+            if lo > expected:
+                gaps.append((expected, lo - 1))
+            expected = hi + 1
+        self._gap_memo[name] = (sig, gaps)
+        return gaps
+
+    def begin_disjoint_commit(
+        self, name: str, n: int, rows: list[str], holder: str, ttl_s: float = 60.0
+    ) -> dict | None:
+        """Phase 1 of the row-disjointness fast path: reserve an
+        ``n``-seq window and publish a manifest with the write set —
+        the prewrite-lock role of the reference's per-row lock columns
+        (global_txn.cc:578-720). Returns a token for
+        finish/abort_disjoint_commit, or None when an intersecting live
+        manifest exists. The publish-then-scan order makes the check
+        sound: of two intersecting writers, whichever scans later sees
+        the other (both may back off; never neither). While the token
+        is held, no other fast-path writer can touch these rows — a
+        caller may validate between begin and finish (the Percolator
+        validate-under-locks shape GlobalTransaction uses)."""
+        d, _, _ = self._alloc_paths(name)
+        d.mkdir(exist_ok=True)
+        lo, hi = self._reserve_seq_window(name, n, holder, ttl_s)
+        rowset = set(rows)
+        resv = d / f"resv-{holder}.json"
+        tmp = d / f"resv-{holder}.json.tmp"
+        tmp.write_text(
+            json.dumps(
+                {
+                    "holder": holder,
+                    "lo": lo,
+                    "hi": hi,
+                    "rows": sorted(rowset),
+                    "expires": time.time() + ttl_s,
+                }
+            )
+        )
+        tmp.replace(resv)
+        for other in self._live_reservations(name, skip=holder):
+            if rowset & set(other.get("rows", ())):
+                resv.unlink(missing_ok=True)
+                return None  # intersecting write set in flight
+        return {"name": name, "lo": lo, "hi": hi, "resv": resv}
+
+    def finish_disjoint_commit(self, token: dict, batch) -> int:
+        """Phase 2: append with the reserved window, release the
+        manifest. The commit record carries the window's low end so
+        readers can gap-mask concurrent in-flight windows."""
+        try:
+            batch._base_seq = token["lo"]
+            self.append(
+                token["name"],
+                batch.to_df(self.spark),
+                commit_seq=token["hi"],
+                commit_lo=token["lo"],
+                op_kinds=batch.op_kinds,
+            )
+            return token["hi"]
+        finally:
+            token["resv"].unlink(missing_ok=True)
+
+    def abort_disjoint_commit(self, token: dict) -> None:
+        """Release without committing; the abandoned window becomes a
+        permanently-masked gap (seq numbers are not reused)."""
+        token["resv"].unlink(missing_ok=True)
+
+    def _try_disjoint_commit(
+        self, name: str, batch, rows: list[str], holder: str, ttl_s: float
+    ) -> int | None:
+        tok = self.begin_disjoint_commit(name, len(batch), rows, holder, ttl_s)
+        if tok is None:
+            return None
+        return self.finish_disjoint_commit(tok, batch)
+
     def append_cas(
         self,
         name: str,
@@ -918,6 +1171,7 @@ class Catalog:
         holder: str | None = None,
         max_wait_s: float = 10.0,
         claim_ttl_s: float = 60.0,
+        rows: list[str] | None = None,
     ) -> int:
         """Serialized multi-writer group commit. ``batch`` is a
         MutationBatch whose base sequence THIS method assigns — under
@@ -925,8 +1179,22 @@ class Catalog:
         previous winner's record, so seq ranges never interleave.
         Returns the batch's committed high sequence. Raises
         WriterFenced if the slot can't be claimed within
-        ``max_wait_s`` (a held lease still fences as usual)."""
+        ``max_wait_s`` (a held lease still fences as usual).
+
+        ``rows`` opts into the ROW-DISJOINTNESS fast path (the
+        reference's per-row conflict granularity, global_txn.cc
+        per-row lock columns): pass the batch's write set (e.g.
+        ``batch.row_keys``) and the commit proceeds CONCURRENTLY with
+        other committers whose row sets don't intersect it — no slot
+        wait, no retry. Intersecting writers fall back to the
+        serialized slot path above. One in-flight commit per holder id.
+        """
         holder = holder or self.writer_id or f"pid-{id(self)}"
+        self._recover_tail(name)  # before reserving: see _recover_tail
+        if rows:
+            hi = self._try_disjoint_commit(name, batch, list(rows), holder, claim_ttl_s)
+            if hi is not None:
+                return hi
         deadline = time.time() + max_wait_s
         while True:
             w = self.commit_watermark(name)
@@ -944,18 +1212,22 @@ class Catalog:
                     # commit only while the claim still records US
                     if self._claim_holder(name, base_mark) != holder:
                         continue
-                    # allocate ABOVE any rolled-back torn tail, not just
-                    # the watermark (same rule as Table._seq)
-                    raw = self.raw_max_seq(name)
-                    base = max(base_mark, raw if raw is not None else -1) + 1
+                    # allocate through the reservation counter: above
+                    # the watermark, any torn tail (bootstrap floors at
+                    # raw_max_seq), and every concurrent fast-path
+                    # window — seq ranges can never interleave
+                    base, hi = self._reserve_seq_window(
+                        name, len(batch), holder, claim_ttl_s
+                    )
                     batch._base_seq = base
                     self.append(
                         name,
                         batch.to_df(self.spark),
-                        commit_seq=base + len(batch) - 1,
+                        commit_seq=hi,
+                        commit_lo=base,
                         op_kinds=batch.op_kinds,
                     )
-                    return base + len(batch) - 1
+                    return hi
                 finally:
                     self._release_claim(name, base_mark, holder)
             if time.time() >= deadline:

@@ -159,6 +159,12 @@ class MutationBatch:
         PUT-only and route reads through the fast fold."""
         return sorted({r[4] for r in self._rows})
 
+    @property
+    def row_keys(self) -> list[str]:
+        """Distinct row keys touched (no Spark job) — the write set the
+        commit CAS uses for its row-disjointness fast path."""
+        return sorted({r[0] for r in self._rows})
+
 
 def check_and_apply(
     cells: DataFrame,

@@ -211,8 +211,35 @@ class GlobalTransaction:
         return self
 
     # --- commit -------------------------------------------------------
-    def commit(self) -> dict[str, int]:
-        """Validate then apply; returns cells appended per table."""
+    def commit(self, *, cas: bool = False) -> dict[str, int]:
+        """Validate then apply; returns cells appended per table.
+
+        ``cas=True`` is the MULTI-WRITER mode — the full Percolator
+        prewrite-validate-commit shape (global_txn.cc:578-720) mapped
+        onto the catalog's row manifests: acquire a row-set manifest
+        per touched table (the prewrite-lock step; an intersecting
+        concurrent txn's manifest aborts us immediately — optimistic,
+        deadlock-free), validate the write set against the snapshot
+        UNDER those locks (no committer can touch our rows between
+        validation and apply), then commit each table through its
+        reserved seq window. Disjoint-row transactions commit fully
+        concurrently — no slot wait, no retry. Default (cas=False)
+        keeps the single-driver plain-append path."""
+        if cas:
+            return self._commit_cas()
+        self._validate()
+        applied: dict[str, int] = {}
+        for table, batch in self._batches.items():
+            if not len(batch):
+                continue
+            cur = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
+            batch._base_seq = (cur if cur is not None else 0) + 1
+            df = batch.to_df(self._cat.spark, now_us=self._now_us)
+            self._cat.append(table, df)
+            applied[table] = len(batch)
+        return applied
+
+    def _validate(self) -> None:
         for table, rows in self._write_rows.items():
             if not rows:
                 continue
@@ -227,16 +254,54 @@ class GlobalTransaction:
                 raise GlobalTxnConflict(
                     f"table {table!r}: write-set row changed after seq {snap}"
                 )
-        applied: dict[str, int] = {}
-        for table, batch in self._batches.items():
-            if not len(batch):
-                continue
-            cur = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
-            batch._base_seq = (cur if cur is not None else 0) + 1
+
+    def _commit_cas(self) -> dict[str, int]:
+        holder = self._cat.writer_id or f"txn-{id(self)}"
+        tokens: dict[str, dict] = {}
+        try:
+            # phase 1 — prewrite: one manifest per table, all-or-abort
+            for table, batch in self._batches.items():
+                if not len(batch):
+                    continue
+                tok = self._cat.begin_disjoint_commit(
+                    table, len(batch), sorted(self._write_rows[table]), holder
+                )
+                if tok is None:
+                    raise GlobalTxnConflict(
+                        f"table {table!r}: write set locked by a concurrent "
+                        "transaction"
+                    )
+                tokens[table] = tok
+            # validate under the locks: committed state can no longer
+            # gain ops on our rows before we apply
+            self._validate()
+            # phase 2 — commit through the reserved windows
+            applied: dict[str, int] = {}
+            for table, tok in list(tokens.items()):
+                batch = self._batches[table]
+                self._finish(tok, batch)
+                del tokens[table]
+                applied[table] = len(batch)
+            return applied
+        finally:
+            for tok in tokens.values():  # abort any still-held manifests
+                self._cat.abort_disjoint_commit(tok)
+
+    def _finish(self, tok: dict, batch) -> None:
+        """finish_disjoint_commit, threading the txn's now_us through
+        the batch materialization (per-cell TTL stamping)."""
+        try:
+            batch._base_seq = tok["lo"]
             df = batch.to_df(self._cat.spark, now_us=self._now_us)
-            self._cat.append(table, df)
-            applied[table] = len(batch)
-        return applied
+            self._cat.append(
+                tok["name"],
+                df,
+                commit_seq=tok["hi"],
+                commit_lo=tok["lo"],
+                op_kinds=batch.op_kinds,
+            )
+        finally:
+            tok["resv"].unlink(missing_ok=True)
 
 
 def new_global_transaction(catalog, **kw) -> GlobalTransaction:

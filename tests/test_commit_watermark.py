@@ -398,3 +398,170 @@ def test_expired_claim_takeover_sequential_semantics(tmp_path):
     (d / "claim-9.lock").write_text("{torn")
     assert b._claim_commit_slot("t", 9, "wb", ttl_s=60.0)
     assert b._claim_holder("t", 9) == "wb"
+
+
+def test_disjoint_row_sets_commit_without_slot(spark, tmp_path):
+    """Row-disjointness fast path (reference granularity: per-row lock
+    columns, global_txn.cc:578-720): with the commit SLOT held hostage
+    by a stuck committer, writers whose row sets don't intersect still
+    commit concurrently — they never touch the slot — while an
+    intersecting writer falls back to the serialized path and fences.
+    Windows never interleave (reservation counter) and every committed
+    batch is visible."""
+    import json
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog, WriterFenced
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    b = Catalog(spark, root, writer_id="writer-b")
+    a.create_table("t { d }")
+    hi0 = a.append_cas("t", MutationBatch().put("base", "d", "q", "v", ts=1))
+
+    # a stuck serialized committer holds the slot for the CURRENT mark
+    assert a._claim_commit_slot("t", hi0, "stuck-writer", ttl_s=60.0)
+
+    ba = MutationBatch().put("xa", "d", "q", "va", ts=1).put("xb", "d", "q", "vb", ts=1)
+    bb = MutationBatch().put("ya", "d", "q", "wa", ts=1)
+    hi_a = a.append_cas("t", ba, rows=ba.row_keys, max_wait_s=0.5)
+    hi_b = b.append_cas("t", bb, rows=bb.row_keys, max_wait_s=0.5)
+    # both committed despite the held slot; windows disjoint
+    assert hi_a >= hi0 + 2 and hi_b > hi_a
+    keys = {r.row_key for r in a.view("t").collect()}
+    assert keys == {"base", "xa", "xb", "ya"}
+
+    # an INTERSECTING writer must serialize — hold the CURRENT mark's
+    # slot hostage so the serialized fallback provably fences
+    w_cur = b.commit_watermark("t")
+    assert b._claim_commit_slot("t", w_cur, "stuck-writer", ttl_s=60.0)
+    (Path(root) / "t" / "casmeta" / "resv-other.json").write_text(
+        json.dumps({"holder": "other", "lo": 99, "hi": 99, "rows": ["xa"],
+                    "expires": __import__("time").time() + 60})
+    )
+    bc = MutationBatch().put("xa", "d", "q", "clash", ts=2)
+    with pytest.raises(WriterFenced):
+        b.append_cas("t", bc, rows=bc.row_keys, max_wait_s=0.3)
+    (Path(root) / "t" / "casmeta" / "resv-other.json").unlink()
+    # once the conflicting manifest is gone (and slot released) it lands
+    (Path(root) / "t" / "commits" / f"claim-{w_cur}.lock").unlink()
+    hi_c = b.append_cas("t", bc, rows=bc.row_keys)
+    assert hi_c > hi_b
+
+
+def test_disjoint_commits_two_os_processes(spark, tmp_path):
+    """Two OS processes commit disjoint-row batches through the fast
+    path with the slot claim held hostage the whole time: neither can
+    have used the serialized path, both land every batch, seq windows
+    are pairwise disjoint, and all rows are visible."""
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="proc-main")
+    a.create_table("t { d }")
+    hi0 = a.append_cas("t", MutationBatch().put("base", "d", "q", "v", ts=1))
+    assert a._claim_commit_slot("t", hi0, "stuck-writer", ttl_s=300.0)
+
+    child = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from pyspark.sql import SparkSession
+        from tera_spark.catalog import Catalog
+        from tera_spark.operators.mutation import MutationBatch
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.ui.enabled", "false")
+            .appName("disjoint-child")
+            .getOrCreate()
+        )
+        cat = Catalog(spark, {root!r}, writer_id="proc-child")
+        for i in range(4):
+            b = MutationBatch().put(f"c{{i}}", "d", "q", "vc", ts=1)
+            cat.append_cas("t", b, rows=b.row_keys, max_wait_s=5.0)
+        print("CHILD-DONE")
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        for i in range(4):
+            b = MutationBatch().put(f"m{i}", "d", "q", "vm", ts=1)
+            a.append_cas("t", b, rows=b.row_keys, max_wait_s=5.0)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0 and "CHILD-DONE" in out, out
+
+    rows = {r.row_key for r in a.view("t").collect()}
+    assert rows == {"base"} | {f"m{i}" for i in range(4)} | {f"c{i}" for i in range(4)}
+    # every commit record's window is disjoint from every other
+    import json as _json
+
+    recs = []
+    for p in (Path(root) / "t" / "commits").glob("*.json"):
+        r = _json.loads(p.read_text())
+        recs.append((r.get("lo", r["seq"]), r["seq"]))
+    recs.sort()
+    assert len(recs) == 9
+    for (lo1, hi1), (lo2, hi2) in zip(recs, recs[1:]):
+        assert hi1 < lo2, f"windows interleave: {recs}"
+
+
+def test_crashed_fast_path_window_never_visible(spark, tmp_path):
+    """A fast-path committer that died AFTER its parquet landed but
+    BEFORE its commit record: a later (higher) commit advances the
+    watermark past the dead window — the gap mask keeps the dead rows
+    invisible, and the next writer's recovery rolls the expired window
+    back permanently."""
+    import json
+    import time as _time
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    a.create_table("t { d }")
+    a.append_cas("t", MutationBatch().put("r0", "d", "q", "v0", ts=1))
+
+    # dead fast-path writer: reservation + parquet, no commit record
+    lo, hi = a._reserve_seq_window("t", 1, "dead-writer", ttl_s=0.05)
+    dead = MutationBatch(base_seq=lo).put("dead", "d", "q", "x", ts=1)
+    dead.to_df(spark).write.mode("append").parquet(a.oplog_path("t"))
+    (Path(root) / "t" / "casmeta" / "resv-dead-writer.json").write_text(
+        json.dumps({"holder": "dead-writer", "lo": lo, "hi": hi,
+                    "rows": ["dead"], "expires": _time.time() + 0.05})
+    )
+
+    # a later commit lands ABOVE the dead window -> watermark > hi
+    live = MutationBatch().put("r1", "d", "q", "v1", ts=1)
+    hi_live = a.append_cas("t", live, rows=live.row_keys)
+    assert hi_live > hi
+    # the dead window sits below the watermark but is gap-masked
+    keys = {r.row_key for r in a.view("t").collect()}
+    assert keys == {"r0", "r1"}, f"dead window leaked: {keys}"
+
+    _time.sleep(0.1)  # reservation expires
+    # a fresh writer's recovery: gap -> permanent rollback, still masked
+    b = Catalog(spark, root, writer_id="writer-b")
+    nxt = MutationBatch().put("r2", "d", "q", "v2", ts=1)
+    b.append_cas("t", nxt, rows=nxt.row_keys)
+    keys = {r.row_key for r in b.view("t").collect()}
+    assert keys == {"r0", "r1", "r2"}, f"dead window resurrected: {keys}"

@@ -278,3 +278,69 @@ def test_generate_hash_delimiters_reference_contract():
     assert 0xFFFFFFFFFFFFFFFF // gaps.pop() == 32
     # 16-hex, zero-padded, lowercase -- comparable against hash prefixes
     assert all(len(x) == 16 and x == x.lower() for x in d)
+
+
+def test_global_txn_cas_commit_disjoint_and_locked(spark, tmp_path):
+    """commit(cas=True): the Percolator prewrite-validate-commit shape.
+    Two transactions on DISJOINT rows both commit with the serialized
+    commit slot held hostage (neither touched it); a transaction whose
+    write set is covered by a concurrent txn's live manifest aborts
+    with GlobalTxnConflict; validation still catches a committed
+    write-write conflict under the locks."""
+    import json
+    import time as _time
+    from pathlib import Path
+
+    import pytest
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.txn import GlobalTransaction, GlobalTxnConflict
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(spark, root, writer_id="w-main")
+    cat.create_table("acct { bal }")
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat.append_cas("acct", MutationBatch().put("alice", "bal", "v", b"100", ts=1))
+
+    # hostage: the serialized slot for the current mark is held
+    w = cat.commit_watermark("acct")
+    assert cat._claim_commit_slot("acct", w, "stuck", ttl_s=60.0)
+
+    t1 = GlobalTransaction(cat)
+    t1.put("acct", "bob", "bal", "v", b"50", ts=2)
+    t2 = GlobalTransaction(cat)
+    t2.put("acct", "carol", "bal", "v", b"70", ts=2)
+    assert t1.commit(cas=True) == {"acct": 1}
+    assert t2.commit(cas=True) == {"acct": 1}  # disjoint: no wait, no retry
+
+    # a live concurrent manifest covering our row -> immediate abort
+    (Path(root) / "acct" / "casmeta" / "resv-other.json").write_text(
+        json.dumps({"holder": "other", "lo": 900, "hi": 900,
+                    "rows": ["alice"], "expires": _time.time() + 60})
+    )
+    t3 = GlobalTransaction(cat)
+    t3.put("acct", "alice", "bal", "v", b"0", ts=3)
+    with pytest.raises(GlobalTxnConflict):
+        t3.commit(cas=True)
+    (Path(root) / "acct" / "casmeta" / "resv-other.json").unlink()
+    assert not list((Path(root) / "acct" / "casmeta").glob("resv-w-main*"))
+
+    # write-write conflict vs COMMITTED state is still validated
+    t4 = GlobalTransaction(cat)
+    assert t4.read("acct", "bob", "bal", "v") == b"50"  # pins the snapshot
+    (Path(root) / "acct" / "commits" / f"claim-{w}.lock").unlink()
+    cat.append_cas("acct", MutationBatch().put("bob", "bal", "v", b"60", ts=3))
+    t4.put("acct", "bob", "bal", "v", b"55", ts=4)
+    with pytest.raises(GlobalTxnConflict):
+        t4.commit(cas=True)
+    # ... and its manifests were aborted, so a fresh txn can proceed
+    t5 = GlobalTransaction(cat)
+    t5.put("acct", "bob", "bal", "v", b"61", ts=5)
+    assert t5.commit(cas=True) == {"acct": 1}
+
+    vals = {
+        r.row_key: bytes(r.value)
+        for r in cat.view("acct").collect()
+    }
+    assert vals == {"alice": b"100", "bob": b"61", "carol": b"70"}
