@@ -204,3 +204,60 @@ def test_counter_stream_compat_executes(spark, tmp_path):
            cell("r1", CellOp.ADDINT64, 2, 5), cell("r2", CellOp.ADDINT64, 3, 2)])
     drain()
     assert out == {"r1": 52, "r2": 10}
+
+
+def _run_once_compat(spark, src, ckpt):
+    """_run_once twin on the applyInPandasWithState path — identical
+    drain shape, no protobuf state server needed."""
+    from tera_spark.streaming.counter_state import counter_stream_compat
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    rows: list = []
+    q = (
+        counter_stream_compat(stream, encoding="le")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {(r.row_key, r.cf, r.qualifier): r.total for r in rows}
+
+
+def test_counter_compat_accumulates_and_put_resets(spark, tmpdir):
+    """Twin of the protobuf-gated transformWithState test, executed
+    END-TO-END on the compat path: state survives query RESTARTS
+    (three separate drains on one checkpoint) and a PUT base resets
+    the fold exactly like the batch view."""
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+
+    _write(spark, src, _cells([(1, CellOp.ADDINT64, 5), (2, CellOp.ADDINT64, 7)]))
+    got = _run_once_compat(spark, src, ckpt)
+    assert got[("r1", "c", "hits")] == 12
+
+    _write(spark, src, _cells([(3, CellOp.PUT, 100), (4, CellOp.ADDINT64, 3)]))
+    got = _run_once_compat(spark, src, ckpt)
+    assert got[("r1", "c", "hits")] == 103
+
+    _write(spark, src, _cells([(5, CellOp.ADDINT64, -3)]))
+    got = _run_once_compat(spark, src, ckpt)
+    assert got[("r1", "c", "hits")] == 100
+
+
+def test_counter_compat_multikey_isolation(spark, tmpdir):
+    """Twin of the protobuf-gated multikey test: per-(row, cf,
+    qualifier) state never bleeds across keys."""
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+    rows = [
+        ("a", "c", "q1", 1, CellOp.ADDINT64, _le(1), 1),
+        ("a", "c", "q2", 2, CellOp.ADDINT64, _le(10), 2),
+        ("b", "c", "q1", 3, CellOp.ADDINT64, _le(100), 3),
+    ]
+    _write(spark, src, rows)
+    got = _run_once_compat(spark, src, ckpt)
+    assert got == {
+        ("a", "c", "q1"): 1,
+        ("a", "c", "q2"): 10,
+        ("b", "c", "q1"): 100,
+    }
