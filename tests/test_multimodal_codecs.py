@@ -187,6 +187,116 @@ def test_real_decode_is_the_default():
         assert inspect.signature(fn).parameters["fake_decode"].default is False
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 not-a-png")  # JPEG magic, no codec
+        decode_image(b"GIF89a not-a-png")  # GIF: no stdlib codec
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04 not-a-wav")  # MP3 container
+
+
+# --- baseline JPEG codec (operators/jpeg.py) ---------------------------
+
+
+def _block_img(w, h, fn):
+    import numpy as np
+
+    img = np.zeros((h, w), dtype=np.uint8)
+    wb = w // 8
+    for by in range(h // 8):
+        for bx in range(wb):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = fn(by * wb + bx)
+    return img
+
+
+def test_jpeg_gray_block_constant_roundtrip_exact():
+    """Block-constant grayscale under the flat quant table: DC-only
+    blocks, bit-exact decode — the fixture contract the SQL oracle
+    relies on."""
+    import numpy as np
+
+    from tera_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    img = _block_img(24, 16, lambda b: (7 * b + 13) % 256)
+    d = decode_jpeg(encode_jpeg_gray(24, 16, img.tobytes()))
+    assert (d["width"], d["height"], d["channels"]) == (24, 16, 1)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 24)
+    assert (got == img).all()
+
+
+def test_jpeg_color_420_flat_chroma_exact():
+    """4:2:0 color with flat 128 chroma exercises multi-component scan
+    order, chroma upsampling, and BT.601 — and still decodes exactly
+    (R=G=B=Y when Cb=Cr=128)."""
+    import numpy as np
+
+    from tera_spark.operators.jpeg import decode_jpeg, encode_jpeg_ycbcr420
+
+    img = _block_img(32, 16, lambda b: (11 * b + 5) % 256)
+    d = decode_jpeg(encode_jpeg_ycbcr420(32, 16, img.tobytes()))
+    assert (d["width"], d["height"], d["channels"]) == (32, 16, 3)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 32, 3)
+    for c in range(3):
+        assert (got[:, :, c] == img).all()
+
+
+def test_jpeg_arbitrary_content_roundtrip_close():
+    """General (non-block-constant) content through the full
+    DCT→quant→Huffman→decode pipeline: lossy but tight under the flat
+    q=8 table, including non-multiple-of-8 dimensions (edge padding +
+    crop)."""
+    import numpy as np
+
+    from tera_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    img = np.array(
+        [[(x * 7 + y * 31 + (x * y) % 5 * 40) % 256 for x in range(21)] for y in range(19)],
+        dtype=np.uint8,
+    )
+    d = decode_jpeg(encode_jpeg_gray(21, 19, img.tobytes()))
+    assert (d["width"], d["height"]) == (21, 19)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(19, 21)
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.max() <= 12, f"max quantization error {err.max()}"
+
+
+def test_jpeg_progressive_and_garbage_raise():
+    import pytest
+
+    from tera_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    payload = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_via_default_decode_path():
+    """decode_image routes JPEG magic to the real decoder with no
+    kwargs — JPEG is a REAL-tier codec now."""
+    import numpy as np
+
+    from tera_spark.operators.jpeg import encode_jpeg_gray
+    from tera_spark.operators.multimodal import decode_image
+
+    img = _block_img(8, 8, lambda b: 77)
+    d = decode_image(encode_jpeg_gray(8, 8, img.tobytes()))
+    assert d["channels"] == 1 and set(d["pixels"]) == {77}
+
+
+def test_synth_jpeg_media_formulas(spark):
+    """The JPEG fixtures decode back to exactly the closed-form
+    values the multimodal_jpeg_features oracle predicts."""
+    from tera_spark.operators.multimodal import extract_features, synth_jpeg_media
+
+    docs = spark.createDataFrame([(14, 40), (7, 7)], "doc_id long, n_chars long")
+    feats = {r.asset_id: r for r in extract_features(synth_jpeg_media(docs)).collect()}
+    for did, n in [(14, 40), (7, 7)]:
+        w, h = 8 * (1 + did % 3), 8 * (1 + n % 2)
+        ch = 1 if did % 2 == 0 else 3
+        wb = w // 8
+        luma = sum(64 * ((did * 37 + b * 29) % 256) for b in range(wb * (h // 8)))
+        r = feats[did]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_pixels == w * h * ch
+        assert r.pixel_sum == ch * luma
