@@ -268,14 +268,14 @@ RESIZED_SCHEMA = (
 
 
 def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False) -> bytes:
-    """Image resize. PNG payloads resize for REAL: decode, grayscale
-    (integer-mean across channels), nearest-neighbor resample, and
-    re-encode through `encode_png_gray` — a full decode→transform→
-    encode round trip in pure stdlib. Non-PNG formats raise unless
-    ``fake=True`` (deterministic stand-in: width*height//256 payload
-    bytes cycled)."""
-    if payload[:8] == PNG_MAGIC:
-        d = decode_png(payload)
+    """Image resize. PNG and baseline-JPEG payloads resize for REAL:
+    decode, grayscale (integer-mean across channels), nearest-neighbor
+    resample, and re-encode through `encode_png_gray` (the resized
+    artifact is always a lossless gray PNG — re-encoding to JPEG would
+    stack quantization error). Other formats raise unless ``fake=True``
+    (deterministic stand-in: width*height//256 payload bytes cycled)."""
+    if payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC:
+        d = decode_image(payload)
         w, h, ch, px = d["width"], d["height"], d["channels"], d["pixels"]
         if ch == 1:
             gray = px
@@ -367,13 +367,14 @@ def extract_audio_features(media: DataFrame, *, fake_decode: bool = False) -> Da
 def phash64(payload: bytes, *, fake: bool = False) -> int:
     """Perceptual hash of an image payload: an 8x8 mean-threshold bit
     matrix over the luma plane packed into 64 bits (aHash — the
-    mean-threshold member of the pHash family). PNG payloads hash
-    their REAL decoded pixels; other formats raise unless ``fake=True``
-    (raw payload bytes stand in for luma). Near-identical images land
-    within a small Hamming distance; unrelated ones differ in ~32
-    bits."""
-    if payload[:8] == PNG_MAGIC:
-        d = decode_png(payload)
+    mean-threshold member of the pHash family). PNG and baseline-JPEG
+    payloads hash their REAL decoded pixels (so the same image in
+    either container hashes alike); other formats raise unless
+    ``fake=True`` (raw payload bytes stand in for luma). Near-identical
+    images land within a small Hamming distance; unrelated ones differ
+    in ~32 bits."""
+    if payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC:
+        d = decode_image(payload)
         ch, px = d["channels"], d["pixels"]
         payload = (
             px

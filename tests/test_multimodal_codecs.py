@@ -300,3 +300,24 @@ def test_synth_jpeg_media_formulas(spark):
         assert (r.width, r.height) == (w, h)
         assert r.n_pixels == w * h * ch
         assert r.pixel_sum == ch * luma
+
+
+def test_jpeg_routes_through_resize_and_phash():
+    """The same image in a JPEG or PNG container must pHash identically
+    (hash comes from decoded pixels, not container bytes), and resize
+    accepts JPEG input (emitting the lossless gray-PNG artifact)."""
+    from tera_spark.operators.jpeg import encode_jpeg_gray
+    from tera_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+        phash64,
+        resize_image,
+    )
+
+    img = _block_img(16, 16, lambda b: 60 + 50 * b)
+    jp = encode_jpeg_gray(16, 16, img.tobytes())
+    pn = encode_png_gray(16, 16, img.tobytes())
+    assert phash64(jp) == phash64(pn)
+    rz = decode_png(resize_image(jp, 4, 4))
+    assert (rz["width"], rz["height"]) == (4, 4)
+    assert set(rz["pixels"]) == {60, 110, 160, 210}
