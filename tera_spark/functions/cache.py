@@ -1,56 +1,70 @@
-"""Cache-lifetime plumbing for lazily-returned operators.
+"""Cache-scope plumbing for lazily-returned operators.
 
 Several operators persist an intermediate that BOTH branches of the
 returned plan read (e.g. a fingerprint table feeding two sides of a
-self-join). They cannot unpersist before returning — the caller has not
-run the plan yet — so, left alone, each call pins cached partitions in
-a long-lived session until LRU eviction (train_kmeans, which collects
-internally, is the only shape that can unpersist inline).
+self-join). They cannot unpersist before returning — the caller has
+not run the plan yet — so in a long-lived session repeated calls pin
+cached partitions until Spark's own LRU eviction reclaims them
+(persist() defaults to MEMORY_AND_DISK, so the pressure valve is
+eviction-to-disk first, recompute last).
 
-`tie_cache_lifetime(result, *persisted)` releases the persisted
-intermediates when the RESULT DataFrame is garbage-collected: in the
-common run-collect-drop cycle (the query registry, the correctness
-driver, any batch job) the executor memory is returned the moment the
-caller drops the result, while a caller that holds onto the result for
-re-use keeps the cache warm. `release_cached(result)` releases
-deterministically without waiting for GC (tests, explicit pipelines).
+A GC-finalizer design (release when the returned DataFrame is
+collected by the garbage collector) was tried in round 5 and REVERTED:
+Python wrapper lifetime is the wrong signal. Query wrappers routinely
+re-project the returned DataFrame (`op(...).select(...)`), the tied
+wrapper dies at function exit, and the cache is dropped BEFORE or
+DURING execution — the compiled plan keeps its InMemoryTableScan and
+recomputes the child subtree per consuming partition (measured 0.6 s →
+98 s on dedup_lsh_verified at sf0.1).
+
+The sound contract is explicit: operators accept ``scope=`` and
+register their persists there; a caller that wants deterministic
+release wraps the RUN (not the build) in the scope:
+
+    with CacheScope(spark) as scope:
+        pairs = verified_near_duplicates(docs, scope=scope)
+        pairs.count()          # run while caches are live
+    # scope exit: every registered intermediate unpersisted
+
+Without a scope, behavior is the long-standing default: cached until
+session LRU eviction (correct, occasionally memory-hungry).
 """
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-_FINALIZERS: "weakref.WeakKeyDictionary[DataFrame, weakref.finalize]" = (
-    weakref.WeakKeyDictionary()
-)
 
+class CacheScope:
+    """Collects the persisted intermediates of operator calls so the
+    caller can release them after consuming the results. Re-entrant
+    safe; release is idempotent."""
 
-def tie_cache_lifetime(result: DataFrame, *persisted: DataFrame) -> DataFrame:
-    """Unpersist each DataFrame in ``persisted`` once ``result`` is
-    garbage-collected (or released explicitly via `release_cached`).
-    Returns ``result`` unchanged. Unpersisting is always safe in Spark
-    — dropped blocks recompute — so a mid-plan release can cost time,
-    never correctness."""
-    deps = list(persisted)
+    def __init__(self, spark=None):
+        self._dfs: list[DataFrame] = []
 
-    def _release() -> None:
-        for d in deps:
+    def persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist()
+        self._dfs.append(df)
+        return df
+
+    def release(self) -> None:
+        while self._dfs:
             try:
-                d.unpersist()
+                self._dfs.pop().unpersist()
             except Exception:
                 pass  # session already stopped / JVM gone
 
-    # the closure must not capture `result`, or it would never be GC'd
-    _FINALIZERS[result] = weakref.finalize(result, _release)
-    return result
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
-def release_cached(result: DataFrame) -> None:
-    """Deterministically release the persisted intermediates tied to
-    ``result`` by `tie_cache_lifetime`. Idempotent; a no-op for
-    DataFrames with no tied cache."""
-    fin = _FINALIZERS.pop(result, None)
-    if fin is not None:
-        fin()
+def persist_in_scope(df: DataFrame, scope: CacheScope | None) -> DataFrame:
+    """persist() that registers with ``scope`` when one is given; plain
+    session-LRU-managed persist otherwise."""
+    if scope is not None:
+        return scope.persist(df)
+    return df.persist()

@@ -43,7 +43,7 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def _first_collision_candidates(
     keyed: DataFrame, max_bucket_size: int | None = None
-) -> DataFrame:
+, scope=None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from bucket-key collisions
     with NO pair-level shuffle.
 
@@ -81,11 +81,13 @@ def _first_collision_candidates(
     prefix = F.transform(
         F.slice("keys", F.lit(1), F.col("pos")), lambda k: F.xxhash64(k)
     )
-    sigs = ex.select(
-        "id", "bucket", prefix.alias("prefix")
-    ).persist()  # self-join: one fingerprint materialization, not two
+    from tera_spark.functions.cache import persist_in_scope
+
+    sigs = persist_in_scope(
+        ex.select("id", "bucket", prefix.alias("prefix")), scope
+    )  # self-join: one fingerprint materialization, not two
     a, b = sigs.alias("a"), sigs.alias("b")
-    out = (
+    return (
         a.join(b, "bucket")
         .filter(
             (F.col("a.id") < F.col("b.id"))
@@ -93,9 +95,6 @@ def _first_collision_candidates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(out, sigs)
 
 
 def _cap_buckets(sigs: DataFrame, max_bucket_size: int | None) -> DataFrame:
@@ -145,20 +144,26 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     bucket_expr=None,
     threshold: float = 0.3,
+    scope=None,
 ) -> DataFrame:
     """Exact 3-gram Jaccard over bucketed candidate pairs. The bucket
     expression bounds the quadratic blow-up (LSH buckets in production;
     any deterministic partition key works)."""
-    base = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        (bucket_expr if bucket_expr is not None else F.col(id_col) % 100).alias("bkt"),
-        F.array_distinct(shingles(F.col(text_col))).alias("sh"),
-    ).persist()  # self-join: shingle once, not twice
+    from tera_spark.functions.cache import persist_in_scope
+
+    base = persist_in_scope(
+        ensure_parallelism(docs).select(
+            F.col(id_col).alias("id"),
+            (bucket_expr if bucket_expr is not None else F.col(id_col) % 100).alias("bkt"),
+            F.array_distinct(shingles(F.col(text_col))).alias("sh"),
+        ),
+        scope,
+    )  # self-join: shingle once, not twice
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter.cast("double") / union
-    out = (
+    return (
         a.join(b, "bkt")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -168,9 +173,6 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(out, base)
 
 
 def verified_near_duplicates(
@@ -180,6 +182,7 @@ def verified_near_duplicates(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    scope=None,
 ) -> DataFrame:
     """The production composition: LSH candidates → exact-Jaccard
     verification (candidates only, never all pairs).
@@ -195,18 +198,21 @@ def verified_near_duplicates(
     the 100 TB deployment shape: a materialized fingerprint TABLE
     written once and read by both phases (persist spills to disk via
     MEMORY_AND_DISK; at cluster scale write it to storage instead)."""
-    base = (
+    from tera_spark.functions.cache import persist_in_scope
+
+    base = persist_in_scope(
         with_minhash_signature(ensure_parallelism(docs), text_col)
         .select(
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(F.col(text_col))).alias("sh"),
             F.col("sig"),
         )
-        .repartition("id")
-        .persist()
+        .repartition("id"),
+        scope,
     )
     cand = _first_collision_candidates(
-        base.select("id", band_keys(F.col("sig")).alias("keys")), max_bucket_size
+        base.select("id", band_keys(F.col("sig")).alias("keys")), max_bucket_size,
+        scope=scope,
     )
     sh = base.select("id", "sh")
     j = (
@@ -215,14 +221,11 @@ def verified_near_duplicates(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    out = (
+    return (
         j.select(
             "id_a", "id_b", F.round(inter.cast("double") / union, 6).alias("jaccard")
         ).filter(F.col("jaccard") >= threshold)
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(out, base)
 
 
 def containment_pairs(
@@ -233,6 +236,7 @@ def containment_pairs(
     threshold: float = 0.5,
     k: int = 5,
     max_bucket_size: int | None = None,
+    scope=None,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection by Jaccard CONTAINMENT:
     C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Catches a document largely
@@ -256,21 +260,22 @@ def containment_pairs(
     max(C(A→B), C(B→A))."""
     from tera_spark.functions.text import P31, h60
 
-    base = (
-        ensure_parallelism(docs)
-        .select(
+    from tera_spark.functions.cache import persist_in_scope
+
+    base = persist_in_scope(
+        ensure_parallelism(docs).select(
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(F.col(text_col))).alias("sh"),
-        )
-        .persist()  # sketch + both verification sides read one derivation
-    )
+        ),
+        scope,
+    )  # sketch + both verification sides read one derivation
     bottom = F.slice(
         F.array_sort(F.array_distinct(F.transform(F.col("sh"), lambda s: h60(s) % P31))),
         1,
         k,
     )
     cand = _first_collision_candidates(
-        base.select("id", bottom.alias("keys")), max_bucket_size
+        base.select("id", bottom.alias("keys")), max_bucket_size, scope=scope
     )
     j = (
         cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -280,7 +285,7 @@ def containment_pairs(
     c_ab = (inter / F.size("sh_a")).alias("c_ab")
     c_ba = (inter / F.size("sh_b")).alias("c_ba")
     scored = j.select("id_a", "id_b", c_ab, c_ba)
-    out = (
+    return (
         scored.select(
             "id_a",
             "id_b",
@@ -291,9 +296,6 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(out, base)
 
 
 def connected_components(

@@ -407,7 +407,7 @@ def phash64(payload: bytes, *, fake: bool = False) -> int:
 
 
 def phash_duplicates(
-    media: DataFrame, *, max_hamming: int = 4, fake_decode: bool = False
+    media: DataFrame, *, max_hamming: int = 4, fake_decode: bool = False, scope=None
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual hash: compute the
     64-bit pHash per asset (mapInPandas, Arrow-batched), band the hash
@@ -456,7 +456,10 @@ def phash_duplicates(
         ).alias("b"),
     ).select(
         "asset_id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
-    ).persist()  # self-join: decode+hash each image once, not twice
+    )
+    from tera_spark.functions.cache import persist_in_scope
+
+    banded = persist_in_scope(banded, scope)  # self-join: decode+hash once, not twice
     a, b2 = banded.alias("a"), banded.alias("b")
     xor = F.col("a.phash").bitwiseXOR(F.col("b.phash"))
 
@@ -469,7 +472,7 @@ def phash_duplicates(
         for j in range(1, i):
             cond = cond & band_differs(j)
         first_shared = first_shared.when(F.col("band") == i, cond)
-    out = (
+    return (
         a.join(b2, ["band", "key"])
         .filter((F.col("a.asset_id") < F.col("b.asset_id")) & first_shared)
         .select(
@@ -479,9 +482,6 @@ def phash_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(out, banded)
 
 
 # --- deterministic real-media synthesis ---------------------------------

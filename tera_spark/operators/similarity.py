@@ -222,6 +222,7 @@ def ivf_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cid_col: str = "centroid_id",
+    scope=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs restricted to IVF
     clusters — the scale-path variant of all-pairs cosine dedup.
@@ -231,14 +232,15 @@ def ivf_near_pairs(
     assignment kernel run ONCE instead of once per side. (The verify
     itself dominates wall time — see SCALE.md "Semantic dedup"; the
     persist's value is not re-reading the source at cluster scale.)"""
-    from tera_spark.functions.cache import tie_cache_lifetime
+    from tera_spark.functions.cache import persist_in_scope
 
-    assigned = ivf_assign(
-        vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col
-    ).persist()
+    assigned = persist_in_scope(
+        ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col),
+        scope,
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
-    out = (
+    return (
         a.join(b, "cluster")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -249,7 +251,6 @@ def ivf_near_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
-    return tie_cache_lifetime(out, assigned)
 
 
 def windowed_semantic_pairs(
@@ -261,6 +262,7 @@ def windowed_semantic_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cid_col: str = "centroid_id",
+    scope=None,
 ) -> DataFrame:
     """Sorted-neighborhood semantic near-dup pairs — the linear-work
     scale path for the within-cluster verify that dominates
@@ -304,8 +306,10 @@ def windowed_semantic_pairs(
             "pos", F.row_number().over(W.partitionBy("cluster").orderBy("d2", "id"))
         )
         .select("cluster", "pos", "id", "vec")
-        .persist()
     )
+    from tera_spark.functions.cache import persist_in_scope
+
+    ranked = persist_in_scope(ranked, scope)
     probe = ranked.select(
         "cluster",
         F.explode(
@@ -323,9 +327,7 @@ def windowed_semantic_pairs(
         F.greatest(F.col("id_l"), F.col("id")).alias("id_b"),
         sim.alias("sim"),
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(pairs.filter(F.col("sim") >= threshold), ranked)
+    return pairs.filter(F.col("sim") >= threshold)
 
 
 def semantic_admission(
@@ -659,6 +661,7 @@ def hyperplane_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    scope=None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via random-hyperplane LSH:
     candidates collide on >=1 signature band, then exact cosine
@@ -670,13 +673,15 @@ def hyperplane_lsh_pairs(
     Scale shape mirrors verified_near_duplicates: one persisted
     (id, vec, sig) table feeds the band self-join and both
     verification lookups; the band join is the only wide stage."""
+    from tera_spark.functions.cache import persist_in_scope
+
     planes = hyperplane_signs(dim=dim)
-    base = (
+    base = persist_in_scope(
         ensure_parallelism(vectors)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .withColumn("sig", hyperplane_signature(F.col("vec"), planes))
-        .repartition("id")
-        .persist()
+        .repartition("id"),
+        scope,
     )
     sigs = base.select("id", F.explode(hyperplane_band_keys(F.col("sig"))).alias("bucket"))
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -687,7 +692,7 @@ def hyperplane_lsh_pairs(
         .distinct()
     )
     v = base.select("id", "vec")
-    out = (
+    return (
         cand.join(v.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "vec_a"), "id_a")
         .join(v.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "vec_b"), "id_b")
         .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
@@ -698,9 +703,6 @@ def hyperplane_lsh_pairs(
             "sim",
         )
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(out, base)
 
 
 # --- product quantization (IVF-PQ scale path) -------------------------

@@ -66,6 +66,7 @@ def weighted_interleave(
     *,
     source_col: str = "source",
     key_col: str = "doc_id",
+    scope=None,
 ) -> DataFrame:
     """Deterministic weighted interleaving of sources — the global read
     order a trainer consumes when the data mix is specified as source
@@ -99,11 +100,14 @@ def weighted_interleave(
     )
     order_cols = ["position", source_col, key_col]
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
-        d.repartitionByRange(n_parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()  # pin slice boundaries: counts and ranks must see one layout
-    )
+    from tera_spark.functions.cache import persist_in_scope
+
+    ranged = persist_in_scope(
+        d.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        scope,
+    )  # pin slice boundaries: counts and ranks must see one layout
     sizes = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -116,9 +120,6 @@ def weighted_interleave(
     off_map = F.create_map(*off_lits) if off_lits else F.create_map()
     wloc = W.partitionBy("_pid").orderBy(*order_cols)
     rank = (F.row_number().over(wloc).cast("long") + off_map[F.col("_pid")]).cast("long")
-    out = ranged.withColumn("global_rank", rank).select(
+    return ranged.withColumn("global_rank", rank).select(
         "global_rank", F.col(key_col), F.col(source_col), F.round("position", 6).alias("position")
     )
-    from tera_spark.functions.cache import tie_cache_lifetime
-
-    return tie_cache_lifetime(out, ranged)
