@@ -179,11 +179,13 @@ class Seeker:
             self._root = Path(catalog.oplog_path(table))
             self._get_rollbacks = lambda: catalog._rollbacks(table)
             self._get_watermark = lambda: catalog.commit_watermark(table)
+            self._get_gaps = lambda: catalog._commit_gaps(table)
         else:
             self.schema = schema
             self._root = Path(path)
             self._get_rollbacks = lambda: []
             self._get_watermark = lambda: None
+            self._get_gaps = lambda: []
         self._meta: dict[str, tuple[float, list[tuple[int, str, str, int]]]] = {}
         # decoded-row-group LRU — the block-cache analog (reference:
         # per-LG block cache + persistent_cache; a hot point-read
@@ -253,6 +255,7 @@ class Seeker:
         columns = ["key", "value", "expire_ts", "seq"] if self._kv else _CELL_COLS
         rollbacks = self._get_rollbacks()
         watermark = self._get_watermark()
+        gaps = self._get_gaps()
         by_key: dict[str, list[tuple]] = defaultdict(list)
 
         def _load(f: Path, rg: int):
@@ -295,6 +298,10 @@ class Seeker:
                     continue  # RollbackDrop (dbformat.h:156)
                 if watermark is not None and seq > watermark:
                     continue  # torn batch above the commit watermark
+                if any(lo <= seq <= hi for lo, hi in gaps):
+                    continue  # in-flight/crashed concurrent window below
+                    # the watermark (commit-CAS gap mask — same rule as
+                    # read_oplog, seek path must agree)
                 if has_ttl:
                     exp = row[-1]
                     if exp is not None and 0 < exp <= (now_us or 0):
@@ -402,6 +409,7 @@ class Seeker:
         columns_arg = ["key", "value", "expire_ts", "seq"] if self._kv else _CELL_COLS
         rollbacks = self._get_rollbacks()
         watermark = self._get_watermark()
+        gaps = self._get_gaps()
         by_key: dict[str, list[tuple]] = defaultdict(list)
         for f in self._files():
             for rg, lo, hi, _ in self._file_meta(f):
@@ -428,6 +436,8 @@ class Seeker:
                         continue
                     if watermark is not None and seq > watermark:
                         continue
+                    if any(lo <= seq <= hi for lo, hi in gaps):
+                        continue  # commit-CAS gap mask (same as read_oplog)
                     if snapshot_seq is not None and seq > snapshot_seq:
                         continue
                     if has_ttl:

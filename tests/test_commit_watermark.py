@@ -565,3 +565,44 @@ def test_crashed_fast_path_window_never_visible(spark, tmp_path):
     b.append_cas("t", nxt, rows=nxt.row_keys)
     keys = {r.row_key for r in b.view("t").collect()}
     assert keys == {"r0", "r1", "r2"}, f"dead window resurrected: {keys}"
+
+
+def test_seek_path_masks_commit_gaps(spark, tmp_path):
+    """The client-side seek path (no Spark job) must agree with
+    read_oplog on gap visibility: rows inside an in-flight concurrent
+    window (reserved, parquet landed, record pending, BELOW a later
+    watermark) are invisible to point gets and interactive range scans."""
+    import json
+    import time as _time
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+    from tera_spark.operators.seek import Seeker
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    a.create_table("t { d }")
+    a.append_cas("t", MutationBatch().put("r0", "d", "q", "v0", ts=1))
+
+    # in-flight fast-path writer: reservation + parquet, record pending
+    lo, hi = a._reserve_seq_window("t", 1, "inflight", ttl_s=300.0)
+    mid = MutationBatch(base_seq=lo).put("pending", "d", "q", "x", ts=1)
+    mid.to_df(spark).write.mode("append").parquet(a.oplog_path("t"))
+    (Path(root) / "t" / "casmeta" / "resv-inflight.json").write_text(
+        json.dumps({"holder": "inflight", "lo": lo, "hi": hi,
+                    "rows": ["pending"], "expires": _time.time() + 300})
+    )
+    live = MutationBatch().put("r1", "d", "q", "v1", ts=1)
+    a.append_cas("t", live, rows=live.row_keys)  # watermark rises past gap
+
+    seeker = Seeker(a, "t")
+    assert seeker.get("pending") == []  # gap-masked point read
+    keys = {c[0] for c in seeker.scan_range(start="a", end="z")}
+    assert keys == {"r0", "r1"}, f"gap leaked into seek scan: {keys}"
+    # Spark fold agrees
+    assert {r.row_key for r in a.view("t").collect()} == {"r0", "r1"}
+
+    # once the record lands, both paths see it
+    a._record_commit("t", hi, [1], lo=lo)
+    assert [c[0] for c in Seeker(a, "t").get("pending")] == ["pending"]
