@@ -332,7 +332,7 @@ class Catalog:
         self._check_writer_lease(name)
         self._consume(name, "write")
         self._recover_tail(name)
-        cells.write.mode("append").parquet(self.oplog_path(name))
+        self._staged_append(name, cells)
         if commit_seq is None:
             import pyspark.sql.functions as _F
 
@@ -350,6 +350,32 @@ class Catalog:
                 self._bump_alloc(
                     name, commit_seq, self.writer_id or f"pid-{id(self)}"
                 )
+
+    def _staged_append(self, name: str, cells: DataFrame) -> None:
+        """Append parquet files to the op-log via a PRIVATE staging dir
+        + rename, instead of `mode("append")` straight into the log.
+        Two concurrent committers (the CAS disjoint fast path runs
+        appends in parallel from separate driver JVMs) would otherwise
+        collide inside the shared FileOutputCommitter staging dir
+        (`<oplog>/_temporary/0/` — one job's commit sweeps the other's
+        in-flight task files; observed as task FileNotFound failures in
+        scripts/scale_smoke_cas.py). Staging is per-append-unique, and
+        the per-file renames are atomic; a crash mid-move leaves a
+        partial batch that the watermark/gap mask already treats as
+        torn, exactly like a crash mid-`mode("append")` did."""
+        import uuid
+
+        oplog = Path(self.oplog_path(name))
+        oplog.mkdir(exist_ok=True)
+        tag = uuid.uuid4().hex[:12]
+        stage = self.root / name / f".stage-{tag}"
+        cells.write.parquet(str(stage))
+        # keep the part- prefix: footer-routing, stats, replication and
+        # compaction all discover op-log files via part-*.parquet (the
+        # same convention compact_inplace's part-c<token> renames use)
+        for f in stage.glob("*.parquet"):
+            f.rename(oplog / f"part-b{tag}-{f.name.removeprefix('part-')}")
+        shutil.rmtree(stage, ignore_errors=True)
 
     def _recover_tail(self, name: str) -> None:
         """WAL-discard-uncommitted-tail recovery, once per table per
