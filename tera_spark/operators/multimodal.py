@@ -7,11 +7,13 @@ Two codec tiers:
   gray/RGB/RGBA 8-bit; plus a grayscale encoder for the resize
   re-encode path), JPEG (baseline-sequential: segment parse, Huffman,
   dequant, exact IDCT, 4:4:4/4:2:2/4:2:0 chroma, BT.601 color —
-  operators/jpeg.py, stdlib + numpy), and WAV (RIFF PCM16 parse/emit
-  via `wave`). A payload whose magic bytes identify one of these
-  containers decodes for real — pixels/samples out, no fakery.
+  operators/jpeg.py, stdlib + numpy), GIF (variable-width LZW,
+  interlace, palettes, multi-frame counting — operators/gif.py), and
+  WAV (RIFF PCM16 parse/emit via `wave`). A payload whose magic bytes
+  identify one of these containers decodes for real — pixels/samples
+  out, no fakery.
 * STUBBED: formats needing external codec libraries (progressive
-  JPEG, GIF, MP3, ...) raise NotImplementedError unless ``fake=True``,
+  JPEG, WebP, MP3, ...) raise NotImplementedError unless ``fake=True``,
   in which case a deterministic fake derived from the raw bytes
   stands in (keeps fixtures oracle-checkable without binary assets).
 
@@ -35,6 +37,7 @@ from pyspark.sql import types as T
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
 def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
@@ -176,21 +179,25 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> dict:
-    """Image decode. PNG and baseline JPEG payloads (magic-sniffed)
-    decode for REAL via the stdlib codecs (operators/jpeg.py for
-    JPEG). Other formats need external libs (PIL/libvips): they raise
-    unless ``fake=True``, whose deterministic stand-in derives
-    pseudo-dimensions from the bytes and uses the payload itself as
-    the 'pixels'."""
+    """Image decode. PNG, baseline JPEG and GIF payloads
+    (magic-sniffed) decode for REAL via the stdlib codecs
+    (operators/jpeg.py, operators/gif.py). Other formats need external
+    libs (PIL/libvips): they raise unless ``fake=True``, whose
+    deterministic stand-in derives pseudo-dimensions from the bytes
+    and uses the payload itself as the 'pixels'."""
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:3] == JPEG_MAGIC:
         from tera_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in GIF_MAGICS:
+        from tera_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs beyond PNG/baseline-JPEG not available in this container"
+            "image codecs beyond PNG/baseline-JPEG/GIF not available in this container"
         )
     n = len(payload)
     return {
@@ -274,7 +281,7 @@ def resize_image(payload: bytes, width: int, height: int, *, fake: bool = False)
     artifact is always a lossless gray PNG — re-encoding to JPEG would
     stack quantization error). Other formats raise unless ``fake=True``
     (deterministic stand-in: width*height//256 payload bytes cycled)."""
-    if payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC:
+    if payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC or payload[:6] in GIF_MAGICS:
         d = decode_image(payload)
         w, h, ch, px = d["width"], d["height"], d["channels"], d["pixels"]
         if ch == 1:
@@ -367,13 +374,13 @@ def extract_audio_features(media: DataFrame, *, fake_decode: bool = False) -> Da
 def phash64(payload: bytes, *, fake: bool = False) -> int:
     """Perceptual hash of an image payload: an 8x8 mean-threshold bit
     matrix over the luma plane packed into 64 bits (aHash — the
-    mean-threshold member of the pHash family). PNG and baseline-JPEG
-    payloads hash their REAL decoded pixels (so the same image in
-    either container hashes alike); other formats raise unless
+    mean-threshold member of the pHash family). PNG, baseline-JPEG and
+    GIF payloads hash their REAL decoded pixels (so the same image in
+    any of the three containers hashes alike); other formats raise unless
     ``fake=True`` (raw payload bytes stand in for luma). Near-identical
     images land within a small Hamming distance; unrelated ones differ
     in ~32 bits."""
-    if payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC:
+    if payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC or payload[:6] in GIF_MAGICS:
         d = decode_image(payload)
         ch, px = d["channels"], d["pixels"]
         payload = (
@@ -534,6 +541,43 @@ def synth_png_media(
         F.col(size_col).alias("n"),
         F.col(seed_col if seed_col else id_col).alias("seed"),
     )
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+# GIF fixture formulas (see synth_gif_media): GIF is LOSSLESS, so the
+# fixture content needs no block-constant trick — every pixel is the
+# closed-form GIF_PIX formula and decodes back exactly (replicated to
+# R=G=B by the grayscale palette).
+GIF_W = "6 + (id % 11)"
+GIF_H = "5 + (n % 9)"
+GIF_PIX = "(id * 89 + i * 23) % 256"  # i = row-major pixel index
+
+
+def synth_gif_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode one real single-frame GIF per row (GIF_* formulas) —
+    same Arrow-batched plumbing as synth_png_media."""
+    from tera_spark.operators.gif import encode_gif_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for sid, n in zip(pdf["id"], pdf["n"]):
+                sid, n = int(sid), int(n)
+                w, h = 6 + sid % 11, 5 + n % 9
+                px = bytes((sid * 89 + i * 23) % 256 for i in range(w * h))
+                payloads.append(encode_gif_gray(w, h, px))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
     return base.mapInPandas(op, MEDIA_SCHEMA)
 
 

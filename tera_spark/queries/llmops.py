@@ -299,6 +299,42 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 6 + (doc_id % 11) AS w, 5 + (n_chars % 9) AS h
+      FROM documents WHERE doc_id % 8 = 0
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(w AS int) AS width, cast(h AS int) AS height,
+           cast(3 * w * h AS bigint) AS n_pixels,
+           cast(3 * sum((id * 89 + i * 23) % 256) AS bigint) AS pixel_sum
+    FROM m, unnest(range(0, w * h)) AS u(i)
+    GROUP BY id, w, h
+    """,
+)
+def multimodal_gif_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode end-to-end: one genuine single-frame GIF per
+    document (operators/gif.py encoder, pixel content the closed-form
+    GIF_* formulas), decoded back through the full LZW + palette
+    pipeline in the mapInPandas extractor. GIF is lossless, so the
+    oracle predicts every decoded value exactly — the grayscale
+    palette replicates each value to R=G=B, hence the 3× factors on
+    n_pixels and pixel_sum."""
+    from tera_spark.operators.multimodal import extract_features, synth_gif_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 8 == 0)
+    feats = extract_features(synth_gif_media(docs))
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+    )
+
+
+@query(
     "multimodal_jpeg_features",
     """
     WITH m AS (

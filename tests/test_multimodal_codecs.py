@@ -187,7 +187,7 @@ def test_real_decode_is_the_default():
         assert inspect.signature(fn).parameters["fake_decode"].default is False
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not-a-png")  # GIF: no stdlib codec
+        decode_image(b"BM not-a-png")  # BMP: no stdlib codec here
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04 not-a-wav")  # MP3 container
 
@@ -321,3 +321,97 @@ def test_jpeg_routes_through_resize_and_phash():
     rz = decode_png(resize_image(jp, 4, 4))
     assert (rz["width"], rz["height"]) == (4, 4)
     assert set(rz["pixels"]) == {60, 110, 160, 210}
+
+
+# --- GIF codec (operators/gif.py) ---------------------------------------
+
+
+def test_gif_lossless_roundtrip_any_content():
+    """GIF is lossless: arbitrary content round-trips exactly,
+    including streams long enough to span LZW CLEAR cycles and
+    multiple 255-byte sub-blocks; the grayscale palette replicates
+    each value to R=G=B."""
+    from tera_spark.operators.gif import decode_gif, encode_gif_gray
+
+    for w, h in [(7, 5), (37, 23), (100, 80)]:
+        px = bytes((i * 17 + (i * i) % 7 * 31 + 5) % 256 for i in range(w * h))
+        d = decode_gif(encode_gif_gray(w, h, px))
+        assert (d["width"], d["height"], d["channels"], d["n_frames"]) == (w, h, 3, 1)
+        assert bytes(d["pixels"][3 * i] for i in range(w * h)) == px
+        assert all(
+            d["pixels"][3 * i] == d["pixels"][3 * i + 1] == d["pixels"][3 * i + 2]
+            for i in range(w * h)
+        )
+
+
+def test_gif_interlaced_and_multiframe():
+    """Hand-build an interlaced 2-frame GIF: pass reordering recovers
+    row order, and n_frames counts the walked frames."""
+    import struct
+
+    from tera_spark.operators.gif import (
+        _INTERLACE_PASSES,
+        _lzw_encode_literals,
+        decode_gif,
+        encode_gif_gray,
+    )
+
+    w, h = 8, 9
+    px = bytes((r * 10 + c) % 256 for r in range(h) for c in range(w))
+    # write rows in interlace pass order, flag the frame interlaced
+    order = [r for start, step in _INTERLACE_PASSES for r in range(start, h, step)]
+    ipx = b"".join(px[r * w : (r + 1) * w] for r in order)
+    out = bytearray(b"GIF89a") + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    for frame_px, flags in [(ipx, 0x40), (px, 0)]:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+        out.append(8)
+        lzw = _lzw_encode_literals(frame_px, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+
+    d = decode_gif(bytes(out))
+    assert d["n_frames"] == 2
+    assert bytes(d["pixels"][3 * i] for i in range(w * h)) == px  # de-interlaced
+
+
+def test_gif_via_default_paths():
+    """decode_image / phash64 / resize route GIF magic to the real
+    codec; the same image as GIF or PNG hashes identically."""
+    from tera_spark.operators.gif import encode_gif_gray
+    from tera_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png_gray,
+        phash64,
+        resize_image,
+    )
+
+    w, h = 16, 16
+    px = bytes((i * 31 + 7) % 256 for i in range(w * h))
+    g = encode_gif_gray(w, h, px)
+    assert decode_image(g)["channels"] == 3
+    assert phash64(g) == phash64(encode_png_gray(w, h, px))
+    rz = decode_png(resize_image(g, 4, 4))
+    assert (rz["width"], rz["height"]) == (4, 4)
+
+
+def test_synth_gif_media_formulas(spark):
+    """GIF fixtures decode back to exactly the closed-form values the
+    multimodal_gif_features oracle predicts."""
+    from tera_spark.operators.multimodal import extract_features, synth_gif_media
+
+    docs = spark.createDataFrame([(8, 40), (16, 7)], "doc_id long, n_chars long")
+    feats = {r.asset_id: r for r in extract_features(synth_gif_media(docs)).collect()}
+    for did, n in [(8, 40), (16, 7)]:
+        w, h = 6 + did % 11, 5 + n % 9
+        sums = sum((did * 89 + i * 23) % 256 for i in range(w * h))
+        r = feats[did]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_pixels == 3 * w * h
+        assert r.pixel_sum == 3 * sums
