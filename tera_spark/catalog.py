@@ -389,6 +389,7 @@ class Catalog:
         if name in self._tail_checked:
             return
         self._tail_checked.add(name)
+        self._sweep_expired_reservations(name)
         w = self.commit_watermark(name)
         if w is None:
             return
@@ -1075,6 +1076,25 @@ class Catalog:
         finally:
             lock.unlink(missing_ok=True)
 
+    def _sweep_expired_reservations(self, name: str) -> None:
+        """Drop reservation manifests whose ttl lapsed — dead
+        committers' prewrite locks (their windows are, or will be,
+        rolled back / gap-masked; the manifest itself is just dirt
+        after expiry). The roll-forward-by-peers analog of the
+        reference's lock cleanup (global_txn.cc:337-501), minus the
+        reader-driven part (documented non-goal)."""
+        d = self.root / name / "casmeta"
+        if not d.exists():
+            return
+        now = time.time()
+        for p in d.glob("resv-*.json"):
+            try:
+                rec = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if rec.get("expires", 0) <= now:
+                p.unlink(missing_ok=True)
+
     def _live_reservations(self, name: str, *, skip: str | None = None) -> list[dict]:
         d = self.root / name / "casmeta"
         out = []
@@ -1292,6 +1312,10 @@ class Catalog:
             "indexes": sorted(idx),
             "pending_rollback_windows": len(self._rollbacks(name)),
             "delimiters": len(self.get_schema(name).delimiters),
+            # commit-CAS observability: in-flight concurrent committers
+            # and reserved-but-uncommitted windows readers are masking
+            "live_reservations": len(self._live_reservations(name)),
+            "commit_gaps": len(self._commit_gaps(name)),
         }
 
     def maintenance(self, name: str, *, now_us: int | None = None, apply: bool = True) -> dict:
