@@ -56,6 +56,14 @@ class Catalog:
         self.access = access
         self.user = user
         self.writer_id = writer_id
+        # auto writer identity when none is given: MUST be unique across
+        # OS processes (id(self) is not — two CPython processes can
+        # yield the same heap address, colliding reservation-manifest
+        # paths and silently bypassing the row-disjointness check)
+        import os as _os
+        import uuid as _uuid
+
+        self._auto_writer_id = f"w{_os.getpid()}-{_uuid.uuid4().hex[:8]}"
         self._tail_checked: set[str] = set()  # per-process WAL-recovery memo
         self._gap_memo: dict[str, tuple] = {}  # commit-gap cache (see _commit_gaps)
 
@@ -168,7 +176,7 @@ class Catalog:
             # the watermark is a concurrently-reserved window whose
             # record hasn't landed (in-flight or crashed) — masked
             # until its record appears (see _commit_gaps)
-            for g_lo, g_hi in self._commit_gaps(name):
+            for g_lo, g_hi in self._masked_gaps(name):
                 df = df.filter(
                     ~((F.col("seq") >= g_lo) & (F.col("seq") <= g_hi))
                 )
@@ -343,12 +351,25 @@ class Catalog:
             if op_kinds is None:
                 op_kinds = [int(k) for k in kinds]
         if commit_seq is not None:
+            if commit_lo is not None:
+                # a reservation that outlived its ttl can have been
+                # swept and rolled back by a peer's recovery while this
+                # append ran; recording the commit would then claim
+                # success for permanently-masked rows. Fail loudly —
+                # the caller retries with a fresh window.
+                for r in self._rollbacks(name):
+                    if r["after"] < commit_lo and commit_seq <= r["upto"]:
+                        raise WriterFenced(
+                            f"table {name!r}: reserved window "
+                            f"[{commit_lo},{commit_seq}] was rolled back "
+                            "mid-commit (reservation ttl elapsed?)"
+                        )
             self._record_commit(name, commit_seq, op_kinds, lo=commit_lo)
             if commit_lo is None:
                 # plain (non-reserved) commit on a table that has used
                 # CAS reservation: keep the counter above this window
                 self._bump_alloc(
-                    name, commit_seq, self.writer_id or f"pid-{id(self)}"
+                    name, commit_seq, self.writer_id or self._auto_writer_id
                 )
 
     def _staged_append(self, name: str, cells: DataFrame) -> None:
@@ -411,7 +432,25 @@ class Catalog:
         if start <= raw:
             self._add_rollback(name, start - 1, raw)
         # reservations must never hand out seqs inside the torn range
-        self._bump_alloc(name, raw, self.writer_id or f"pid-{id(self)}")
+        self._bump_alloc(name, raw, self.writer_id or self._auto_writer_id)
+        self._retire_dead_gaps(name)
+
+    def _retire_dead_gaps(self, name: str) -> None:
+        """Convert commit gaps with no live reservation into rollback
+        windows: the gap's committer is dead (swept/expired), and the
+        rollback makes the mask permanent AND cheap (read paths skip
+        rollback-subsumed gaps). A late committer racing this loses
+        loudly — append() refuses to record a commit whose window
+        overlaps a rollback — rather than silently losing its rows."""
+        live = [
+            (int(r["lo"]), int(r["hi"]))
+            for r in self._live_reservations(name)
+            if "lo" in r and "hi" in r
+        ]
+        for lo, hi in self._masked_gaps(name):
+            if any(rlo <= hi and lo <= rhi for rlo, rhi in live):
+                continue
+            self._add_rollback(name, lo - 1, hi)
 
     def view(self, name: str, **kw) -> DataFrame:
         from tera_spark.operators.view import current_view, kv_current_view
@@ -990,11 +1029,32 @@ class Catalog:
             return None
 
     def _release_claim(self, name: str, base_mark: int, holder: str) -> None:
-        """Best-effort conditional release: never unlink a claim a
-        takeover handed to someone else."""
-        if self._claim_holder(name, base_mark) == holder:
-            p = self.root / name / "commits" / f"claim-{base_mark}.lock"
-            p.unlink(missing_ok=True)
+        """Conditional release via rename-aside (atomic): a plain
+        read-then-unlink could delete ANOTHER holder's live claim if an
+        expiry takeover slid between the check and the unlink. Renaming
+        the claim aside succeeds for exactly one actor; if the moved
+        file turns out not to be ours, restore it without clobbering
+        any newer claim (link fails on EEXIST — and a victim of that
+        corner re-verifies ownership before committing anyway)."""
+        import os
+        import uuid
+
+        p = self.root / name / "commits" / f"claim-{base_mark}.lock"
+        aside = p.with_name(f"{p.name}.rel-{uuid.uuid4().hex}")
+        try:
+            os.rename(str(p), str(aside))
+        except OSError:
+            return  # already released or taken aside by someone else
+        try:
+            got = json.loads(aside.read_text())
+        except (OSError, json.JSONDecodeError):
+            got = None
+        if got is not None and got.get("holder") != holder:
+            try:
+                os.link(str(aside), str(p))
+            except OSError:
+                pass
+        aside.unlink(missing_ok=True)
 
     # --- seq-window reservation + row manifests (disjoint fast path) --
     # The slot claim above serializes whole COMMITS; the reference's
@@ -1036,7 +1096,8 @@ class Catalog:
         never overlap each other or history."""
         d, alloc, lock = self._alloc_paths(name)
         d.mkdir(exist_ok=True)
-        floor = (self.commit_watermark(name) or -1) + 1
+        w = self.commit_watermark(name)
+        floor = (w if w is not None else -1) + 1  # w == 0 is a real mark
         if not alloc.exists():  # bootstrap: one Spark job, outside the lock
             raw = self.raw_max_seq(name)
             floor = max(floor, (raw if raw is not None else -1) + 1)
@@ -1076,6 +1137,32 @@ class Catalog:
         finally:
             lock.unlink(missing_ok=True)
 
+    def _publish_reservation(
+        self, name: str, holder: str, lo: int, hi: int, rows: list[str], ttl_s: float
+    ):
+        """Atomically publish a reservation manifest: the prewrite-lock
+        record carrying this committer's seq window (always) and row
+        set (empty for slot-path commits, which claim no rows — the
+        window liveness alone shields the in-flight batch from peer
+        recovery)."""
+        d, _, _ = self._alloc_paths(name)
+        d.mkdir(exist_ok=True)
+        resv = d / f"resv-{holder}.json"
+        tmp = d / f"resv-{holder}.json.tmp"
+        tmp.write_text(
+            json.dumps(
+                {
+                    "holder": holder,
+                    "lo": lo,
+                    "hi": hi,
+                    "rows": sorted(rows),
+                    "expires": time.time() + ttl_s,
+                }
+            )
+        )
+        tmp.replace(resv)
+        return resv
+
     def _sweep_expired_reservations(self, name: str) -> None:
         """Drop reservation manifests whose ttl lapsed — dead
         committers' prewrite locks (their windows are, or will be,
@@ -1110,6 +1197,19 @@ class Catalog:
                 out.append(rec)
         return out
 
+    def _masked_gaps(self, name: str) -> list[tuple[int, int]]:
+        """Commit gaps that still need their own read-side mask: gaps
+        already inside a rollback window are dropped (the rollback
+        filter handles them), so the read-path predicate stays bounded
+        by IN-FLIGHT windows instead of growing one term per
+        historical abort until major compaction."""
+        rb = self._rollbacks(name)
+        return [
+            (lo, hi)
+            for lo, hi in self._commit_gaps(name)
+            if not any(r["after"] < lo and hi <= r["upto"] for r in rb)
+        ]
+
     def _commit_gaps(self, name: str) -> list[tuple[int, int]]:
         """Uncommitted seq windows BELOW the watermark: reserved ranges
         whose commit record has not landed (in-flight or crashed
@@ -1142,7 +1242,7 @@ class Catalog:
         return gaps
 
     def begin_disjoint_commit(
-        self, name: str, n: int, rows: list[str], holder: str, ttl_s: float = 60.0
+        self, name: str, n: int, rows: list[str], holder: str, ttl_s: float = 300.0
     ) -> dict | None:
         """Phase 1 of the row-disjointness fast path: reserve an
         ``n``-seq window and publish a manifest with the write set —
@@ -1155,39 +1255,26 @@ class Catalog:
         is held, no other fast-path writer can touch these rows — a
         caller may validate between begin and finish (the Percolator
         validate-under-locks shape GlobalTransaction uses)."""
-        d, _, _ = self._alloc_paths(name)
-        d.mkdir(exist_ok=True)
         lo, hi = self._reserve_seq_window(name, n, holder, ttl_s)
         rowset = set(rows)
-        resv = d / f"resv-{holder}.json"
-        tmp = d / f"resv-{holder}.json.tmp"
-        tmp.write_text(
-            json.dumps(
-                {
-                    "holder": holder,
-                    "lo": lo,
-                    "hi": hi,
-                    "rows": sorted(rowset),
-                    "expires": time.time() + ttl_s,
-                }
-            )
-        )
-        tmp.replace(resv)
+        resv = self._publish_reservation(name, holder, lo, hi, sorted(rowset), ttl_s)
         for other in self._live_reservations(name, skip=holder):
             if rowset & set(other.get("rows", ())):
                 resv.unlink(missing_ok=True)
                 return None  # intersecting write set in flight
         return {"name": name, "lo": lo, "hi": hi, "resv": resv}
 
-    def finish_disjoint_commit(self, token: dict, batch) -> int:
+    def finish_disjoint_commit(self, token: dict, batch, *, now_us: int | None = None) -> int:
         """Phase 2: append with the reserved window, release the
         manifest. The commit record carries the window's low end so
-        readers can gap-mask concurrent in-flight windows."""
+        readers can gap-mask concurrent in-flight windows. ``now_us``
+        threads through the batch materialization (per-cell TTL
+        stamping) for transactional callers."""
         try:
             batch._base_seq = token["lo"]
             self.append(
                 token["name"],
-                batch.to_df(self.spark),
+                batch.to_df(self.spark, now_us=now_us),
                 commit_seq=token["hi"],
                 commit_lo=token["lo"],
                 op_kinds=batch.op_kinds,
@@ -1216,7 +1303,7 @@ class Catalog:
         *,
         holder: str | None = None,
         max_wait_s: float = 10.0,
-        claim_ttl_s: float = 60.0,
+        claim_ttl_s: float = 300.0,
         rows: list[str] | None = None,
     ) -> int:
         """Serialized multi-writer group commit. ``batch`` is a
@@ -1235,7 +1322,7 @@ class Catalog:
         wait, no retry. Intersecting writers fall back to the
         serialized slot path above. One in-flight commit per holder id.
         """
-        holder = holder or self.writer_id or f"pid-{id(self)}"
+        holder = holder or self.writer_id or self._auto_writer_id
         self._recover_tail(name)  # before reserving: see _recover_tail
         if rows:
             hi = self._try_disjoint_commit(name, batch, list(rows), holder, claim_ttl_s)
@@ -1265,15 +1352,24 @@ class Catalog:
                     base, hi = self._reserve_seq_window(
                         name, len(batch), holder, claim_ttl_s
                     )
-                    batch._base_seq = base
-                    self.append(
-                        name,
-                        batch.to_df(self.spark),
-                        commit_seq=hi,
-                        commit_lo=base,
-                        op_kinds=batch.op_kinds,
+                    # publish window liveness (rows=[]: no row claims)
+                    # so a NEW writer's recovery never mistakes this
+                    # in-flight batch for a dead writer's torn tail
+                    resv = self._publish_reservation(
+                        name, holder, base, hi, [], claim_ttl_s
                     )
-                    return hi
+                    try:
+                        batch._base_seq = base
+                        self.append(
+                            name,
+                            batch.to_df(self.spark),
+                            commit_seq=hi,
+                            commit_lo=base,
+                            op_kinds=batch.op_kinds,
+                        )
+                        return hi
+                    finally:
+                        resv.unlink(missing_ok=True)
                 finally:
                     self._release_claim(name, base_mark, holder)
             if time.time() >= deadline:

@@ -178,8 +178,14 @@ def decode_gif(payload: bytes) -> dict:
     if first is None:
         raise ValueError("GIF contains no image")
     _, _, w, h, idx, palette = first
+    n_colors = len(palette) // 3
     px = bytearray(3 * len(idx))
     for i, ix in enumerate(idx):
+        if ix >= n_colors:
+            # short slice assignment would silently SHRINK the buffer
+            raise ValueError(
+                f"GIF pixel index {ix} outside the {n_colors}-entry color table"
+            )
         o = 3 * ix
         px[3 * i : 3 * i + 3] = palette[o : o + 3]
     return {

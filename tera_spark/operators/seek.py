@@ -179,7 +179,7 @@ class Seeker:
             self._root = Path(catalog.oplog_path(table))
             self._get_rollbacks = lambda: catalog._rollbacks(table)
             self._get_watermark = lambda: catalog.commit_watermark(table)
-            self._get_gaps = lambda: catalog._commit_gaps(table)
+            self._get_gaps = lambda: catalog._masked_gaps(table)
         else:
             self.schema = schema
             self._root = Path(path)

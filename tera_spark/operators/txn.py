@@ -137,6 +137,7 @@ class GlobalTransaction:
         self._cat = catalog
         self._now_us = now_us
         self._snap: dict[str, int] = {}
+        self._snap_gaps: dict[str, list[tuple[int, int]]] = {}
         self._batches: dict[str, "MutationBatch"] = {}
         self._write_rows: dict[str, set[str]] = {}
 
@@ -159,6 +160,13 @@ class GlobalTransaction:
         if table not in self._snap:
             mx = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
             self._snap[table] = mx if mx is not None else 0
+            # windows in-flight (gap-masked) at snapshot time: their
+            # ops sit BELOW our snapshot seq but were not visible to
+            # our reads — if such a window commits before we validate,
+            # a plain seq > snapshot check would miss it (lost update).
+            # Remember them and treat any write-set op inside one as a
+            # conflict at validation.
+            self._snap_gaps[table] = list(self._cat._masked_gaps(table))
         return self._snap[table]
 
     def _batch(self, table: str):
@@ -220,9 +228,11 @@ class GlobalTransaction:
         per touched table (the prewrite-lock step; an intersecting
         concurrent txn's manifest aborts us immediately — optimistic,
         deadlock-free), validate the write set against the snapshot
-        UNDER those locks (no committer can touch our rows between
-        validation and apply), then commit each table through its
-        reserved seq window. Disjoint-row transactions commit fully
+        UNDER those locks (no MANIFEST-AWARE committer — another cas
+        txn or append_cas(rows=...) — can touch our rows between
+        validation and apply; a plain/slot-path writer racing the same
+        rows keeps only optimistic validation, as before), then commit
+        each table through its reserved seq window. Disjoint-row transactions commit fully
         concurrently — no slot wait, no retry. Default (cas=False)
         keeps the single-driver plain-append path."""
         if cas:
@@ -232,7 +242,12 @@ class GlobalTransaction:
         for table, batch in self._batches.items():
             if not len(batch):
                 continue
-            cur = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
+            # allocate ABOVE raw history, not the watermark/gap-masked
+            # visible max: after a torn-tail crash the masked max sits
+            # below the tail, and a batch allocated there lands inside
+            # the recovery rollback window and silently vanishes (the
+            # same rule as Table._seq and the CAS reservation counter)
+            cur = self._cat.raw_max_seq(table)
             batch._base_seq = (cur if cur is not None else 0) + 1
             df = batch.to_df(self._cat.spark, now_us=self._now_us)
             self._cat.append(table, df)
@@ -244,9 +259,18 @@ class GlobalTransaction:
             if not rows:
                 continue
             snap = self._snap[table]
+            # conflict = any now-visible op on a write-set row that our
+            # snapshot reads could not see: above the snapshot seq, OR
+            # inside a window that was still gap-masked (in-flight) at
+            # snapshot time and has since committed
+            changed = F.col("seq") > snap
+            for g_lo, g_hi in self._snap_gaps.get(table, []):
+                changed = changed | (
+                    (F.col("seq") >= g_lo) & (F.col("seq") <= g_hi)
+                )
             conflicted = (
                 self._cat.read_oplog(table)
-                .filter(F.col("row_key").isin(sorted(rows)) & (F.col("seq") > snap))
+                .filter(F.col("row_key").isin(sorted(rows)) & changed)
                 .limit(1)
                 .count()
             )
@@ -256,7 +280,12 @@ class GlobalTransaction:
                 )
 
     def _commit_cas(self) -> dict[str, int]:
-        holder = self._cat.writer_id or f"txn-{id(self)}"
+        import uuid
+
+        holder = (
+            (self._cat.writer_id or self._cat._auto_writer_id)
+            + f"-txn{uuid.uuid4().hex[:8]}"
+        )
         tokens: dict[str, dict] = {}
         try:
             # phase 1 — prewrite: one manifest per table, all-or-abort
@@ -279,30 +308,13 @@ class GlobalTransaction:
             applied: dict[str, int] = {}
             for table, tok in list(tokens.items()):
                 batch = self._batches[table]
-                self._finish(tok, batch)
+                self._cat.finish_disjoint_commit(tok, batch, now_us=self._now_us)
                 del tokens[table]
                 applied[table] = len(batch)
             return applied
         finally:
             for tok in tokens.values():  # abort any still-held manifests
                 self._cat.abort_disjoint_commit(tok)
-
-    def _finish(self, tok: dict, batch) -> None:
-        """finish_disjoint_commit, threading the txn's now_us through
-        the batch materialization (per-cell TTL stamping)."""
-        try:
-            batch._base_seq = tok["lo"]
-            df = batch.to_df(self._cat.spark, now_us=self._now_us)
-            self._cat.append(
-                tok["name"],
-                df,
-                commit_seq=tok["hi"],
-                commit_lo=tok["lo"],
-                op_kinds=batch.op_kinds,
-            )
-        finally:
-            tok["resv"].unlink(missing_ok=True)
-
 
 def new_global_transaction(catalog, **kw) -> GlobalTransaction:
     """Client::NewGlobalTransaction analog."""

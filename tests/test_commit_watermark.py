@@ -606,3 +606,106 @@ def test_seek_path_masks_commit_gaps(spark, tmp_path):
     # once the record lands, both paths see it
     a._record_commit("t", hi, [1], lo=lo)
     assert [c[0] for c in Seeker(a, "t").get("pending")] == ["pending"]
+
+
+def test_review_fixes_round5(spark, tmp_path):
+    """Regression pins for the round-5 code-review findings on the
+    commit-CAS machinery (see commit message for the full scenarios)."""
+    import json
+    import time as _time
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog, WriterFenced
+    from tera_spark.operators.mutation import MutationBatch
+    from tera_spark.operators.txn import GlobalTransaction, GlobalTxnConflict
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    a.create_table("t { d }")
+
+    # --- F6: a legitimate watermark of 0 floors reservations at 1
+    a.append_cas("t", MutationBatch().put("r0", "d", "q", "v0", ts=1))
+    assert a.commit_watermark("t") == 0
+    lo, hi = a._reserve_seq_window("t", 1, "probe", ttl_s=60)
+    assert lo >= 1, f"window overlapped committed seq 0: [{lo},{hi}]"
+
+    # --- F5: auto writer ids are process+instance unique, not id(self)
+    b = Catalog(spark, root)
+    c = Catalog(spark, root)
+    assert b._auto_writer_id != c._auto_writer_id
+
+    # --- F1: an in-flight gap-masked window BELOW the txn snapshot
+    # that commits before validation must conflict the txn
+    lo2, hi2 = a._reserve_seq_window("t", 1, "inflight", ttl_s=300)
+    MutationBatch(base_seq=lo2).put("x", "d", "q", "old-hidden", ts=5).to_df(
+        spark
+    ).write.mode("append").parquet(a.oplog_path("t"))
+    (Path(root) / "t" / "casmeta" / "resv-inflight.json").write_text(
+        json.dumps({"holder": "inflight", "lo": lo2, "hi": hi2,
+                    "rows": ["x"], "expires": _time.time() + 300})
+    )
+    later = MutationBatch().put("y", "d", "q", "vy", ts=1)
+    a.append_cas("t", later, rows=later.row_keys)  # watermark above the gap
+    txn = GlobalTransaction(a)
+    assert txn.read("t", "x", "d", "q") is None  # gap-masked at snapshot
+    txn.put("t", "x", "d", "q", b"stale-derived", ts=9)
+    a._record_commit("t", hi2, [5], lo=lo2)  # the in-flight commit lands
+    (Path(root) / "t" / "casmeta" / "resv-inflight.json").unlink()
+    with pytest.raises(GlobalTxnConflict):
+        txn.commit(cas=True)  # seq <= snapshot but inside a snap-time gap
+
+    # --- F3: a reserved window rolled back mid-commit fails LOUDLY
+    lo3, hi3 = a._reserve_seq_window("t", 1, "slowpoke", ttl_s=60)
+    a._add_rollback("t", lo3 - 1, hi3)  # peer recovery swept + rolled back
+    slow = MutationBatch(base_seq=lo3).put("slow", "d", "q", "v", ts=1)
+    with pytest.raises(WriterFenced):
+        a.append("t", slow.to_df(spark), commit_seq=hi3, commit_lo=lo3,
+                 op_kinds=slow.op_kinds)
+
+    # --- F10: dead gaps are retired to rollback windows by recovery,
+    # and reads stay correct with a bounded gap mask
+    fresh = Catalog(spark, root, writer_id="writer-f")
+    nxt = MutationBatch().put("z", "d", "q", "vz", ts=1)
+    fresh.append_cas("t", nxt, rows=nxt.row_keys)
+    assert fresh._masked_gaps("t") == []  # every dead gap now a rollback
+    keys = {r.row_key for r in fresh.view("t").collect()}
+    assert keys == {"r0", "x", "y", "z"}
+
+
+def test_slot_path_inflight_survives_peer_recovery(spark, tmp_path):
+    """F2: a SLOT-path committer's in-flight batch (claim held, parquet
+    staged, record pending) must not be rolled back by a new writer's
+    recovery — the slot path now publishes a rows=[] window-liveness
+    manifest for exactly this."""
+    import json
+    import time as _time
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+    from tera_spark.operators.mutation import MutationBatch
+
+    root = str(tmp_path / "cat")
+    a = Catalog(spark, root, writer_id="writer-a")
+    a.create_table("t { d }")
+    a.append_cas("t", MutationBatch().put("r0", "d", "q", "v0", ts=1))
+
+    # simulate writer S mid-slot-commit: window reserved, manifest
+    # published (as append_cas now does), parquet landed, record pending
+    lo, hi = a._reserve_seq_window("t", 1, "slotter", ttl_s=300)
+    a._publish_reservation("t", "slotter", lo, hi, [], 300.0)
+    MutationBatch(base_seq=lo).put("mid", "d", "q", "vm", ts=1).to_df(
+        spark
+    ).write.mode("append").parquet(a.oplog_path("t"))
+
+    # a NEW writer process appends: recovery must leave S's window alone
+    b = Catalog(spark, root, writer_id="writer-b")
+    nxt = MutationBatch().put("r1", "d", "q", "v1", ts=1)
+    b.append_cas("t", nxt, rows=nxt.row_keys)
+    assert not any(
+        r["after"] < lo and hi <= r["upto"] for r in b._rollbacks("t")
+    ), "recovery rolled back a live slot-path window"
+
+    # S finishes: its record lands and the rows become visible
+    a._record_commit("t", hi, [5], lo=lo)
+    (Path(root) / "t" / "casmeta" / "resv-slotter.json").unlink()
+    assert {r.row_key for r in b.view("t").collect()} == {"r0", "mid", "r1"}
