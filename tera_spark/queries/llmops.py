@@ -299,6 +299,39 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frames",
+    """
+    WITH m AS (
+      SELECT doc_id AS id,
+             8 + (doc_id % 6) AS w, 6 + (n_chars % 5) AS h,
+             2 + (doc_id % 5) AS nf
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(f AS int) AS frame_idx,
+           cast(w AS int) AS width, cast(h AS int) AS height,
+           cast(nf AS int) AS n_frames,
+           cast(30 AS int) AS fps_num,
+           cast(w * h * ((id * 53 + f * 19) % 256) AS bigint) AS luma_sum
+    FROM m, unnest(range(0, nf)) AS u(f)
+    WHERE f % 2 = 0
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode end-to-end: one genuine multi-frame Y4M clip
+    per document (operators/video.py encoder — C420jpeg planar layout,
+    frame content the closed-form Y4M_* formulas), frame-sampled and
+    feature-extracted by extract_frames (mapInPandas: one output row
+    per sampled frame, payload decoded once per task, never shuffled).
+    Y4M luma planes are raw bytes (lossless), so the oracle predicts
+    every sampled frame's luma_sum exactly without parsing Y4M."""
+    from tera_spark.operators.multimodal import extract_frames, synth_y4m_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    return extract_frames(synth_y4m_media(docs), every_n=2)
+
+
+@query(
     "multimodal_gif_features",
     """
     WITH m AS (

@@ -415,3 +415,56 @@ def test_synth_gif_media_formulas(spark):
         assert (r.width, r.height) == (w, h)
         assert r.n_pixels == 3 * w * h
         assert r.pixel_sum == 3 * sums
+
+
+# --- Y4M video codec (operators/video.py) -------------------------------
+
+
+def test_y4m_roundtrip_and_sampling():
+    """Luma planes are raw bytes: any content round-trips exactly;
+    sampled decode materializes only requested frames; truncated tail
+    frames are dropped, not mis-read."""
+    from tera_spark.operators.video import decode_y4m, encode_y4m_gray
+
+    w, h = 11, 7
+    frames = [bytes((f * 19 + i * 3) % 256 for i in range(w * h)) for f in range(5)]
+    p = encode_y4m_gray(w, h, frames, fps=(24, 1))
+    d = decode_y4m(p)
+    assert (d["width"], d["height"], d["n_frames"], d["fps_num"]) == (w, h, 5, 24)
+    assert all(d["frames"][f] == frames[f] for f in range(5))
+    d2 = decode_y4m(p, frames=[0, 3])
+    assert sorted(d2["frames"]) == [0, 3]
+    dt = decode_y4m(p[: len(p) - 10])  # torn tail frame
+    assert dt["n_frames"] == 4
+
+
+def test_y4m_header_variants():
+    import pytest
+
+    from tera_spark.operators.video import parse_y4m_header
+
+    m = parse_y4m_header(b"YUV4MPEG2 W320 H240 F30000:1001 Ip A1:1 C422\nFRAME\n")
+    assert (m["width"], m["height"], m["chroma"]) == (320, 240, "422")
+    assert (m["fps_num"], m["fps_den"]) == (30000, 1001)
+    m2 = parse_y4m_header(b"YUV4MPEG2 W8 H8\n")  # C absent -> 420jpeg default
+    assert m2["chroma"] == "420jpeg"
+    with pytest.raises(ValueError):
+        parse_y4m_header(b"RIFFxxxx")
+
+
+def test_extract_frames_formulas(spark):
+    """The Y4M fixtures flow through the mapInPandas frame extractor
+    to exactly the closed-form values the oracle predicts."""
+    from tera_spark.operators.multimodal import extract_frames, synth_y4m_media
+
+    docs = spark.createDataFrame([(10, 40), (13, 7)], "doc_id long, n_chars long")
+    rows = extract_frames(synth_y4m_media(docs), every_n=2).collect()
+    got = {(r.asset_id, r.frame_idx): r for r in rows}
+    for did, n in [(10, 40), (13, 7)]:
+        w, h, nf = 8 + did % 6, 6 + n % 5, 2 + did % 5
+        wanted = list(range(0, nf, 2))
+        assert [k for k in sorted(got) if k[0] == did] == [(did, f) for f in wanted]
+        for f in wanted:
+            r = got[(did, f)]
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
+            assert r.luma_sum == w * h * ((did * 53 + f * 19) % 256)
