@@ -351,6 +351,9 @@ class Catalog:
             if op_kinds is None:
                 op_kinds = [int(k) for k in kinds]
         if commit_seq is not None:
+            # keep the reservation counter above every committed window,
+            # whoever allocated it (plain appends included)
+            self._bump_alloc(name, commit_seq, self.writer_id or self._auto_writer_id)
             if commit_lo is not None:
                 # a reservation that outlived its ttl can have been
                 # swept and rolled back by a peer's recovery while this
@@ -358,19 +361,15 @@ class Catalog:
                 # success for permanently-masked rows. Fail loudly —
                 # the caller retries with a fresh window.
                 for r in self._rollbacks(name):
-                    if r["after"] < commit_lo and commit_seq <= r["upto"]:
+                    # ANY overlap fences — a rollback that swallowed only
+                    # part of the window still means silently-lost rows
+                    if r["after"] < commit_seq and commit_lo <= r["upto"]:
                         raise WriterFenced(
                             f"table {name!r}: reserved window "
                             f"[{commit_lo},{commit_seq}] was rolled back "
                             "mid-commit (reservation ttl elapsed?)"
                         )
             self._record_commit(name, commit_seq, op_kinds, lo=commit_lo)
-            if commit_lo is None:
-                # plain (non-reserved) commit on a table that has used
-                # CAS reservation: keep the counter above this window
-                self._bump_alloc(
-                    name, commit_seq, self.writer_id or self._auto_writer_id
-                )
 
     def _staged_append(self, name: str, cells: DataFrame) -> None:
         """Append parquet files to the op-log via a PRIVATE staging dir
@@ -411,6 +410,7 @@ class Catalog:
             return
         self._tail_checked.add(name)
         self._sweep_expired_reservations(name)
+        self._retire_dead_gaps(name)  # aborted/dead windows below the mark
         w = self.commit_watermark(name)
         if w is None:
             return
@@ -433,7 +433,6 @@ class Catalog:
             self._add_rollback(name, start - 1, raw)
         # reservations must never hand out seqs inside the torn range
         self._bump_alloc(name, raw, self.writer_id or self._auto_writer_id)
-        self._retire_dead_gaps(name)
 
     def _retire_dead_gaps(self, name: str) -> None:
         """Convert commit gaps with no live reservation into rollback
@@ -1029,32 +1028,19 @@ class Catalog:
             return None
 
     def _release_claim(self, name: str, base_mark: int, holder: str) -> None:
-        """Conditional release via rename-aside (atomic): a plain
-        read-then-unlink could delete ANOTHER holder's live claim if an
-        expiry takeover slid between the check and the unlink. Renaming
-        the claim aside succeeds for exactly one actor; if the moved
-        file turns out not to be ours, restore it without clobbering
-        any newer claim (link fails on EEXIST — and a victim of that
-        corner re-verifies ownership before committing anyway)."""
-        import os
-        import uuid
-
-        p = self.root / name / "commits" / f"claim-{base_mark}.lock"
-        aside = p.with_name(f"{p.name}.rel-{uuid.uuid4().hex}")
-        try:
-            os.rename(str(p), str(aside))
-        except OSError:
-            return  # already released or taken aside by someone else
-        try:
-            got = json.loads(aside.read_text())
-        except (OSError, json.JSONDecodeError):
-            got = None
-        if got is not None and got.get("holder") != holder:
-            try:
-                os.link(str(aside), str(p))
-            except OSError:
-                pass
-        aside.unlink(missing_ok=True)
+        """Conditional release: unlink only while the claim still
+        records US. The check->unlink gap can, in principle, delete a
+        claim an expiry takeover just installed (requires this holder
+        to have exceeded its ttl — the documented takeover window).
+        That corner degrades slot ORDERING only, never safety: seq
+        windows come from the reservation counter and can never
+        interleave, and uncommitted windows stay gap-masked. A
+        rename-aside release was tried and rejected — its restore gap
+        let a third writer O_EXCL-create the slot mid-release, a
+        strictly worse corner."""
+        if self._claim_holder(name, base_mark) == holder:
+            p = self.root / name / "commits" / f"claim-{base_mark}.lock"
+            p.unlink(missing_ok=True)
 
     # --- seq-window reservation + row manifests (disjoint fast path) --
     # The slot claim above serializes whole COMMITS; the reference's
@@ -1284,9 +1270,12 @@ class Catalog:
             token["resv"].unlink(missing_ok=True)
 
     def abort_disjoint_commit(self, token: dict) -> None:
-        """Release without committing; the abandoned window becomes a
-        permanently-masked gap (seq numbers are not reused)."""
+        """Release without committing. The abandoned window is retired
+        to a rollback range immediately (nothing was committed in it,
+        and self-retiring keeps the read-path gap mask at in-flight
+        windows only instead of one term per historical abort)."""
         token["resv"].unlink(missing_ok=True)
+        self._add_rollback(token["name"], token["lo"] - 1, token["hi"])
 
     def _try_disjoint_commit(
         self, name: str, batch, rows: list[str], holder: str, ttl_s: float

@@ -266,7 +266,7 @@ def extract_frames(media: DataFrame, *, every_n: int = 2) -> DataFrame:
     decoded once per task and never crosses a shuffle — the production
     shape of distributed video processing; frame_sample_plan remains
     the metadata-only planner for externally-decoded formats."""
-    from tera_spark.operators.video import decode_y4m
+    from tera_spark.operators.video import _plane_sizes, decode_y4m, parse_y4m_header
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -275,11 +275,22 @@ def extract_frames(media: DataFrame, *, every_n: int = 2) -> DataFrame:
                 "n_frames", "fps_num", "luma_sum",
             )}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                d = decode_y4m(bytes(payload))
-                wanted = list(range(0, d["n_frames"], every_n))
-                # frames were fully decoded above; re-decode sampled
-                # only when the asset is long (seek-skips the rest)
-                for fi in wanted:
+                payload = bytes(payload)
+                # frame size is constant, so the frame COUNT comes from
+                # header arithmetic and only the SAMPLED frames are
+                # materialized (decode_y4m seek-skips the rest) —
+                # every_n=30 reads 1/30th of the luma bytes, not all
+                meta = parse_y4m_header(payload)
+                y_sz, c_sz = _plane_sizes(meta["width"], meta["height"], meta["chroma"])
+                frame_bytes = 6 + y_sz + c_sz  # b"FRAME\n" + planes
+                nf = (len(payload) - meta["data_start"]) // frame_bytes
+                wanted = list(range(0, nf, every_n))
+                d = decode_y4m(payload, frames=wanted)
+                # emit what decode actually found: per-frame parameters
+                # (FRAME Ixxx) make headers variable-width, so the
+                # arithmetic count is exact only for bare markers —
+                # decode's walk is authoritative either way
+                for fi in sorted(d["frames"]):
                     rows["asset_id"].append(int(aid))
                     rows["frame_idx"].append(fi)
                     rows["width"].append(d["width"])

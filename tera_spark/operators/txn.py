@@ -158,15 +158,18 @@ class GlobalTransaction:
     # --- snapshot machinery -------------------------------------------
     def _snapshot(self, table: str) -> int:
         if table not in self._snap:
-            mx = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
-            self._snap[table] = mx if mx is not None else 0
             # windows in-flight (gap-masked) at snapshot time: their
             # ops sit BELOW our snapshot seq but were not visible to
             # our reads — if such a window commits before we validate,
             # a plain seq > snapshot check would miss it (lost update).
             # Remember them and treat any write-set op inside one as a
-            # conflict at validation.
+            # conflict at validation. Captured BEFORE the snapshot max
+            # is computed: a gap whose record lands mid-snapshot is
+            # then remembered (conservative — at worst a spurious
+            # conflict), never missed.
             self._snap_gaps[table] = list(self._cat._masked_gaps(table))
+            mx = self._cat.read_oplog(table).agg(F.max("seq")).first()[0]
+            self._snap[table] = mx if mx is not None else 0
         return self._snap[table]
 
     def _batch(self, table: str):
@@ -242,15 +245,25 @@ class GlobalTransaction:
         for table, batch in self._batches.items():
             if not len(batch):
                 continue
-            # allocate ABOVE raw history, not the watermark/gap-masked
-            # visible max: after a torn-tail crash the masked max sits
-            # below the tail, and a batch allocated there lands inside
-            # the recovery rollback window and silently vanishes (the
-            # same rule as Table._seq and the CAS reservation counter)
-            cur = self._cat.raw_max_seq(table)
-            batch._base_seq = (cur if cur is not None else 0) + 1
+            # allocate through the reservation counter: above raw
+            # history (the old visible-max allocation landed inside
+            # recovery rollback windows after a torn-tail crash and
+            # vanished) AND above any concurrent CAS writer's reserved
+            # window (raw_max_seq alone cannot see a reserved-but-
+            # unwritten window). The record's lo keeps a concurrent
+            # lower in-flight window GAP-MASKED instead of un-masking
+            # it when this record raises the watermark past it.
+            holder = (self._cat.writer_id or self._cat._auto_writer_id) + "-plain"
+            base, hi = self._cat._reserve_seq_window(table, len(batch), holder)
+            batch._base_seq = base
             df = batch.to_df(self._cat.spark, now_us=self._now_us)
-            self._cat.append(table, df)
+            self._cat.append(
+                table,
+                df,
+                commit_seq=hi,
+                commit_lo=base,
+                op_kinds=batch.op_kinds,
+            )
             applied[table] = len(batch)
         return applied
 

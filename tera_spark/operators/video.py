@@ -88,7 +88,9 @@ def decode_y4m(payload: bytes, *, frames: list[int] | None = None) -> dict:
     pos = meta["data_start"]
     idx = 0
     while pos < len(payload):
-        nl = payload.index(b"\n", pos)
+        nl = payload.find(b"\n", pos)
+        if nl < 0:
+            break  # torn mid frame-header: stop at the last whole frame
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at {pos}")
         pos = nl + 1
