@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     # NEW this round — need a first driver row
     "text_redundancy_stats", "multimodal_jpeg_features",
     "multimodal_gif_features", "multimodal_video_frames",
+    "multimodal_mulaw_audio",
     # regression mix (driver-green in r1-r4; re-confirm stability)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q13_cust_order_distribution",

@@ -8,10 +8,11 @@ Two codec tiers:
   re-encode path), JPEG (baseline-sequential: segment parse, Huffman,
   dequant, exact IDCT, 4:4:4/4:2:2/4:2:0 chroma, BT.601 color —
   operators/jpeg.py, stdlib + numpy), GIF (variable-width LZW,
-  interlace, palettes, multi-frame counting — operators/gif.py), and
-  WAV (RIFF PCM16 parse/emit via `wave`). A payload whose magic bytes
-  identify one of these containers decodes for real — pixels/samples
-  out, no fakery.
+  interlace, palettes, multi-frame counting — operators/gif.py),
+  WAV (RIFF PCM16 via `wave`, plus a manual RIFF walk expanding G.711
+  µ-law — format tag 7), and Y4M video (operators/video.py). A payload
+  whose magic bytes identify one of these containers decodes for real
+  — pixels/samples out, no fakery.
 * STUBBED: formats needing external codec libraries (progressive
   JPEG, WebP, MP3, ...) raise NotImplementedError unless ``fake=True``,
   in which case a deterministic fake derived from the raw bytes
@@ -143,15 +144,21 @@ def encode_wav_pcm16(sample_rate: int, samples: list[int] | bytes) -> bytes:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Real stdlib WAV decode (RIFF PCM): sample rate, sample count,
-    channels, and the int16 samples (first channel)."""
+    """Real WAV decode: linear PCM16 via the stdlib `wave` parser,
+    plus a manual RIFF walk for G.711 µ-law payloads (format tag 7 —
+    the telephony-audio WAV the stdlib refuses; the expansion formula
+    is ITU G.711 public math). Returns sample rate, sample count,
+    channels, and the 16-bit samples (first channel)."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
-        nframes = w.getnframes()
-        frames = w.readframes(nframes)
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            nframes = w.getnframes()
+            frames = w.readframes(nframes)
+    except wave.Error:
+        return _decode_wav_riff(bytes(payload))
     if width != 2:
         raise NotImplementedError(f"WAV sample width {width}")
     all_samples = struct.unpack(f"<{nframes * nch}h", frames)
@@ -161,6 +168,65 @@ def decode_wav(payload: bytes) -> dict:
         "channels": nch,
         "samples": all_samples[::nch],
     }
+
+
+def mulaw_expand(code: int) -> int:
+    """ITU G.711 µ-law byte -> linear 16-bit sample (public formula:
+    complement, split into sign/segment/mantissa, shift out, re-bias)."""
+    u = ~code & 0xFF
+    exp = (u >> 4) & 0x7
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if u & 0x80 else x
+
+
+def _decode_wav_riff(payload: bytes) -> dict:
+    """Manual RIFF chunk walk for non-PCM WAV. Supports format tag 7
+    (G.711 µ-law, 8-bit codes). Other compressed formats (ADPCM, MP3-
+    in-WAV) stay the external-codec stub tier."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    wtag, nch, rate, _brate, _align, bits = fmt
+    if wtag != 7 or bits != 8:
+        raise NotImplementedError(f"WAV format tag {wtag} ({bits}-bit)")
+    samples = tuple(mulaw_expand(c) for c in data[::nch])
+    return {
+        "sample_rate": rate,
+        "n_samples": len(data) // nch,
+        "channels": nch,
+        "samples": samples,
+    }
+
+
+def encode_wav_mulaw(sample_rate: int, codes: bytes) -> bytes:
+    """Real µ-law WAV encoder (format tag 7, mono, 8-bit codes): the
+    canonical non-PCM layout — 18-byte fmt chunk (cbSize=0) + the
+    spec-required fact chunk (sample count) + data. Container size is
+    therefore exactly 58 + len(codes) bytes (the oracle formula)."""
+    n = len(codes)
+    fmt = struct.pack("<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0)
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", n) + bytes(codes)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 # media asset table schema: opaque payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -716,6 +782,40 @@ def synth_jpeg_media(
                 {
                     "asset_id": pdf["id"],
                     "media_type": "image",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+# µ-law fixture formulas (see synth_mulaw_media): code bytes come
+# straight from the closed form; the oracle replays the G.711
+# expansion arithmetic (u = 255-c; amp = ((u%16)*8+132)*2^((u%128)//16)
+# - 132) without parsing RIFF.
+MULAW_N = "50 + (n % 100)"
+MULAW_CODE = "(id * 31 + i * 7) % 256"
+
+
+def synth_mulaw_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode one real G.711 µ-law WAV per row (MULAW_* formulas)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["id"], pdf["n"]):
+                did, n = int(did), int(n)
+                cnt = 50 + n % 100
+                codes = bytes((did * 31 + i * 7) % 256 for i in range(cnt))
+                payloads.append(encode_wav_mulaw(8000, codes))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "audio",
                     "payload": payloads,
                     "meta": [None] * len(pdf),
                 }

@@ -299,6 +299,44 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mulaw_audio",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 50 + (n_chars % 100) AS cnt
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    codes AS (
+      SELECT id, cnt, 255 - ((id * 31 + i * 7) % 256) AS u
+      FROM m, unnest(range(0, cnt)) AS t(i)
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(58 + cnt AS bigint) AS n_bytes,
+           cast(8000 AS int) AS sample_rate,
+           cast(cnt AS bigint) AS n_samples,
+           cast((cnt * 1000) // 8000 AS bigint) AS duration_ms,
+           cast(sum(((u % 16) * 8 + 132) * (1 << ((u % 128) // 16)) - 132)
+             AS bigint) AS amp_sum
+    FROM codes GROUP BY id, cnt
+    """,
+)
+def multimodal_mulaw_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL G.711 µ-law decode end-to-end: one genuine format-tag-7 WAV
+    per document (manual RIFF container — 18-byte fmt + fact chunk, so
+    n_bytes = 58 + codes; code bytes the closed-form MULAW_* formulas),
+    expanded by the ITU G.711 arithmetic inside the Arrow-batched
+    extractor. The oracle replays the same expansion as integer SQL
+    (sign only flips, so |sample| = ((u%16)*8+132)·2^((u%128)//16)−132
+    with u = 255−code) — every amp_sum is exact."""
+    from tera_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_mulaw_media,
+    )
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 11 == 0)
+    return extract_audio_features(synth_mulaw_media(docs))
+
+
+@query(
     "multimodal_video_frames",
     """
     WITH m AS (

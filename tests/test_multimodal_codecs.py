@@ -468,3 +468,56 @@ def test_extract_frames_formulas(spark):
             r = got[(did, f)]
             assert (r.width, r.height, r.n_frames) == (w, h, nf)
             assert r.luma_sum == w * h * ((did * 53 + f * 19) % 256)
+
+
+# --- G.711 mu-law WAV (manual RIFF walk) --------------------------------
+
+
+def test_mulaw_expand_known_values():
+    """Spot-check the G.711 expansion against spec landmarks: 0xFF/0x7F
+    are +/-0, 0x00 is the maximum negative (-32124), and expansion is
+    antisymmetric under sign-bit flip."""
+    from tera_spark.operators.multimodal import mulaw_expand
+
+    assert mulaw_expand(0xFF) == 0 and mulaw_expand(0x7F) == 0
+    assert mulaw_expand(0x00) == -32124 and mulaw_expand(0x80) == 32124
+    for c in range(128):
+        assert mulaw_expand(c) == -mulaw_expand(c | 0x80)
+
+
+def test_mulaw_wav_roundtrip_and_routing():
+    from tera_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+        encode_wav_mulaw,
+        mulaw_expand,
+    )
+
+    codes = bytes((i * 37 + 3) % 256 for i in range(200))
+    p = encode_wav_mulaw(16000, codes)
+    assert len(p) == 58 + 200  # the oracle's container-size formula
+    d = decode_wav(p)
+    assert (d["sample_rate"], d["n_samples"], d["channels"]) == (16000, 200, 1)
+    assert list(d["samples"]) == [mulaw_expand(c) for c in codes]
+    assert decode_audio(p)["n_samples"] == 200  # RIFF magic routing
+
+
+def test_synth_mulaw_formulas(spark):
+    from tera_spark.operators.multimodal import (
+        extract_audio_features,
+        mulaw_expand,
+        synth_mulaw_media,
+    )
+
+    docs = spark.createDataFrame([(11, 40), (22, 7)], "doc_id long, n_chars long")
+    feats = {
+        r.asset_id: r
+        for r in extract_audio_features(synth_mulaw_media(docs)).collect()
+    }
+    for did, n in [(11, 40), (22, 7)]:
+        cnt = 50 + n % 100
+        r = feats[did]
+        assert (r.sample_rate, r.n_samples, r.n_bytes) == (8000, cnt, 58 + cnt)
+        assert r.amp_sum == sum(
+            abs(mulaw_expand((did * 31 + i * 7) % 256)) for i in range(cnt)
+        )
