@@ -45,6 +45,8 @@ _DRIVER_PRIORITY = [
     "events_sliding_window", "events_asof_next_purchase",
     "text_bigram_surprisal",
     # NEW this round — need a first driver row
+    "text_perplexity_buckets", "pipeline_quality_classifier",
+    "events_cms_heavy_hitters",
     "text_redundancy_stats", "multimodal_jpeg_features",
     "multimodal_gif_features", "multimodal_video_frames",
     "multimodal_mulaw_audio",

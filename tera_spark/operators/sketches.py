@@ -123,6 +123,88 @@ def reproducible_hll_distinct(
     return per_group.select(*group_cols, F.round(est, 4).alias("approx_distinct"))
 
 
+def count_min_cells(
+    df: DataFrame,
+    *,
+    key_col: str,
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over a
+    key column as a d×w relation of (row, bucket, count) cells — the
+    mergeable form: two sketches over different slices merge by adding
+    matching cells, so incremental builds and map-side partials both
+    come for free (same stance as build_hll_table).
+
+    Engine-reproducible by construction: row i's hash is the 60-bit
+    md5 prefix of ``"i:<key>"`` mod w (tera_spark.functions.text.h60),
+    so ANY engine — including the DuckDB oracle — fills identical
+    cells. The explode costs d rows per input row map-side only;
+    partial aggregation collapses them to at most d·w cells per
+    partition before the (tiny) shuffle."""
+    from tera_spark.functions.text import h60
+
+    key = F.col(key_col).cast("string")
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (h60(F.concat(F.lit(f"{i}:"), key)) % w).alias("b"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(rb).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    *,
+    key_col: str,
+    d: int = 4,
+    w: int = 64,
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy hitters via count-min: estimate each distinct key's
+    frequency as min over the d sketch rows of its bucket count, and
+    report the top_k keys by estimate (ties broken by key — fully
+    deterministic) next to the exact count, so the overestimate
+    introduced by bucket collisions is auditable.
+
+    Scale shape: the sketch is d·w cells (KBs) built map-side in one
+    pass; the per-key estimate side needs only the distinct-key
+    relation (one shuffle) with the d cell slices broadcast onto it —
+    at 100 TB the sketch build touches the facts once and the
+    heavy-hitter query never re-reads them."""
+    from tera_spark.functions.text import h60
+
+    cells = count_min_cells(df, key_col=key_col, d=d, w=w)
+    keys = (
+        df.groupBy(F.col(key_col).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    est = keys
+    for i in range(d):
+        ci = cells.filter(F.col("r") == i).select(
+            F.col("b").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.withColumn(
+            f"b{i}", h60(F.concat(F.lit(f"{i}:"), F.col("k"))) % w
+        ).join(F.broadcast(ci), f"b{i}")
+    cms = F.least(*[F.col(f"c{i}") for i in range(d)])
+    out = est.select(
+        F.col("k").alias(key_col),
+        cms.cast("long").alias("cms_count"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (cms - F.col("exact_count")).cast("long").alias("overcount"),
+    )
+    return out.orderBy(F.col("cms_count").desc(), key_col).limit(top_k)
+
+
 def fixed_bin_quantiles(
     df: DataFrame,
     *,

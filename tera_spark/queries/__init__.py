@@ -26,4 +26,11 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    from tera_spark.queries import relational, cellops, llmops, streaming_batch, temporal  # noqa: F401
+    from tera_spark.queries import (  # noqa: F401
+        cellops,
+        curation,
+        llmops,
+        relational,
+        streaming_batch,
+        temporal,
+    )

@@ -1,0 +1,268 @@
+"""Corpus-curation operators round 5: CCNet-style held-out perplexity
+bucketing, a distilled surface-feature classifier trained by unrolled
+deterministic gradient descent, and count-min-sketch heavy hitters.
+
+Like every other oracled query, the DuckDB SQL is GENERATED from the
+same constants/ops as the Spark plan (hash = functions.text.h60,
+quantisation = floor micro-units), so results compare bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tera_spark.functions import text as X
+from tera_spark.queries import query
+from tera_spark.queries.llmops import _SQL_ALPHA, _SQL_NTOK, _SQL_STOPR, _sql_lang_case, _t6
+from tera_spark.sources.tables import load
+
+# --- CCNet-style perplexity buckets ---------------------------------------
+
+_SQL_PPL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {X.sql_tokens('text')} AS t FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+             t[i-2] AS w1, t[i-1] AS w2, t[i] AS w3
+      FROM toks, unnest(range(3, len(t)+1)) AS u(i)
+    ),
+    bi AS (
+      SELECT t[i-1] AS u1, t[i] AS u2
+      FROM toks, unnest(range(2, len(t)+1)) AS u(i) WHERE doc_id % 2 = 0
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE is_train GROUP BY 1,2,3),
+    cctx AS (SELECT w1, w2, count(*) AS cctx FROM tri WHERE is_train GROUP BY 1,2),
+    cb AS (SELECT u1, u2, count(*) AS cb FROM bi GROUP BY 1,2),
+    c1ctx AS (SELECT u1, count(*) AS c1ctx FROM bi GROUP BY 1),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+    tot AS (SELECT count(*)::double AS n_tok, count(DISTINCT w)::double AS v_tok FROM uni),
+    scored AS (
+      SELECT tri.doc_id, tri.lang,
+        CASE WHEN c3.c3 IS NOT NULL THEN c3.c3::double / cctx.cctx::double
+             WHEN cb.cb IS NOT NULL THEN 0.4 * cb.cb::double / c1ctx.c1ctx::double
+             ELSE 0.16000000000000003
+                  * (coalesce(c1.c1, 0) + 1)::double / (tot.n_tok + tot.v_tok)
+        END AS p
+      FROM tri
+      LEFT JOIN c3 ON tri.w1 = c3.w1 AND tri.w2 = c3.w2 AND tri.w3 = c3.w3
+      LEFT JOIN cctx ON tri.w1 = cctx.w1 AND tri.w2 = cctx.w2
+      LEFT JOIN cb ON tri.w2 = cb.u1 AND tri.w3 = cb.u2
+      LEFT JOIN c1ctx ON tri.w2 = c1ctx.u1
+      LEFT JOIN c1 ON tri.w3 = c1.w
+      CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT doc_id, lang, count(*) AS n_scored,
+             floor(sum(floor(-ln(p) * 1000000)::bigint)::double / count(*))::bigint
+               AS avg_nll_micro
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT cast(doc_id AS bigint) AS doc_id, lang,
+           cast(n_scored AS bigint) AS n_scored, avg_nll_micro,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll_micro, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM perdoc
+"""
+
+
+@query("text_perplexity_buckets", _SQL_PPL)
+def text_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): a stupid-
+    backoff trigram LM (Brants et al. 2007) trained on the even-doc_id
+    split scores EVERY doc's trigram stream (held-out docs genuinely
+    exercise the backoff/OOV chain), then docs are cut into
+    head/middle/tail terciles per language by average surprisal —
+    the standard reference-LM corpus filter.
+
+    Scale shape: count relations are vocabulary-bounded (Zipf-small)
+    -> broadcast onto the trigram stream; corpus scanned once; one
+    doc_id shuffle for the fold + one per-language window."""
+    from pyspark.sql import Window as W
+
+    from tera_spark.operators.textops import stupid_backoff_nll
+
+    docs = load(spark, sf, "documents")
+    nll = stupid_backoff_nll(docs)
+    d = docs.select("doc_id", "lang").join(nll, "doc_id")
+    nt = F.ntile(3).over(W.partitionBy("lang").orderBy("avg_nll_micro", "doc_id"))
+    bucket = (
+        F.when(nt == 1, F.lit("head")).when(nt == 2, F.lit("middle")).otherwise(F.lit("tail"))
+    )
+    return d.select("doc_id", "lang", "n_scored", "avg_nll_micro", bucket.alias("bucket"))
+
+
+# --- Distilled surface-feature classifier ---------------------------------
+
+_CLF_STEPS = 4
+_CLF_LR = 1.0
+_SQL_X3 = _t6(f"least({_SQL_NTOK}::double / 100.0, 1.0)")
+
+
+def _sql_classifier(steps: int = _CLF_STEPS, lr: float = _CLF_LR) -> str:
+    """Generate the unrolled-GD oracle: one gradient CTE + one weight
+    CTE per step, float-op order identical to operators/classifier.py
+    (left-associated margin, softsign link, balanced class weights
+    from exact counts, floor-micro gradients)."""
+    feats = (
+        f"SELECT doc_id, lang, CASE WHEN {_sql_lang_case()} = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+        f"({_SQL_STOPR} * 10.0) AS x1, {_SQL_ALPHA} AS x2, {_SQL_X3} AS x3 FROM documents"
+    )
+    xs = ["x1", "x2", "x3"]
+
+    def zexpr() -> str:
+        z = "(w0::double / 1000000.0)"
+        for j, x in enumerate(xs, start=1):
+            z = f"({z} + ((w{j}::double / 1000000.0) * {x}))"
+        return z
+
+    def sig(z: str) -> str:
+        return f"(0.5 + ((0.5 * {z}) / (1.0 + abs({z}))))"
+
+    cw = "(CASE WHEN y = 1.0 THEN (n / (2.0 * np)) ELSE (n / (2.0 * (n - np))) END)"
+    ctes = [
+        f"feats AS ({feats})",
+        "nn AS (SELECT count(*)::double AS n, sum(y)::double AS np FROM feats)",
+        "w0s AS (SELECT 0::bigint AS w0, 0::bigint AS w1, 0::bigint AS w2, 0::bigint AS w3)",
+    ]
+    prev = "w0s"
+    for k in range(1, steps + 1):
+        resid = f"(({sig(zexpr())} - y) * {cw})"
+        gsel = [f"sum(floor({resid} * 1000000.0)::bigint) AS g0"]
+        gsel += [
+            f"sum(floor(({resid} * {x}) * 1000000.0)::bigint) AS g{j}"
+            for j, x in enumerate(xs, start=1)
+        ]
+        ctes.append(
+            f"g{k}s AS (SELECT {', '.join(gsel)} FROM feats CROSS JOIN {prev} CROSS JOIN nn)"
+        )
+        wsel = [
+            f"(w{j} - floor(({lr} * g{j}::double) / n)::bigint)::bigint AS w{j}"
+            for j in range(len(xs) + 1)
+        ]
+        ctes.append(
+            f"w{k}s AS (SELECT {', '.join(wsel)} FROM {prev} CROSS JOIN g{k}s CROSS JOIN nn)"
+        )
+        prev = f"w{k}s"
+    final_z = zexpr()
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT cast(doc_id AS bigint) AS doc_id, lang, cast(y AS int) AS label, "
+        f"floor({final_z} * 1000000.0)::bigint AS margin_micro, "
+        f"CASE WHEN floor({final_z} * 1000000.0) >= 0 THEN 1 ELSE 0 END::int AS pred "
+        f"FROM feats CROSS JOIN {prev}"
+    )
+
+
+@query("pipeline_quality_classifier", _sql_classifier())
+def pipeline_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Distilled curation classifier (GPT-3 appendix A shape): learn to
+    reproduce an expensive teacher's verdict — here the marker-lexicon
+    langid model's is-English call — from three cheap surface features
+    (stopword ratio, alpha ratio, capped token count) via unrolled
+    full-batch GD steps, then score every document with the learned
+    weights. Training math is engine-replayable (softsign link,
+    floor-micro gradient quantisation; see operators/classifier.py),
+    so the DuckDB oracle re-trains bit-identically.
+
+    Scale shape: K=4 aggregation passes over a persisted map-only
+    feature relation (each collapses to 4 numbers via map-side
+    partials), then a map-only scoring projection — no shuffle grows
+    with the corpus; driver state is O(K) 4-vectors like the k-means
+    trainer."""
+    from tera_spark.operators.classifier import (
+        score_surface_classifier,
+        train_surface_classifier,
+    )
+    from tera_spark.operators.textops import quality_features
+
+    from tera_spark.operators.textops import language_id
+
+    docs = load(spark, sf, "documents")
+    qf = quality_features(docs).select("doc_id", "n_tokens", "stop_ratio", "alpha_ratio")
+    x3 = F.floor(
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 1_000_000
+    ).cast("double") / 1_000_000
+    teacher = language_id(F.col("text"))
+    feats = (
+        docs.select("doc_id", "lang", teacher.alias("lang_guess"))
+        .join(qf, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("lang_guess") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.col("stop_ratio") * 10.0).alias("x1"),
+            F.col("alpha_ratio").alias("x2"),
+            x3.alias("x3"),
+        )
+    )
+    feats = feats.persist()
+    try:
+        w = train_surface_classifier(feats, steps=_CLF_STEPS, lr=_CLF_LR)
+    finally:
+        feats.unpersist()
+    scored = score_surface_classifier(feats, w)
+    return scored.select(
+        "doc_id", "lang", F.col("y").cast("int").alias("label"), "margin_micro", "pred"
+    )
+
+
+# --- Count-min heavy hitters ----------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 64
+_CMS_K = 20
+
+
+def _sql_cms(d: int = _CMS_D, w: int = _CMS_W, top_k: int = _CMS_K) -> str:
+    def bucket(i: int, key: str) -> str:
+        salted = "'" + str(i) + ":' || " + key
+        return f"({X.sql_h60(salted)} % {w})"
+
+    arms = [
+        f"SELECT {i} AS r, {bucket(i, 'user_id::varchar')} AS b, "
+        "count(*) AS c FROM events GROUP BY 2"
+        for i in range(d)
+    ]
+    joins = "\n".join(
+        f"  JOIN cells c{i} ON c{i}.r = {i} AND c{i}.b = {bucket(i, 'k')}"
+        for i in range(d)
+    )
+    least = ", ".join(f"c{i}.c" for i in range(d))
+    return f"""
+    WITH cells AS (
+      {' UNION ALL '.join(arms)}
+    ),
+    keys AS (SELECT user_id::varchar AS k, count(*) AS exact_count FROM events GROUP BY 1),
+    est AS (
+      SELECT k, exact_count, least({least}) AS cms
+      FROM keys
+{joins}
+    )
+    SELECT k AS user_id, cast(cms AS bigint) AS cms_count,
+           cast(exact_count AS bigint) AS exact_count,
+           cast(cms - exact_count AS bigint) AS overcount
+    FROM est ORDER BY cms DESC, k LIMIT {top_k}
+    """
+
+
+@query("events_cms_heavy_hitters", _sql_cms())
+def events_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch (Cormode &
+    Muthukrishnan 2005): the sketch is a d×w cell relation built
+    map-side in one pass (mergeable across slices by cell addition —
+    the streaming/incremental form comes free), each key's frequency
+    estimate is the min of its d bucket counts, and the top-20
+    estimates are reported next to exact counts so collision
+    overestimates stay auditable. Hashes are the shared 60-bit md5
+    prefix (functions/text.h60), so the oracle fills identical cells.
+
+    Scale shape: facts touched once for the sketch (d·w cells, KBs);
+    the estimate side shuffles only the distinct-key relation and
+    broadcasts the cell slices onto it."""
+    from tera_spark.operators.sketches import cms_heavy_hitters
+
+    ev = load(spark, sf, "events")
+    return cms_heavy_hitters(ev, key_col="user_id", d=_CMS_D, w=_CMS_W, top_k=_CMS_K)

@@ -1,0 +1,147 @@
+"""Round-5 curation operators: count-min heavy hitters, CCNet-style
+stupid-backoff perplexity, distilled surface-feature classifier —
+structural invariants + layout-independence (oracle parity itself is
+covered by tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tera_spark.operators.classifier import (
+    score_surface_classifier,
+    train_surface_classifier,
+)
+from tera_spark.operators.sketches import cms_heavy_hitters, count_min_cells
+from tera_spark.operators.textops import stupid_backoff_nll
+from tera_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# --- count-min sketch ------------------------------------------------------
+
+def test_cms_never_underestimates(spark):
+    """The CMS guarantee: est >= exact for EVERY key (collisions only
+    inflate), so overcount is non-negative on all reported rows."""
+    ev = load(spark, SF, "events")
+    hh = cms_heavy_hitters(ev, key_col="user_id", top_k=1000).collect()
+    assert len(hh) > 0
+    assert all(r.overcount >= 0 for r in hh)
+    assert all(r.cms_count >= r.exact_count for r in hh)
+
+
+def test_cms_cells_mergeable_across_slices(spark):
+    """Building per-slice sketches and adding matching cells equals the
+    one-shot sketch — the property that makes incremental/streaming
+    builds free."""
+    ev = load(spark, SF_SMALL, "events")
+    whole = {
+        (r.r, r.b): r.c for r in count_min_cells(ev, key_col="user_id").collect()
+    }
+    lo = count_min_cells(ev.filter("event_id % 2 = 0"), key_col="user_id")
+    hi = count_min_cells(ev.filter("event_id % 2 = 1"), key_col="user_id")
+    merged: dict = {}
+    for r in lo.unionByName(hi).collect():
+        merged[(r.r, r.b)] = merged.get((r.r, r.b), 0) + r.c
+    assert merged == whole
+
+
+def test_cms_heavy_hitter_estimates_track_exact(spark):
+    """With d=4 rows the top heavy hitter's estimate stays close to
+    exact (error bound e·N/w with prob 1-(1/2)^d)."""
+    ev = load(spark, SF, "events")
+    n = ev.count()
+    top = cms_heavy_hitters(ev, key_col="user_id", d=4, w=64, top_k=5).collect()
+    for r in top:
+        assert r.cms_count - r.exact_count <= 3 * n / 64, r
+
+
+# --- stupid-backoff perplexity ---------------------------------------------
+
+def test_backoff_train_split_scores_lower_than_heldout(spark):
+    """The LM is trained on even doc_ids: in aggregate the train split
+    must score lower avg-surprisal than held-out docs (it has seen its
+    own trigrams), which proves the split actually reaches training."""
+    docs = load(spark, SF, "documents")
+    nll = stupid_backoff_nll(docs)
+    rows = nll.groupBy((F.col("doc_id") % 2 == 0).alias("is_train")).agg(
+        F.avg("avg_nll_micro").alias("m")
+    ).collect()
+    m = {r.is_train: r.m for r in rows}
+    assert m[True] < m[False], m
+
+
+def test_backoff_short_docs_drop_and_counts_match(spark):
+    """Docs with <3 tokens have no trigram stream; all others emit
+    exactly n_tokens-2 scored positions."""
+    docs = load(spark, SF_SMALL, "documents")
+    nll = stupid_backoff_nll(docs)
+    ntok = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+    joined = ntok.join(nll, "doc_id", "left").collect()
+    for r in joined:
+        if r.n >= 3:
+            assert r.n_scored == r.n - 2, r
+        else:
+            assert r.n_scored is None, r
+
+
+def test_backoff_layout_invariant(spark):
+    """Floor-micro quantisation before the sum makes the per-doc NLL
+    independent of partitioning/row order."""
+    docs = load(spark, SF_SMALL, "documents")
+    a = {r.doc_id: r.avg_nll_micro for r in stupid_backoff_nll(docs).collect()}
+    shuffled = docs.orderBy(F.md5(F.col("text"))).repartition(7)
+    b = {r.doc_id: r.avg_nll_micro for r in stupid_backoff_nll(shuffled).collect()}
+    assert a == b
+
+
+# --- distilled classifier ---------------------------------------------------
+
+def _feats(spark, sf):
+    from tera_spark.operators.textops import language_id, quality_features
+
+    docs = load(spark, sf, "documents")
+    qf = quality_features(docs).select("doc_id", "n_tokens", "stop_ratio", "alpha_ratio")
+    x3 = F.floor(
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 1_000_000
+    ).cast("double") / 1_000_000
+    return (
+        docs.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+        .join(qf, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("lang_guess") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.col("stop_ratio") * 10.0).alias("x1"),
+            F.col("alpha_ratio").alias("x2"),
+            x3.alias("x3"),
+        )
+    )
+
+
+def test_classifier_learns_signal(spark):
+    """x1 is the ENGLISH stopword ratio, so the distilled model must
+    beat the majority-class baseline at reproducing the langid
+    teacher's is-English verdict."""
+    feats = _feats(spark, SF)
+    w = train_surface_classifier(feats)
+    scored = score_surface_classifier(feats, w)
+    agg = scored.agg(
+        F.avg((F.col("pred") == F.col("y").cast("int")).cast("double")).alias("acc"),
+        F.avg("y").alias("pos_rate"),
+    ).collect()[0]
+    baseline = max(agg.pos_rate, 1 - agg.pos_rate)
+    assert agg.acc > baseline + 0.05, (agg.acc, baseline)
+    # stopword-ratio weight should be positive (more en-stopwords -> en)
+    assert w[1] > 0, w
+
+
+def test_classifier_training_layout_invariant(spark):
+    """Gradient contributions are floor-quantised integers, so the
+    trained weights are bit-identical under any partitioning."""
+    feats = _feats(spark, SF_SMALL)
+    w1 = train_surface_classifier(feats, steps=3)
+    w2 = train_surface_classifier(feats.repartition(13), steps=3)
+    assert w1 == w2
