@@ -46,7 +46,7 @@ _DRIVER_PRIORITY = [
     "text_bigram_surprisal",
     # NEW this round — need a first driver row
     "text_perplexity_buckets", "pipeline_quality_classifier",
-    "events_cms_heavy_hitters",
+    "events_cms_heavy_hitters", "events_theta_purchaser_overlap",
     "text_redundancy_stats", "multimodal_jpeg_features",
     "multimodal_gif_features", "multimodal_video_frames",
     "multimodal_mulaw_audio",

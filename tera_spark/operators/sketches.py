@@ -205,6 +205,111 @@ def cms_heavy_hitters(
     return out.orderBy(F.col("cms_count").desc(), key_col).limit(top_k)
 
 
+THETA_M = 1 << 60  # h60 hash space: hashes are uniform in [0, 2^60)
+
+
+def theta_sketch(
+    df: DataFrame,
+    *,
+    key_col: str,
+    group_col: str,
+    k: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """KMV/theta sketch (Beyer et al. 2007; Dasgupta et al. 2016) of
+    the distinct-``key_col`` set per group: the k smallest DISTINCT
+    60-bit hashes, plus each group's theta (the k-th smallest hash, or
+    the full hash space M when the group holds fewer than k values —
+    then the sketch IS the exact distinct set).
+
+    Unlike HLL (union-only), theta sketches support INTERSECTION and
+    DIFFERENCE estimates (theta_set_ops), the missing algebra for
+    overlap/churn questions. Mergeable: the union sketch is the k
+    smallest of the concatenation — min-rank selection is associative.
+    Engine-reproducible: hash = shared md5-prefix h60, selection is
+    integer ranking, so the DuckDB oracle fills identical sketches.
+
+    Returns (sketch, thetas): sketch = (g, h) rows with rank <= k,
+    thetas = (g, theta).
+
+    Scale shape: one distinct shuffle on (group, hash) — unavoidable
+    for any distinct-set question — then a per-group window; the
+    sketches themselves are k rows per group (KBs), and every
+    downstream set question touches only them."""
+    from pyspark.sql import Window as W
+
+    from tera_spark.functions.text import h60
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        h60(F.col(key_col).cast("string")).alias("h"),
+    ).distinct()
+    rk = F.row_number().over(W.partitionBy("g").orderBy("h"))
+    sk = base.withColumn("rk", rk).filter(F.col("rk") <= k)
+    th = sk.groupBy("g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k, F.col("h"))), F.lit(THETA_M)
+        ).alias("theta")
+    )
+    return sk.select("g", "h"), th
+
+
+def theta_set_ops(
+    sk: DataFrame,
+    th: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Set-algebra estimates for group pairs from their theta sketches:
+    for each (ga, gb) in ``pairs``, scale the below-theta survivor
+    counts by M/theta (theta = min of the two group thetas):
+
+      est_a, est_b, est_union, est_intersect (4dp floor-truncated)
+
+    Exact counts are NOT read — that is the point: at 100 TB the pair
+    questions touch k-row sketches, never the facts."""
+    a = (
+        pairs.join(sk, sk.g == pairs.ga)
+        .select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    )
+    b = (
+        pairs.join(sk, sk.g == pairs.gb)
+        .select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    )
+    fl = (
+        a.unionByName(b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    tha = th.select(F.col("g").alias("ga"), F.col("theta").alias("th_a"))
+    thb = th.select(F.col("g").alias("gb"), F.col("theta").alias("th_b"))
+    theta = F.least("th_a", "th_b")
+    below = (
+        fl.join(F.broadcast(tha), "ga")
+        .join(F.broadcast(thb), "gb")
+        .filter(F.col("h") < theta)
+        .withColumn("theta", theta)
+    )
+    agg = below.groupBy("ga", "gb").agg(
+        F.max("theta").alias("theta"),
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_i"),
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+    )
+
+    def est(n):
+        raw = (F.col(n).cast("double") * F.lit(float(THETA_M))) / F.col("theta").cast("double")
+        return F.floor(raw * 10_000).cast("double") / 10_000
+
+    return agg.select(
+        "ga",
+        "gb",
+        est("n_a").alias("est_a"),
+        est("n_b").alias("est_b"),
+        est("n_u").alias("est_union"),
+        est("n_i").alias("est_intersect"),
+    )
+
+
 def fixed_bin_quantiles(
     df: DataFrame,
     *,

@@ -209,6 +209,126 @@ def pipeline_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Theta-sketch set algebra ----------------------------------------------
+
+_THETA_K = 32
+_THETA_M = 1 << 60
+
+
+def _sql_theta(k: int = _THETA_K) -> str:
+    def est(n: str) -> str:
+        return (
+            f"(floor((({n}::double * {float(_THETA_M)!r}) / theta::double) * 10000)"
+            "::double / 10000)"
+        )
+
+    return f"""
+    WITH u AS (
+      SELECT DISTINCT ts::date::varchar AS g, user_id::varchar AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hs AS (SELECT DISTINCT g, {X.sql_h60('k')} AS h FROM u),
+    ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hs),
+    sk AS (SELECT g, h FROM ranked WHERE rk <= {k}),
+    th AS (SELECT g, coalesce(max(CASE WHEN rk = {k} THEN h END), {_THETA_M}) AS theta
+           FROM ranked WHERE rk <= {k} GROUP BY g),
+    days AS (SELECT DISTINCT g FROM u),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM days a JOIN days b
+              ON b.g = (a.g::date + 1)::varchar),
+    fl AS (
+      SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b FROM pairs p JOIN sk s ON s.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h, 0 AS in_a, 1 AS in_b FROM pairs p JOIN sk s ON s.g = p.gb
+      ) GROUP BY 1, 2, 3
+    ),
+    below AS (
+      SELECT f.ga, f.gb, f.in_a, f.in_b, least(ta.theta, tb.theta) AS theta
+      FROM fl f JOIN th ta ON ta.g = f.ga JOIN th tb ON tb.g = f.gb
+      WHERE f.h < least(ta.theta, tb.theta)
+    ),
+    agg AS (
+      SELECT ga, gb, max(theta) AS theta, count(*) AS n_u, sum(in_a * in_b) AS n_i,
+             sum(in_a) AS n_a, sum(in_b) AS n_b
+      FROM below GROUP BY 1, 2
+    ),
+    efl AS (
+      SELECT ga, gb, k, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.ga, p.gb, x.k, 1 AS ia, 0 AS ib FROM pairs p JOIN u x ON x.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, x.k, 0 AS ia, 1 AS ib FROM pairs p JOIN u x ON x.g = p.gb
+      ) GROUP BY 1, 2, 3
+    ),
+    eagg AS (SELECT ga, gb, count(*) AS exact_union, sum(ia * ib) AS exact_intersect
+             FROM efl GROUP BY 1, 2)
+    SELECT agg.ga AS day_a, agg.gb AS day_b,
+           {est('n_a')} AS est_a, {est('n_b')} AS est_b,
+           {est('n_u')} AS est_union, {est('n_i')} AS est_intersect,
+           cast(exact_union AS bigint) AS exact_union,
+           cast(exact_intersect AS bigint) AS exact_intersect
+    FROM agg JOIN eagg ON agg.ga = eagg.ga AND agg.gb = eagg.gb
+    """
+
+
+@query("events_theta_purchaser_overlap", _sql_theta())
+def events_theta_purchaser_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day repeat-purchaser analysis through theta/KMV
+    sketches: each day's distinct-purchaser set becomes a k-smallest-
+    hash sketch, and every consecutive-day pair's union/intersection
+    (i.e. returning vs churned purchasers) is estimated from the two
+    sketches alone — the set algebra HLL cannot do. Exact counts ride
+    along for audit (affordable at test scale; at 100 TB you keep only
+    the sketch columns, which is the point).
+
+    Scale shape: one distinct shuffle on (day, user-hash) — the floor
+    for any distinct question — then a per-day window; all pair math
+    runs on k-row sketches with the theta table broadcast."""
+    from tera_spark.operators.sketches import theta_set_ops, theta_sketch
+
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    day = F.to_date("ts").cast("string")
+    u = ev.select(day.alias("g"), F.col("user_id").cast("string").alias("k")).distinct()
+    sk, th = theta_sketch(
+        ev.withColumn("g", day), key_col="user_id", group_col="g", k=_THETA_K
+    )
+    days = u.select("g").distinct()
+    pairs = (
+        days.select(
+            F.col("g").alias("ga"),
+            F.date_add(F.col("g").cast("date"), 1).cast("string").alias("gb"),
+        )
+        .join(days.select(F.col("g").alias("gb")), "gb")
+        .select("ga", "gb")
+    )
+    est = theta_set_ops(sk, th, pairs)
+
+    ea = pairs.join(u, u.g == pairs.ga).select(
+        "ga", "gb", "k", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    eb = pairs.join(u, u.g == pairs.gb).select(
+        "ga", "gb", "k", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    efl = (
+        ea.unionByName(eb)
+        .groupBy("ga", "gb", "k")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    eagg = efl.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("exact_intersect"),
+    )
+    return est.join(eagg, ["ga", "gb"]).select(
+        F.col("ga").alias("day_a"),
+        F.col("gb").alias("day_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersect",
+        "exact_union",
+        "exact_intersect",
+    )
+
+
 # --- Count-min heavy hitters ----------------------------------------------
 
 _CMS_D = 4
