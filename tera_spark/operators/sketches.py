@@ -267,11 +267,11 @@ def theta_set_ops(
     Exact counts are NOT read — that is the point: at 100 TB the pair
     questions touch k-row sketches, never the facts."""
     a = (
-        pairs.join(sk, sk.g == pairs.ga)
+        sk.join(F.broadcast(pairs), sk.g == pairs.ga)
         .select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
     )
     b = (
-        pairs.join(sk, sk.g == pairs.gb)
+        sk.join(F.broadcast(pairs), sk.g == pairs.gb)
         .select("ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
     )
     fl = (

@@ -302,10 +302,10 @@ def events_theta_purchaser_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
     est = theta_set_ops(sk, th, pairs)
 
-    ea = pairs.join(u, u.g == pairs.ga).select(
+    ea = u.join(F.broadcast(pairs), u.g == pairs.ga).select(
         "ga", "gb", "k", F.lit(1).alias("ia"), F.lit(0).alias("ib")
     )
-    eb = pairs.join(u, u.g == pairs.gb).select(
+    eb = u.join(F.broadcast(pairs), u.g == pairs.gb).select(
         "ga", "gb", "k", F.lit(0).alias("ia"), F.lit(1).alias("ib")
     )
     efl = (
@@ -317,7 +317,7 @@ def events_theta_purchaser_overlap(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("exact_union"),
         F.sum(F.col("ia") * F.col("ib")).cast("long").alias("exact_intersect"),
     )
-    return est.join(eagg, ["ga", "gb"]).select(
+    return est.join(F.broadcast(eagg), ["ga", "gb"]).select(
         F.col("ga").alias("day_a"),
         F.col("gb").alias("day_b"),
         "est_a",
