@@ -602,81 +602,11 @@ def stupid_backoff_nll(
     degrading to shuffle joins automatically; the corpus itself is
     scanned once and re-shuffled only by doc_id for the final fold.
     """
+    from tera_spark.operators.lm import ngram_counts, score_trigrams, trigram_stream
+
     if train_pred is None:
         train_pred = F.col("doc_id") % 2 == 0
-
-    t = tokens(F.col(text_col))
-    base = ensure_parallelism(docs).select("doc_id", t.alias("t"), train_pred.alias("is_train"))
-
-    tri_arr = F.when(
-        F.size("t") >= 3,
-        F.transform(
-            F.sequence(F.lit(2), F.size("t") - 1),
-            lambda i: F.struct(
-                F.get(F.col("t"), i - 2).alias("w1"),
-                F.get(F.col("t"), i - 1).alias("w2"),
-                F.get(F.col("t"), i).alias("w3"),
-            ),
-        ),
-    ).otherwise(F.expr("cast(array() as array<struct<w1:string,w2:string,w3:string>>)"))
-    tri = base.select(
-        "doc_id", "is_train", F.explode(tri_arr).alias("g")
-    ).select("doc_id", "is_train", "g.w1", "g.w2", "g.w3")
-
-    bi_arr = F.when(
-        F.size("t") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - 1),
-            lambda i: F.struct(
-                F.get(F.col("t"), i - 1).alias("u1"), F.get(F.col("t"), i).alias("u2")
-            ),
-        ),
-    ).otherwise(F.expr("cast(array() as array<struct<u1:string,u2:string>>)"))
-    train_base = base.filter("is_train")
-    bi = train_base.select(F.explode(bi_arr).alias("g")).select("g.u1", "g.u2")
-    uni = train_base.select(F.explode("t").alias("w"))
-
-    # 3 corpus-touching counts; the context counts and totals re-
-    # aggregate the (Zipf-small) count relations instead of re-scanning
-    # the corpus: cctx(w1,w2) = Σ_w3 c3, c1ctx(u1) = Σ_u2 cb,
-    # (N, V) = (Σ c1, |c1|) — identical values, half the scans.
-    tri_train = tri.filter("is_train")
-    c3 = tri_train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
-    cb = bi.groupBy("u1", "u2").agg(F.count(F.lit(1)).alias("cb"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    cctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("cctx"))
-    c1ctx = cb.groupBy("u1").agg(F.sum("cb").alias("c1ctx"))
-    tot = c1.agg(
-        F.sum("c1").cast("double").alias("n_tok"),
-        F.count(F.lit(1)).cast("double").alias("v_tok"),
-    )
-
-    b = float(backoff)
-    p = (
-        F.when(F.col("c3").isNotNull(), F.col("c3").cast("double") / F.col("cctx").cast("double"))
-        .when(
-            F.col("cb").isNotNull(),
-            F.lit(b) * F.col("cb").cast("double") / F.col("c1ctx").cast("double"),
-        )
-        .otherwise(
-            F.lit(b * b)
-            * (F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double")
-            / (F.col("n_tok") + F.col("v_tok"))
-        )
-    )
-    nll = F.floor(-F.log(p) * 1_000_000).cast("long")
-    scored = (
-        tri.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(cctx), ["w1", "w2"], "left")
-        .join(F.broadcast(cb), (F.col("w2") == F.col("u1")) & (F.col("w3") == F.col("u2")), "left")
-        .drop("u1", "u2")
-        .join(F.broadcast(c1ctx), F.col("w2") == F.col("u1"), "left")
-        .drop("u1")
-        .join(F.broadcast(c1), F.col("w3") == F.col("w"), "left")
-        .drop("w")
-        .crossJoin(F.broadcast(tot))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_scored"),
-        F.floor(F.sum(nll).cast("double") / F.count(F.lit(1))).cast("long").alias("avg_nll_micro"),
+    c3, cb, c1 = ngram_counts(docs.filter(train_pred), text_col)
+    return score_trigrams(
+        trigram_stream(docs, text_col), c3, cb, c1, backoff=backoff
     )

@@ -190,3 +190,51 @@ def test_theta_estimates_within_tolerance(spark):
     assert len(rows) >= 20
     for r in rows:
         assert abs(r.est_union - r.exact_union) / r.exact_union < 0.25, r
+
+
+# --- persisted n-gram LM -----------------------------------------------------
+
+def test_ngram_lm_build_score_matches_inline(spark, tmp_path):
+    """NgramLM.build on the even split + score == the inline
+    stupid_backoff_nll (same counts, same floor-micro math)."""
+    from tera_spark.operators.lm import NgramLM
+
+    docs = load(spark, SF_SMALL, "documents")
+    lm = NgramLM.build(docs.filter("doc_id % 2 = 0"), str(tmp_path / "lm"))
+    via_lm = {r.doc_id: (r.n_scored, r.avg_nll_micro) for r in lm.score(docs).collect()}
+    inline = {
+        r.doc_id: (r.n_scored, r.avg_nll_micro)
+        for r in stupid_backoff_nll(docs).collect()
+    }
+    assert via_lm == inline
+
+
+def test_ngram_lm_extend_equals_rebuild(spark, tmp_path):
+    """Appending a slice's partial counts then scoring == building on
+    the union corpus (counts add; merge-on-read re-aggregates)."""
+    from tera_spark.operators.lm import NgramLM
+
+    docs = load(spark, SF_SMALL, "documents")
+    a, b = docs.filter("doc_id % 3 = 0"), docs.filter("doc_id % 3 != 0")
+    inc = NgramLM.build(a, str(tmp_path / "inc"))
+    inc.extend(b)
+    full = NgramLM.build(docs, str(tmp_path / "full"))
+    target = docs.limit(50)
+    got = {r.doc_id: r.avg_nll_micro for r in inc.score(target).collect()}
+    want = {r.doc_id: r.avg_nll_micro for r in full.score(target).collect()}
+    assert got == want
+
+
+def test_ngram_lm_reload_and_cross_corpus(spark, tmp_path):
+    """A reloaded LM scores a DIFFERENT corpus (the CCNet deployment
+    shape: reference LM trained once, every snapshot scored by it) —
+    OOV tokens hit the add-one floor, never error."""
+    from tera_spark.operators.lm import NgramLM
+
+    ref = load(spark, SF_SMALL, "documents").filter("lang = 'en'")
+    NgramLM.build(ref, str(tmp_path / "ref"))
+    lm = NgramLM.load(spark, str(tmp_path / "ref"))
+    crawl = load(spark, SF_SMALL, "documents").filter("lang != 'en'")
+    rows = lm.score(crawl).collect()
+    assert len(rows) > 0
+    assert all(r.avg_nll_micro > 0 for r in rows)
