@@ -19,20 +19,25 @@ from tera_spark.sources.tables import load
 
 # --- CCNet-style perplexity buckets ---------------------------------------
 
-_SQL_PPL = f"""
+def _sql_backoff_perdoc(train_cond: str, score_cond: str = "TRUE") -> str:
+    """CTE chain ending in ``perdoc(doc_id, lang, n_scored,
+    avg_nll_micro)``: stupid-backoff trigram LM trained on the
+    ``train_cond`` docs, scoring the ``score_cond`` trigram stream —
+    the same derived-count structure as operators/lm.py."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, lang, {X.sql_tokens('text')} AS t FROM documents
     ),
     tri AS (
-      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+      SELECT doc_id, lang, {train_cond} AS is_train,
              t[i-2] AS w1, t[i-1] AS w2, t[i] AS w3
       FROM toks, unnest(range(3, len(t)+1)) AS u(i)
     ),
     bi AS (
       SELECT t[i-1] AS u1, t[i] AS u2
-      FROM toks, unnest(range(2, len(t)+1)) AS u(i) WHERE doc_id % 2 = 0
+      FROM toks, unnest(range(2, len(t)+1)) AS u(i) WHERE {train_cond}
     ),
-    uni AS (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0),
+    uni AS (SELECT unnest(t) AS w FROM toks WHERE {train_cond}),
     c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE is_train GROUP BY 1,2,3),
     cctx AS (SELECT w1, w2, count(*) AS cctx FROM tri WHERE is_train GROUP BY 1,2),
     cb AS (SELECT u1, u2, count(*) AS cb FROM bi GROUP BY 1,2),
@@ -53,6 +58,7 @@ _SQL_PPL = f"""
       LEFT JOIN c1ctx ON tri.w2 = c1ctx.u1
       LEFT JOIN c1 ON tri.w3 = c1.w
       CROSS JOIN tot
+      WHERE {score_cond}
     ),
     perdoc AS (
       SELECT doc_id, lang, count(*) AS n_scored,
@@ -60,6 +66,10 @@ _SQL_PPL = f"""
                AS avg_nll_micro
       FROM scored GROUP BY 1, 2
     )
+    """
+
+
+_SQL_PPL = _sql_backoff_perdoc("doc_id % 2 = 0") + """
     SELECT cast(doc_id AS bigint) AS doc_id, lang,
            cast(n_scored AS bigint) AS n_scored, avg_nll_micro,
            CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll_micro, doc_id)
@@ -92,6 +102,39 @@ def text_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         F.when(nt == 1, F.lit("head")).when(nt == 2, F.lit("middle")).otherwise(F.lit("tail"))
     )
     return d.select("doc_id", "lang", "n_scored", "avg_nll_micro", bucket.alias("bucket"))
+
+
+_SQL_LM_CROSS = _sql_backoff_perdoc("lang = 'en'", "tri.lang <> 'en'") + """
+    SELECT cast(doc_id AS bigint) AS doc_id, lang,
+           cast(n_scored AS bigint) AS n_scored, avg_nll_micro
+    FROM perdoc
+"""
+
+
+@query("text_lm_persisted_score", _SQL_LM_CROSS)
+def text_lm_persisted_score(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet deployment shape end-to-end through the PERSISTED
+    model path: NgramLM.build writes the English reference corpus'
+    count tables to parquet, then lm.score reads them back
+    (merge-on-read) and scores the non-English docs — held-out by
+    construction, so the backoff and add-one-OOV branches carry the
+    whole score. The driver row therefore value-checks the full
+    build → parquet round-trip → merge → score pipeline, not just the
+    in-plan math.
+
+    Scale shape: identical to text_perplexity_buckets scoring plus one
+    parquet write/read of the vocabulary-sized count tables."""
+    import tempfile
+
+    from tera_spark.operators.lm import NgramLM
+
+    docs = load(spark, sf, "documents")
+    lm = NgramLM.build(docs.filter(F.col("lang") == "en"), tempfile.mkdtemp(prefix="ngram_lm_"))
+    crawl = docs.filter(F.col("lang") != "en")
+    nll = lm.score(crawl)
+    return crawl.select("doc_id", "lang").join(nll, "doc_id").select(
+        "doc_id", "lang", "n_scored", "avg_nll_micro"
+    )
 
 
 # --- Distilled surface-feature classifier ---------------------------------
