@@ -235,22 +235,34 @@ def theta_sketch(
     for any distinct-set question — then a per-group window; the
     sketches themselves are k rows per group (KBs), and every
     downstream set question touches only them."""
-    from pyspark.sql import Window as W
-
     from tera_spark.functions.text import h60
 
     base = df.select(
         F.col(group_col).alias("g"),
         h60(F.col(key_col).cast("string")).alias("h"),
-    ).distinct()
+    )
+    return _theta_select(base, k)
+
+
+def _theta_select(base: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """k smallest distinct hashes per group + each group's theta."""
+    from pyspark.sql import Window as W
+
     rk = F.row_number().over(W.partitionBy("g").orderBy("h"))
-    sk = base.withColumn("rk", rk).filter(F.col("rk") <= k)
+    sk = base.distinct().withColumn("rk", rk).filter(F.col("rk") <= k)
     th = sk.groupBy("g").agg(
         F.coalesce(
             F.max(F.when(F.col("rk") == k, F.col("h"))), F.lit(THETA_M)
         ).alias("theta")
     )
     return sk.select("g", "h"), th
+
+
+def theta_merge(partials: DataFrame, k: int = 32) -> tuple[DataFrame, DataFrame]:
+    """Merge per-slice theta sketches: min-rank selection over the
+    concatenated (g, h) partial rows — associative, so incremental and
+    streaming builds compose freely."""
+    return _theta_select(partials, k)
 
 
 def theta_set_ops(
