@@ -47,7 +47,7 @@ _DRIVER_PRIORITY = [
     # NEW this round — need a first driver row
     "text_perplexity_buckets", "pipeline_quality_classifier",
     "events_cms_heavy_hitters", "events_theta_purchaser_overlap",
-    "text_lm_persisted_score",
+    "text_lm_persisted_score", "ann_pca_top_component",
     "text_redundancy_stats", "multimodal_jpeg_features",
     "multimodal_gif_features", "multimodal_video_frames",
     "multimodal_mulaw_audio",

