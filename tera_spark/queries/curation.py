@@ -144,11 +144,14 @@ _CLF_LR = 1.0
 _SQL_X3 = _t6(f"least({_SQL_NTOK}::double / 100.0, 1.0)")
 
 
-def _sql_classifier(steps: int = _CLF_STEPS, lr: float = _CLF_LR) -> str:
+def _sql_classifier(
+    steps: int = _CLF_STEPS, lr: float = _CLF_LR, *, calibrated: bool = False
+) -> str:
     """Generate the unrolled-GD oracle: one gradient CTE + one weight
     CTE per step, float-op order identical to operators/classifier.py
     (left-associated margin, softsign link, balanced class weights
-    from exact counts, floor-micro gradients)."""
+    from exact counts, floor-micro gradients). With ``calibrated``,
+    append the decile reliability report instead of per-doc scores."""
     feats = (
         f"SELECT doc_id, lang, CASE WHEN {_sql_lang_case()} = 'en' THEN 1.0 ELSE 0.0 END AS y, "
         f"({_SQL_STOPR} * 10.0) AS x1, {_SQL_ALPHA} AS x2, {_SQL_X3} AS x3 FROM documents"
@@ -190,12 +193,25 @@ def _sql_classifier(steps: int = _CLF_STEPS, lr: float = _CLF_LR) -> str:
         )
         prev = f"w{k}s"
     final_z = zexpr()
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
+    scored = (
         "SELECT cast(doc_id AS bigint) AS doc_id, lang, cast(y AS int) AS label, "
         f"floor({final_z} * 1000000.0)::bigint AS margin_micro, "
         f"CASE WHEN floor({final_z} * 1000000.0) >= 0 THEN 1 ELSE 0 END::int AS pred "
         f"FROM feats CROSS JOIN {prev}"
+    )
+    if not calibrated:
+        return "WITH " + ",\n".join(ctes) + "\n" + scored
+    ctes.append(f"scored AS ({scored})")
+    ctes.append(
+        "bkt AS (SELECT label, margin_micro, "
+        "ntile(10) OVER (ORDER BY margin_micro, doc_id) AS bucket FROM scored)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT cast(bucket AS int) AS bucket, cast(count(*) AS bigint) AS n_docs, "
+        "floor(sum(margin_micro)::double / count(*))::bigint AS mean_margin_micro, "
+        "(floor((sum(label)::double / count(*)) * 1000000)::double / 1000000) AS pos_rate "
+        "FROM bkt GROUP BY bucket"
     )
 
 
@@ -215,13 +231,19 @@ def pipeline_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     partials), then a map-only scoring projection — no shuffle grows
     with the corpus; driver state is O(K) 4-vectors like the k-means
     trainer."""
+    return _classifier_scored(spark, sf).select(
+        "doc_id", "lang", F.col("y").cast("int").alias("label"), "margin_micro", "pred"
+    )
+
+
+def _classifier_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared train+score: the scored per-doc relation both classifier
+    queries project from."""
     from tera_spark.operators.classifier import (
         score_surface_classifier,
         train_surface_classifier,
     )
-    from tera_spark.operators.textops import quality_features
-
-    from tera_spark.operators.textops import language_id
+    from tera_spark.operators.textops import language_id, quality_features
 
     docs = load(spark, sf, "documents")
     qf = quality_features(docs).select("doc_id", "n_tokens", "stop_ratio", "alpha_ratio")
@@ -246,9 +268,38 @@ def pipeline_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         w = train_surface_classifier(feats, steps=_CLF_STEPS, lr=_CLF_LR)
     finally:
         feats.unpersist()
-    scored = score_surface_classifier(feats, w)
-    return scored.select(
-        "doc_id", "lang", F.col("y").cast("int").alias("label"), "margin_micro", "pred"
+    return score_surface_classifier(feats, w)
+
+
+@query("pipeline_classifier_calibration", _sql_classifier(calibrated=True))
+def pipeline_classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability report for the distilled classifier: margin deciles
+    vs observed teacher-label rate — the calibration curve a curation
+    pipeline reads before picking a keep-threshold (GPT-3 picked
+    theirs by Pareto-sampling scores; the decile table is the audit
+    that makes any threshold defensible). Monotone pos_rate across
+    buckets = the margin actually ranks quality.
+
+    Scale shape: the training passes of the classifier plus ONE global
+    ntile window — at 100 TB swap ntile for fixed margin bins (same
+    note as the equi-depth histogram)."""
+    from pyspark.sql import Window as W
+
+    scored = _classifier_scored(spark, sf)
+    bkt = scored.select(
+        F.col("y").cast("int").alias("label"),
+        "margin_micro",
+        F.ntile(10).over(W.orderBy("margin_micro", "doc_id")).alias("bucket"),
+    )
+    pos = F.floor((F.sum("label").cast("double") / F.count(F.lit(1))) * 1_000_000).cast(
+        "double"
+    ) / 1_000_000
+    return bkt.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.floor(F.sum("margin_micro").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_margin_micro"),
+        pos.alias("pos_rate"),
     )
 
 
