@@ -511,6 +511,108 @@ def events_theta_purchaser_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Distribution drift (PSI) -----------------------------------------------
+
+_PSI_BINS = 20
+_PSI_WIDTH = 10.0
+_PSI_CUT = "2024-01-16"
+
+_SQL_PSI = f"""
+    WITH binned AS (
+      SELECT event_type,
+             least({_PSI_BINS - 1}, greatest(0, floor(value / {_PSI_WIDTH})))::int AS bin,
+             CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             sum(is_ref) AS cr, sum(1 - is_ref) AS cc
+      FROM binned GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, b.bin
+      FROM (SELECT DISTINCT event_type FROM binned) t
+      CROSS JOIN (SELECT unnest(range(0, {_PSI_BINS}))::int AS bin) b
+    ),
+    filled AS (
+      SELECT s.event_type, s.bin,
+             coalesce(c.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type AND c.bin = s.bin
+    ),
+    tot AS (
+      SELECT event_type, sum(cr)::double AS nr, sum(cc)::double AS nc
+      FROM filled GROUP BY 1
+    ),
+    terms AS (
+      SELECT f.event_type,
+             floor(((((f.cr + 1)::double / (t.nr + {_PSI_BINS}.0))
+                     - ((f.cc + 1)::double / (t.nc + {_PSI_BINS}.0)))
+                    * ln(((f.cr + 1)::double / (t.nr + {_PSI_BINS}.0))
+                         / ((f.cc + 1)::double / (t.nc + {_PSI_BINS}.0))))
+                   * 1000000000)::bigint AS term,
+             t.nr, t.nc
+      FROM filled f JOIN tot t ON t.event_type = f.event_type
+    )
+    SELECT event_type, cast(max(nr) AS bigint) AS n_ref,
+           cast(max(nc) AS bigint) AS n_cur,
+           cast(sum(term) AS bigint) AS psi_nano
+    FROM terms GROUP BY event_type
+"""
+
+
+@query("events_drift_psi", _SQL_PSI)
+def events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index drift audit: per event type, PSI of
+    the value distribution between the reference slice (first half of
+    the month) and the current slice — the standard gate before
+    retraining on or admitting a new data drop (PSI < 0.1 stable,
+    > 0.25 drifted). Laplace-smoothed over a fixed 20-bin spine so
+    empty bins stay defined; per-bin terms are floor-quantized to
+    nano-units before the sum (each term is provably >= 0: (p-q) and
+    ln(p/q) share sign), so the fold is associative and engine-exact.
+
+    Scale shape: one map-side-partial count keyed by (type, bin) —
+    the facts are touched once; everything downstream is bins × types
+    rows. Mergeable across slices like the histogram sketch tables."""
+    ev = load(spark, sf, "events")
+    bins = _PSI_BINS
+    b = F.least(
+        F.lit(bins - 1), F.greatest(F.lit(0), F.floor(F.col("value") / _PSI_WIDTH))
+    ).cast("int")
+    is_ref = F.when(F.col("ts") < F.lit(_PSI_CUT).cast("timestamp"), 1).otherwise(0)
+    binned = ev.select("event_type", b.alias("bin"), is_ref.alias("is_ref"))
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("cr"), F.sum(1 - F.col("is_ref")).alias("cc")
+    )
+    spine = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    filled = spine.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("cr").cast("double").alias("nr"), F.sum("cc").cast("double").alias("nc")
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + float(bins))
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + float(bins))
+    term = F.floor(((p - q) * F.log(p / q)) * 1_000_000_000).cast("long")
+    terms = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type", term.alias("term"), "nr", "nc"
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("nr").cast("long").alias("n_ref"),
+        F.max("nc").cast("long").alias("n_cur"),
+        F.sum("term").cast("long").alias("psi_nano"),
+    )
+
+
 # --- Count-min heavy hitters ----------------------------------------------
 
 _CMS_D = 4
