@@ -126,6 +126,93 @@ def power_iteration(
     return v, math.floor(lam * MICRO) / MICRO
 
 
+class MomentTable:
+    """Persisted, MERGEABLE second-moment state (the sketch-table
+    stance for PCA): ``build`` writes the exact-integer sums as
+    parquet, ``extend`` appends a slice's partial sums, and
+    ``top_component`` re-aggregates on read — so the covariance of a
+    growing corpus is maintained incrementally without ever rescanning
+    old data. Counts are exact integers, so extend ≡ rebuild
+    bit-for-bit (the same guarantee the NgramLM count tables give)."""
+
+    def __init__(self, spark, path: str, dim: int = 64):
+        from pathlib import Path
+
+        self.spark = spark
+        self.path = Path(path)
+        self.dim = dim
+
+    @classmethod
+    def build(
+        cls, emb: DataFrame, path: str, *, vec_col: str = "embedding", dim: int = 64
+    ) -> "MomentTable":
+        t = cls(emb.sparkSession, path, dim)
+        t._write(emb, vec_col, "overwrite")
+        return t
+
+    def extend(self, emb: DataFrame, *, vec_col: str = "embedding") -> None:
+        self._write(emb, vec_col, "append")
+
+    def _write(self, emb: DataFrame, vec_col: str, mode: str) -> None:
+        q_arr = F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(MICRO)).cast("long")
+        )
+        staged = emb.select(q_arr.alias("q"))
+        (
+            staged.select(F.posexplode("q").alias("i", "qi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"))
+            .write.mode(mode)
+            .parquet(str(self.path / "s1"))
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(self.dim - 1)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(self.dim - 1)),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (F.get("q", i) * F.get("q", j)).alias("p"),
+                    ),
+                ),
+            )
+        )
+        (
+            staged.select(F.explode(pairs).alias("x"))
+            .groupBy("x.i", "x.j")
+            .agg(F.sum(F.col("x.p").cast("decimal(38,0)")).alias("s"))
+            .write.mode(mode)
+            .parquet(str(self.path / "s2"))
+        )
+        self.spark.createDataFrame([(emb.count(),)], "n long").write.mode(mode).parquet(
+            str(self.path / "n")
+        )
+
+    def moments(self) -> tuple[int, list[int], dict[tuple[int, int], int]]:
+        n = self.spark.read.parquet(str(self.path / "n")).agg(F.sum("n")).collect()[0][0]
+        s1 = [0] * self.dim
+        for r in (
+            self.spark.read.parquet(str(self.path / "s1"))
+            .groupBy("i")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        ):
+            s1[r.i] = int(r.s)
+        s2 = {
+            (r.i, r.j): int(r.s)
+            for r in self.spark.read.parquet(str(self.path / "s2"))
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        }
+        return int(n), s1, s2
+
+    def top_component(self, *, iters: int = 8) -> tuple[list[float], float]:
+        n, s1, s2 = self.moments()
+        return power_iteration(covariance_from_moments(n, s1, s2, self.dim), iters=iters)
+
+
 def pca_top_component(
     emb: DataFrame, *, vec_col: str = "embedding", dim: int = 64, iters: int = 8
 ) -> DataFrame:

@@ -273,3 +273,20 @@ def test_pca_moments_layout_invariant(spark):
     a = second_moments(emb)
     b = second_moments(emb.repartition(17))
     assert a == b
+
+
+def test_pca_moment_table_extend_equals_rebuild(spark, tmp_path):
+    """Persisted moment table: appending a slice's partial sums then
+    solving == building on the union corpus (exact integers merge)."""
+    from tera_spark.operators.pca import MomentTable, pca_top_component
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    inc = MomentTable.build(emb.filter("vec_id % 2 = 0"), str(tmp_path / "m"))
+    inc.extend(emb.filter("vec_id % 2 = 1"))
+    v_inc, lam_inc = inc.top_component(iters=16)
+    direct = {
+        (r.component, r.loading, r.eigval)
+        for r in pca_top_component(emb, iters=16).collect()
+    }
+    want = {(i, v_inc[i], lam_inc) for i in range(64)}
+    assert direct == want
