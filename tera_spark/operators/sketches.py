@@ -182,19 +182,26 @@ def cms_heavy_hitters(
     heavy-hitter query never re-reads them."""
     from tera_spark.functions.text import h60
 
-    cells = count_min_cells(df, key_col=key_col, d=d, w=w)
+    # the sketch is bounded at d·w cells by construction, so ONE
+    # distributed build + a driver collect (same bounded-state stance
+    # as the k-means centroid fold) turns the estimate side into pure
+    # map-only expressions — without this, each of the d lookup joins
+    # re-plans the cell aggregation and rescans the facts
+    cell_rows = count_min_cells(df, key_col=key_col, d=d, w=w).collect()
+    by_row: list[dict[int, int]] = [{} for _ in range(d)]
+    for r in cell_rows:
+        by_row[r.r][r.b] = r.c
     keys = (
         df.groupBy(F.col(key_col).cast("string").alias("k"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     est = keys
     for i in range(d):
-        ci = cells.filter(F.col("r") == i).select(
-            F.col("b").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        cmap = F.create_map(
+            *[F.lit(x) for bc in sorted(by_row[i].items()) for x in bc]
         )
-        est = est.withColumn(
-            f"b{i}", h60(F.concat(F.lit(f"{i}:"), F.col("k"))) % w
-        ).join(F.broadcast(ci), f"b{i}")
+        b = (h60(F.concat(F.lit(f"{i}:"), F.col("k"))) % w).cast("int")
+        est = est.withColumn(f"c{i}", F.element_at(cmap, b).cast("long"))
     cms = F.least(*[F.col(f"c{i}") for i in range(d)])
     out = est.select(
         F.col("k").alias(key_col),
