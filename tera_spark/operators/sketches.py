@@ -221,6 +221,7 @@ def theta_sketch(
     key_col: str,
     group_col: str,
     k: int = 32,
+    scope=None,
 ) -> tuple[DataFrame, DataFrame]:
     """KMV/theta sketch (Beyer et al. 2007; Dasgupta et al. 2016) of
     the distinct-``key_col`` set per group: the k smallest DISTINCT
@@ -248,21 +249,29 @@ def theta_sketch(
         F.col(group_col).alias("g"),
         h60(F.col(key_col).cast("string")).alias("h"),
     )
-    return _theta_select(base, k)
+    return _theta_select(base, k, scope=scope)
 
 
-def _theta_select(base: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
-    """k smallest distinct hashes per group + each group's theta."""
+def _theta_select(base: DataFrame, k: int, scope=None) -> tuple[DataFrame, DataFrame]:
+    """k smallest distinct hashes per group + each group's theta. The
+    ranked sketch is persisted — it feeds the theta derivation and
+    both sides of every pair question; unpersisted, each consumer
+    would replay the distinct shuffle over the facts (pass ``scope``
+    for deterministic release, functions/cache.py contract)."""
     from pyspark.sql import Window as W
 
+    from tera_spark.functions.cache import persist_in_scope
+
     rk = F.row_number().over(W.partitionBy("g").orderBy("h"))
-    sk = base.distinct().withColumn("rk", rk).filter(F.col("rk") <= k)
-    th = sk.groupBy("g").agg(
+    sk_ranked = persist_in_scope(
+        base.distinct().withColumn("rk", rk).filter(F.col("rk") <= k), scope
+    )
+    th = sk_ranked.groupBy("g").agg(
         F.coalesce(
             F.max(F.when(F.col("rk") == k, F.col("h"))), F.lit(THETA_M)
         ).alias("theta")
     )
-    return sk.select("g", "h"), th
+    return sk_ranked.select("g", "h"), th
 
 
 def theta_merge(partials: DataFrame, k: int = 32) -> tuple[DataFrame, DataFrame]:

@@ -576,6 +576,7 @@ def stupid_backoff_nll(
     *,
     train_pred: Column | None = None,
     backoff: float = 0.4,
+    scope=None,
 ) -> DataFrame:
     """CCNet-style perplexity filtering (Wenzek et al. 2020): train an
     n-gram LM on a held-in split, score EVERY document's trigram
@@ -601,12 +602,18 @@ def stupid_backoff_nll(
     bounded) -> broadcast onto the trigram stream while they fit,
     degrading to shuffle joins automatically; the corpus itself is
     scanned once and re-shuffled only by doc_id for the final fold.
+    The count relations are persisted (they feed both the scoring
+    joins and their derived context counts — unpersisted, each would
+    re-scan the train corpus twice); pass ``scope`` for deterministic
+    release (functions/cache.py contract).
     """
+    from tera_spark.functions.cache import persist_in_scope
     from tera_spark.operators.lm import ngram_counts, score_trigrams, trigram_stream
 
     if train_pred is None:
         train_pred = F.col("doc_id") % 2 == 0
     c3, cb, c1 = ngram_counts(docs.filter(train_pred), text_col)
+    c3, cb, c1 = (persist_in_scope(x, scope) for x in (c3, cb, c1))
     return score_trigrams(
         trigram_stream(docs, text_col), c3, cb, c1, backoff=backoff
     )
