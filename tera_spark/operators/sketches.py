@@ -274,11 +274,13 @@ def _theta_select(base: DataFrame, k: int, scope=None) -> tuple[DataFrame, DataF
     return sk_ranked.select("g", "h"), th
 
 
-def theta_merge(partials: DataFrame, k: int = 32) -> tuple[DataFrame, DataFrame]:
+def theta_merge(
+    partials: DataFrame, k: int = 32, *, scope=None
+) -> tuple[DataFrame, DataFrame]:
     """Merge per-slice theta sketches: min-rank selection over the
     concatenated (g, h) partial rows — associative, so incremental and
     streaming builds compose freely."""
-    return _theta_select(partials, k)
+    return _theta_select(partials, k, scope=scope)
 
 
 def theta_set_ops(

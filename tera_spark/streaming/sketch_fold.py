@@ -55,14 +55,20 @@ class SketchFold:
         cells = count_min_cells(batch, key_col=self.key_col, d=self.d, w=self.w)
         cells.write.mode("overwrite").parquet(str(self.root / "cms" / f"epoch={epoch_id}"))
         if self.group_col is not None:
+            from tera_spark.functions.cache import CacheScope
+
             part = batch.select(
                 F.col(self.group_col).alias("g"),
                 h60(F.col(self.key_col).cast("string")).alias("h"),
             ).distinct()
-            sk, _ = theta_merge(part, self.k)  # keep at most k rows per group
-            sk.write.mode("overwrite").parquet(
-                str(self.root / "theta" / f"epoch={epoch_id}")
-            )
+            # scope the merge's internal persist to this fold call —
+            # a per-micro-batch persist would otherwise pin one cached
+            # relation per epoch until LRU eviction
+            with CacheScope(self.spark) as scope:
+                sk, _ = theta_merge(part, self.k, scope=scope)
+                sk.write.mode("overwrite").parquet(
+                    str(self.root / "theta" / f"epoch={epoch_id}")
+                )
 
     # -- merged-on-read questions ----------------------------------------
     def _cells(self) -> DataFrame:
