@@ -40,17 +40,20 @@ def second_moments(
     """One distributed pass: n, S_i = Σ floor(x_i·1e6), and the upper
     triangle S_ij = Σ q_i·q_j as exact integers (decimal-summed, so no
     overflow at any corpus size)."""
+    rows = _moment_rows(emb, vec_col, dim).collect()
+    return _split_moments(rows, dim)
+
+
+def _moment_rows(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """ONE explode carries all three moment kinds per input row —
+    (i, j, q_i·q_j) pair products, (i, -1, q_i) first moments, and a
+    (-1, -1, 1) count sentinel — so the corpus is genuinely scanned
+    once (the SCALE.md one-pass covariance claim, made literal)."""
     q_arr = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(MICRO)).cast("long")
     )
     staged = emb.select(q_arr.alias("q"))
-    si_rows = (
-        staged.select(F.posexplode("q").alias("i", "qi"))
-        .groupBy("i")
-        .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"))
-        .collect()
-    )
-    pairs = F.flatten(
+    pair_entries = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: F.transform(
@@ -63,17 +66,40 @@ def second_moments(
             ),
         )
     )
-    sij_rows = (
-        staged.select(F.explode(pairs).alias("x"))
+    s1_entries = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.get("q", i).alias("p"),
+        ),
+    )
+    n_entry = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.lit(1).cast("long").alias("p"),
+        )
+    )
+    all_entries = F.concat(pair_entries, s1_entries, n_entry)
+    return (
+        staged.select(F.explode(all_entries).alias("x"))
         .groupBy("x.i", "x.j")
         .agg(F.sum(F.col("x.p").cast("decimal(38,0)")).alias("s"))
-        .collect()
     )
-    n = emb.count()
+
+
+def _split_moments(rows, dim: int) -> tuple[int, list[int], dict[tuple[int, int], int]]:
+    n = 0
     s1 = [0] * dim
-    for r in si_rows:
-        s1[r.i] = int(r.s)
-    s2 = {(r.i, r.j): int(r.s) for r in sij_rows}
+    s2: dict[tuple[int, int], int] = {}
+    for r in rows:
+        if r.i == -1:
+            n = int(r.s)
+        elif r.j == -1:
+            s1[r.i] = int(r.s)
+        else:
+            s2[(r.i, r.j)] = int(r.s)
     return n, s1, s2
 
 
@@ -154,59 +180,18 @@ class MomentTable:
         self._write(emb, vec_col, "append")
 
     def _write(self, emb: DataFrame, vec_col: str, mode: str) -> None:
-        q_arr = F.transform(
-            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(MICRO)).cast("long")
-        )
-        staged = emb.select(q_arr.alias("q"))
-        (
-            staged.select(F.posexplode("q").alias("i", "qi"))
-            .groupBy("i")
-            .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"))
-            .write.mode(mode)
-            .parquet(str(self.path / "s1"))
-        )
-        pairs = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(self.dim - 1)),
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(self.dim - 1)),
-                    lambda j: F.struct(
-                        i.cast("int").alias("i"),
-                        j.cast("int").alias("j"),
-                        (F.get("q", i) * F.get("q", j)).alias("p"),
-                    ),
-                ),
-            )
-        )
-        (
-            staged.select(F.explode(pairs).alias("x"))
-            .groupBy("x.i", "x.j")
-            .agg(F.sum(F.col("x.p").cast("decimal(38,0)")).alias("s"))
-            .write.mode(mode)
-            .parquet(str(self.path / "s2"))
-        )
-        self.spark.createDataFrame([(emb.count(),)], "n long").write.mode(mode).parquet(
-            str(self.path / "n")
+        _moment_rows(emb, vec_col, self.dim).write.mode(mode).parquet(
+            str(self.path / "moments")
         )
 
     def moments(self) -> tuple[int, list[int], dict[tuple[int, int], int]]:
-        n = self.spark.read.parquet(str(self.path / "n")).agg(F.sum("n")).collect()[0][0]
-        s1 = [0] * self.dim
-        for r in (
-            self.spark.read.parquet(str(self.path / "s1"))
-            .groupBy("i")
-            .agg(F.sum("s").alias("s"))
-            .collect()
-        ):
-            s1[r.i] = int(r.s)
-        s2 = {
-            (r.i, r.j): int(r.s)
-            for r in self.spark.read.parquet(str(self.path / "s2"))
+        rows = (
+            self.spark.read.parquet(str(self.path / "moments"))
             .groupBy("i", "j")
             .agg(F.sum("s").alias("s"))
             .collect()
-        }
-        return int(n), s1, s2
+        )
+        return _split_moments(rows, self.dim)
 
     def top_component(self, *, iters: int = 8) -> tuple[list[float], float]:
         n, s1, s2 = self.moments()

@@ -581,11 +581,13 @@ def events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("int")
     is_ref = F.when(F.col("ts") < F.lit(_PSI_CUT).cast("timestamp"), 1).otherwise(0)
     binned = ev.select("event_type", b.alias("bin"), is_ref.alias("is_ref"))
+    # cnt is persisted: it feeds the spine (type list), the fill join,
+    # and the totals — unpersisted, each would rescan the facts
     cnt = binned.groupBy("event_type", "bin").agg(
         F.sum("is_ref").alias("cr"), F.sum(1 - F.col("is_ref")).alias("cc")
-    )
+    ).persist()
     spine = (
-        binned.select("event_type")
+        cnt.select("event_type")
         .distinct()
         .crossJoin(
             spark.range(bins).select(F.col("id").cast("int").alias("bin"))
