@@ -1,6 +1,9 @@
 """Corpus-curation operators round 5: CCNet-style held-out perplexity
-bucketing, a distilled surface-feature classifier trained by unrolled
-deterministic gradient descent, and count-min-sketch heavy hitters.
+bucketing + the persisted-LM cross-corpus scoring path, a distilled
+surface-feature classifier trained by unrolled deterministic gradient
+descent (+ its margin-decile calibration report), count-min-sketch
+heavy hitters, theta/KMV sketch set algebra, distributed PCA by
+pinned power iteration, and a PSI distribution-drift audit.
 
 Like every other oracled query, the DuckDB SQL is GENERATED from the
 same constants/ops as the Spark plan (hash = functions.text.h60,
