@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "events_cms_heavy_hitters", "events_theta_purchaser_overlap",
     "text_lm_persisted_score", "ann_pca_top_component",
     "pipeline_classifier_calibration", "events_drift_psi",
+    "text_signal_spearman",
     "text_redundancy_stats", "multimodal_jpeg_features",
     "multimodal_gif_features", "multimodal_video_frames",
     "multimodal_mulaw_audio",

@@ -514,6 +514,106 @@ def events_theta_purchaser_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Signal rank correlation (Spearman) --------------------------------------
+
+_SQL_PUNCT = _t6(
+    "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::double / greatest(length(text), 1)"
+)
+_SPEAR_SIGNALS = ["alpha", "ntok", "punct", "stop"]
+
+
+def _sql_spearman() -> str:
+    from itertools import combinations
+
+    sig_sql = {
+        "ntok": f"cast({_SQL_NTOK} AS bigint)",
+        "alpha": _SQL_ALPHA,
+        "stop": _SQL_STOPR,
+        "punct": _SQL_PUNCT,
+    }
+    feats = ", ".join(f"{sig_sql[s]} AS s_{s}" for s in _SPEAR_SIGNALS)
+    ranks = ", ".join(
+        f"row_number() OVER (ORDER BY s_{s}, doc_id) AS r_{s}" for s in _SPEAR_SIGNALS
+    )
+    pairs = list(combinations(_SPEAR_SIGNALS, 2))
+    d2 = ", ".join(
+        f"sum((r_{a} - r_{b}) * (r_{a} - r_{b})) AS d2_{a}_{b}" for a, b in pairs
+    )
+
+    def rho(a: str, b: str) -> str:
+        return _t6(
+            f"1.0 - ((6.0 * d2_{a}_{b}::double) / (n * ((n * n) - 1.0)))"
+        )
+
+    arms = " UNION ALL ".join(
+        f"SELECT '{a}' AS signal_a, '{b}' AS signal_b, {rho(a, b)} AS rho FROM m"
+        for a, b in pairs
+    )
+    return f"""
+    WITH feats AS (SELECT doc_id, {feats} FROM documents),
+    ranks AS (SELECT doc_id, {ranks} FROM feats),
+    m AS (SELECT count(*)::double AS n, {d2} FROM ranks)
+    {arms}
+    """
+
+
+@query("text_signal_spearman", _sql_spearman())
+def text_signal_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation between the quality signals (alpha /
+    token-count / punctuation / stopword ratios) — the diagnostic that
+    tells a curation pipeline which heuristics are redundant (|rho|
+    high: filters double-count one property) and which are
+    independent evidence. Ranks are tie-broken by doc_id (total order
+    → deterministic), so rho = 1 − 6·Σd²/(n(n²−1)) is exact integer
+    math until the final division.
+
+    Scale shape: each signal's rank uses the distributed global-rank
+    machinery (sources/sharding.py `distributed_rank`: range-
+    partitioned slices + O(partitions) offset map — NO single-
+    partition Exchange), then one doc_id-keyed join of the rank
+    columns and a single 6-sum aggregate."""
+    from itertools import combinations
+
+    from tera_spark.operators.textops import quality_features
+    from tera_spark.sources.sharding import distributed_rank
+
+    docs = load(spark, sf, "documents")
+    qf = quality_features(docs).select(
+        "doc_id",
+        F.col("alpha_ratio").alias("s_alpha"),
+        F.col("n_tokens").alias("s_ntok"),
+        F.col("punct_ratio").alias("s_punct"),
+        F.col("stop_ratio").alias("s_stop"),
+    ).persist()
+    joined = qf.select("doc_id")
+    for s in _SPEAR_SIGNALS:
+        r = distributed_rank(
+            qf.select("doc_id", f"s_{s}"), [f"s_{s}", "doc_id"], out=f"r_{s}"
+        ).select("doc_id", f"r_{s}")
+        joined = joined.join(r, "doc_id")
+    pairs = list(combinations(_SPEAR_SIGNALS, 2))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for a, b in pairs:
+        d = F.col(f"r_{a}") - F.col(f"r_{b}")
+        aggs.append(F.sum((d * d).cast("decimal(38,0)")).alias(f"d2_{a}_{b}"))
+    m = joined.agg(*aggs)
+    n = F.col("n")
+
+    def rho(a: str, b: str):
+        raw = F.lit(1.0) - (
+            (F.lit(6.0) * F.col(f"d2_{a}_{b}").cast("double")) / (n * ((n * n) - F.lit(1.0)))
+        )
+        return F.floor(raw * 1_000_000).cast("double") / 1_000_000
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("signal_a"), F.lit(b).alias("signal_b"), rho(a, b).alias("rho")
+        )
+        for a, b in pairs
+    ]
+    return m.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+
+
 # --- Distribution drift (PSI) -----------------------------------------------
 
 _PSI_BINS = 20

@@ -60,6 +60,53 @@ def read_shard(spark, path: str, shard: int, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path).filter(F.col("shard") == shard)
 
 
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out: str = "global_rank",
+    n_parts: int | None = None,
+    scope=None,
+) -> DataFrame:
+    """Distributed dense total-order rank (1-based) over ``order_cols``
+    — the scale-safe replacement for ``row_number() OVER (ORDER BY …)``
+    (which funnels the corpus through ONE task): repartitionByRange
+    materializes the total order as contiguous slices, each slice
+    ranks locally, and an exclusive prefix sum of slice sizes
+    (O(partitions) driver pass, never O(rows)) lifts local ranks to
+    global ones. The ranged relation is persisted so counts and ranks
+    see one layout (pass ``scope`` for deterministic release).
+
+    ``order_cols`` must be a total order (break ties with a key) or
+    ranks are nondeterministic."""
+    from pyspark.sql import Window as W
+
+    from tera_spark.functions.cache import persist_in_scope
+
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = persist_in_scope(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        scope,
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    acc, offsets = 0, {}
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_lits = [lit for pid in sorted(offsets) for lit in (F.lit(pid), F.lit(offsets[pid]))]
+    off_map = F.create_map(*off_lits) if off_lits else F.create_map()
+    wloc = W.partitionBy("_pid").orderBy(*order_cols)
+    rank = (F.row_number().over(wloc).cast("long") + off_map[F.col("_pid")]).cast("long")
+    return ranged.withColumn(out, rank).drop("_pid")
+
+
 def weighted_interleave(
     df: DataFrame,
     weights: dict[str, float],
@@ -99,27 +146,6 @@ def weighted_interleave(
         .withColumn("position", (F.col("_rn") - 0.5) / F.col("_w"))
     )
     order_cols = ["position", source_col, key_col]
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    from tera_spark.functions.cache import persist_in_scope
-
-    ranged = persist_in_scope(
-        d.repartitionByRange(n_parts, *order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        ),
-        scope,
-    )  # pin slice boundaries: counts and ranks must see one layout
-    sizes = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    acc, offsets = 0, {}
-    for pid in sorted(sizes):  # ≤ n_parts entries — O(partitions), not O(rows)
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off_lits = [lit for pid in sorted(offsets) for lit in (F.lit(pid), F.lit(offsets[pid]))]
-    off_map = F.create_map(*off_lits) if off_lits else F.create_map()
-    wloc = W.partitionBy("_pid").orderBy(*order_cols)
-    rank = (F.row_number().over(wloc).cast("long") + off_map[F.col("_pid")]).cast("long")
-    return ranged.withColumn("global_rank", rank).select(
+    return distributed_rank(d, order_cols, scope=scope).select(
         "global_rank", F.col(key_col), F.col(source_col), F.round("position", 6).alias("position")
     )
