@@ -907,13 +907,19 @@ class Catalog:
             )
         rec = {"holder": holder, "expires": now + ttl_s}
         if cur is None:
-            # free lease: exclusive create wins or loses atomically
+            # free lease: link a fully-written temp into place — atomic
+            # WITH content, so no reader can catch an empty lease file
+            # and misclassify it as free (same fix as _try_excl_claim)
+            import uuid
+
+            tmp = self.root / name / f"writer.lease.w-{uuid.uuid4().hex}"
+            tmp.write_text(json.dumps(rec))
             try:
-                fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(str(tmp), str(p))
             except FileExistsError:
                 raise WriterFenced(f"table {name!r} lease was just taken") from None
-            with os.fdopen(fd, "w") as f:
-                f.write(json.dumps(rec))
+            finally:
+                tmp.unlink(missing_ok=True)
         else:
             tmp = p.with_suffix(".lease.tmp")
             tmp.write_text(json.dumps(rec))
@@ -966,21 +972,34 @@ class Catalog:
 
     @staticmethod
     def _try_excl_claim(p, holder: str, ttl_s: float) -> bool:
-        """One attempt at an exclusive expiring filesystem claim."""
+        """One attempt at an exclusive expiring filesystem claim.
+
+        The claim is created by hard-LINKING a fully-written unique
+        temp file into place — NOT by O_EXCL-create-then-write. The
+        create/write pair has a window where the claim exists but is
+        EMPTY; a racer reading it in that window parse-fails, treats
+        the live-but-unwritten claim as a dead holder's torn record,
+        renames it aside and wins a second takeover — the both-winners
+        race the two-process contention test caught under load. link()
+        is atomic WITH content: the claim file is either absent or a
+        complete JSON record, so the torn-read classification can only
+        ever hit genuinely dead state."""
         import os
         import uuid
 
         d = p.parent
         rec = json.dumps({"holder": holder, "expires": time.time() + ttl_s})
         while True:
+            tmp = d / f"{p.name}.w-{uuid.uuid4().hex}"
+            tmp.write_text(rec)
             try:
-                fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(str(tmp), str(p))
             except FileExistsError:
                 pass
             else:
-                with os.fdopen(fd, "w") as f:
-                    f.write(rec)
                 return True
+            finally:
+                tmp.unlink(missing_ok=True)
             try:
                 cur = json.loads(p.read_text())
             except FileNotFoundError:
