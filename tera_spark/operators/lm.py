@@ -166,16 +166,16 @@ class NgramLM:
         text_col: str = "text",
         backoff: float = 0.4,
     ) -> "NgramLM":
+        import shutil
+
         spark = docs.sparkSession
         p = Path(path)
         p.mkdir(parents=True, exist_ok=True)
-        c3, cb, c1 = ngram_counts(docs, text_col)
-        c3.write.mode("overwrite").parquet(str(p / "c3"))
-        cb.write.mode("overwrite").parquet(str(p / "cb"))
-        c1.write.mode("overwrite").parquet(str(p / "c1"))
-        meta = {"backoff": backoff}
-        (p / "meta.json").write_text(json.dumps(meta))
-        return cls(spark, path, meta)
+        shutil.rmtree(p / "slices", ignore_errors=True)
+        lm = cls(spark, path, {"backoff": backoff})
+        lm._write_slice(docs, text_col)
+        (p / "meta.json").write_text(json.dumps({"backoff": backoff}))
+        return lm
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "NgramLM":
@@ -185,26 +185,42 @@ class NgramLM:
     def extend(self, docs: DataFrame, *, text_col: str = "text") -> None:
         """Fold another corpus slice in by appending its partial counts
         — counts add, so no rebuild; score-side merge-on-read
-        re-aggregates (idempotence is NOT free: re-appending the same
-        slice double-counts, same caveat as build_hist_table)."""
+        re-aggregates. ATOMIC per slice: the three count relations are
+        written to a private staging dir and renamed into ``slices/``
+        as one directory, so a crash mid-extend leaves only invisible
+        staging garbage, never a torn model (counts for some n-gram
+        orders updated but not others). Idempotence is NOT free:
+        re-extending the same slice double-counts, same caveat as
+        build_hist_table."""
+        self._write_slice(docs, text_col)
+
+    def _write_slice(self, docs: DataFrame, text_col: str) -> None:
+        import uuid
+
+        tag = uuid.uuid4().hex[:12]
+        stage = self.path / f".stage-{tag}"
         c3, cb, c1 = ngram_counts(docs, text_col)
-        c3.write.mode("append").parquet(str(self.path / "c3"))
-        cb.write.mode("append").parquet(str(self.path / "cb"))
-        c1.write.mode("append").parquet(str(self.path / "c1"))
+        c3.write.parquet(str(stage / "c3"))
+        cb.write.parquet(str(stage / "cb"))
+        c1.write.parquet(str(stage / "c1"))
+        slices = self.path / "slices"
+        slices.mkdir(parents=True, exist_ok=True)
+        stage.rename(slices / f"slice-{tag}")  # atomic publish
 
     def _counts(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        base = str(self.path / "slices" / "*")
         c3 = (
-            self.spark.read.parquet(str(self.path / "c3"))
+            self.spark.read.parquet(base + "/c3")
             .groupBy("w1", "w2", "w3")
             .agg(F.sum("c3").alias("c3"))
         )
         cb = (
-            self.spark.read.parquet(str(self.path / "cb"))
+            self.spark.read.parquet(base + "/cb")
             .groupBy("u1", "u2")
             .agg(F.sum("cb").alias("cb"))
         )
         c1 = (
-            self.spark.read.parquet(str(self.path / "c1"))
+            self.spark.read.parquet(base + "/c1")
             .groupBy("w")
             .agg(F.sum("c1").alias("c1"))
         )

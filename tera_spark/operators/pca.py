@@ -172,21 +172,32 @@ class MomentTable:
     def build(
         cls, emb: DataFrame, path: str, *, vec_col: str = "embedding", dim: int = 64
     ) -> "MomentTable":
+        import shutil
+
         t = cls(emb.sparkSession, path, dim)
-        t._write(emb, vec_col, "overwrite")
+        shutil.rmtree(t.path / "slices", ignore_errors=True)
+        t._write_slice(emb, vec_col)
         return t
 
     def extend(self, emb: DataFrame, *, vec_col: str = "embedding") -> None:
-        self._write(emb, vec_col, "append")
+        """Atomic per slice: staged write + directory rename, so a
+        crash mid-extend never publishes a partial moment relation
+        (same discipline as NgramLM slices / catalog._staged_append)."""
+        self._write_slice(emb, vec_col)
 
-    def _write(self, emb: DataFrame, vec_col: str, mode: str) -> None:
-        _moment_rows(emb, vec_col, self.dim).write.mode(mode).parquet(
-            str(self.path / "moments")
-        )
+    def _write_slice(self, emb: DataFrame, vec_col: str) -> None:
+        import uuid
+
+        tag = uuid.uuid4().hex[:12]
+        stage = self.path / f".stage-{tag}"
+        _moment_rows(emb, vec_col, self.dim).write.parquet(str(stage / "moments"))
+        slices = self.path / "slices"
+        slices.mkdir(parents=True, exist_ok=True)
+        stage.rename(slices / f"slice-{tag}")
 
     def moments(self) -> tuple[int, list[int], dict[tuple[int, int], int]]:
         rows = (
-            self.spark.read.parquet(str(self.path / "moments"))
+            self.spark.read.parquet(str(self.path / "slices" / "*" / "moments"))
             .groupBy("i", "j")
             .agg(F.sum("s").alias("s"))
             .collect()

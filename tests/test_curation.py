@@ -290,3 +290,38 @@ def test_pca_moment_table_extend_equals_rebuild(spark, tmp_path):
     }
     want = {(i, v_inc[i], lam_inc) for i in range(64)}
     assert direct == want
+
+
+def test_ngram_lm_torn_extend_is_invisible(spark, tmp_path):
+    """A crash mid-extend (staging written, never renamed) must leave
+    scores unchanged — the slice publish is the atomic point."""
+    from pathlib import Path
+
+    from tera_spark.operators.lm import NgramLM, ngram_counts
+
+    docs = load(spark, SF_SMALL, "documents")
+    lm = NgramLM.build(docs.filter("doc_id % 3 = 0"), str(tmp_path / "lm"))
+    target = docs.limit(30)
+    before = {r.doc_id: r.avg_nll_micro for r in lm.score(target).collect()}
+    # simulate the crash: write staging for a second slice, do NOT rename
+    c3, cb, c1 = ngram_counts(docs.filter("doc_id % 3 = 1"))
+    stage = Path(str(tmp_path / "lm")) / ".stage-torn"
+    c3.write.parquet(str(stage / "c3"))
+    cb.write.parquet(str(stage / "cb"))  # crash before c1 / before rename
+    after = {r.doc_id: r.avg_nll_micro for r in lm.score(target).collect()}
+    assert before == after
+
+
+def test_moment_table_torn_extend_is_invisible(spark, tmp_path):
+    from pathlib import Path
+
+    from tera_spark.operators.pca import MomentTable, _moment_rows
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    t = MomentTable.build(emb.filter("vec_id % 2 = 0"), str(tmp_path / "m"))
+    before = t.moments()
+    stage = Path(str(tmp_path / "m")) / ".stage-torn"
+    _moment_rows(emb.filter("vec_id % 2 = 1"), "embedding", 64).write.parquet(
+        str(stage / "moments")
+    )
+    assert t.moments() == before
