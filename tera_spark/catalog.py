@@ -956,7 +956,7 @@ class Catalog:
     # prewrite locks + one atomic primary commit decide a single
     # winner) — so both batches land, one after the other, instead of
     # one being refused. Exactly one writer can hold claim-<W>.lock
-    # (O_EXCL create) while the watermark is W; its commit record's
+    # (exclusive link-create) while the watermark is W; its commit record's
     # atomic rename advances the watermark, after which contenders
     # re-read and race for claim-<W'>. A claim whose holder died
     # expires after ttl and is taken over (same documented small
@@ -1013,7 +1013,7 @@ class Catalog:
             # won and append overlapping seq windows). Renaming the dead
             # claim ASIDE to a unique name is the atomic arbiter: the
             # source vanishes, so exactly one racer's rename succeeds,
-            # and the winner then re-races the O_EXCL create above.
+            # and the winner then re-races the link-create above.
             aside = d / f"{p.name}.dead-{uuid.uuid4().hex}"
             try:
                 os.rename(str(p), str(aside))
@@ -1037,7 +1037,7 @@ class Catalog:
                 aside.unlink(missing_ok=True)
                 return False
             aside.unlink(missing_ok=True)
-            # slot is now free: loop and race the O_EXCL create
+            # slot is now free: loop and race the link-create
 
     def _claim_holder(self, name: str, base_mark: int) -> str | None:
         p = self.root / name / "commits" / f"claim-{base_mark}.lock"
