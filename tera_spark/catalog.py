@@ -890,41 +890,40 @@ class Catalog:
 
     def acquire_writer_lease(self, name: str, holder: str, *, ttl_s: int = 300) -> dict:
         """Acquire (or renew) the table's writer lease for ``holder``.
-        Fails if another holder's lease is still valid. Acquisition of
-        a free/expired lease uses an exclusive create / atomic rename;
-        the crash-takeover path has a documented small race window —
-        acceptable for the coordination this fences (two long-lived
-        writer processes, not hostile contention)."""
-        import os
+        Fails if another holder's lease is still valid.
 
+        Every acquisition of a not-live-ours lease — free, expired
+        (anyone's, including our own lapsed one), or torn — goes
+        through ``_try_excl_claim``: exclusive link-create (atomic WITH
+        content) plus the rename-ASIDE single-winner takeover arbiter,
+        so two processes that both observe an expired lease can never
+        both believe they hold the fence (the in-place ``tmp.replace``
+        this path previously used let exactly that happen).
+
+        The only in-place replace left is LIVE self-renewal, which is
+        safe by the takeover protocol itself: takers only touch
+        expired leases, and a taker that renames a lease aside and
+        finds it live (our renewal landed in its read→rename window)
+        restores it and loses. A holder whose lease has already
+        expired gets no renewal shortcut — it re-races like everyone
+        else, the standard lease contract."""
         p = self.root / name / "writer.lease"
         now = time.time()
         cur = self._read_lease(name)
+        rec = {"holder": holder, "expires": now + ttl_s}
+        if cur is not None and cur["holder"] == holder and cur["expires"] > now:
+            tmp = p.with_suffix(".lease.tmp")
+            tmp.write_text(json.dumps(rec))
+            tmp.replace(p)  # live self-renewal
+            return rec
         if cur is not None and cur["holder"] != holder and cur["expires"] > now:
             raise WriterFenced(
                 f"table {name!r} writer lease held by {cur['holder']!r} "
                 f"for {cur['expires'] - now:.0f}s more"
             )
-        rec = {"holder": holder, "expires": now + ttl_s}
-        if cur is None:
-            # free lease: link a fully-written temp into place — atomic
-            # WITH content, so no reader can catch an empty lease file
-            # and misclassify it as free (same fix as _try_excl_claim)
-            import uuid
-
-            tmp = self.root / name / f"writer.lease.w-{uuid.uuid4().hex}"
-            tmp.write_text(json.dumps(rec))
-            try:
-                os.link(str(tmp), str(p))
-            except FileExistsError:
-                raise WriterFenced(f"table {name!r} lease was just taken") from None
-            finally:
-                tmp.unlink(missing_ok=True)
-        else:
-            tmp = p.with_suffix(".lease.tmp")
-            tmp.write_text(json.dumps(rec))
-            tmp.replace(p)  # renew / expired-takeover
-        return rec
+        if self._try_excl_claim(p, holder, ttl_s):
+            return rec
+        raise WriterFenced(f"table {name!r} lease was just taken") from None
 
     def release_writer_lease(self, name: str, holder: str) -> None:
         cur = self._read_lease(name)

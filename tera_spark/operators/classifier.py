@@ -74,12 +74,16 @@ def train_surface_classifier(
     cnt = feats.agg(
         F.count(F.lit(1)).alias("n"), F.sum(label_col).cast("double").alias("np")
     ).collect()[0]
-    n, npos = float(cnt.n), float(cnt.np)
-    if balanced:
+    n, npos = float(cnt.n), float(cnt.np or 0.0)
+    if n == 0.0:
+        raise ValueError("train_surface_classifier: empty training set")
+    if balanced and 0.0 < npos < n:
         cw = F.when(
             F.col(label_col) == 1.0, F.lit(n / (2.0 * npos))
         ).otherwise(F.lit(n / (2.0 * (n - npos))))
     else:
+        # single-class corpus: class weights are undefined (division by
+        # the absent class' count) — fall back to uniform weighting.
         cw = F.lit(1.0)
     w = [0] * (1 + len(feature_cols))
     xcols = [F.col(c) for c in feature_cols]

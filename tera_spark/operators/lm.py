@@ -97,6 +97,7 @@ def score_trigrams(
     c1: DataFrame,
     *,
     backoff: float = 0.4,
+    broadcast_row_cap: int = 4_000_000,
 ) -> DataFrame:
     """Per-doc stupid-backoff surprisal of a trigram stream against the
     count relations:
@@ -107,8 +108,21 @@ def score_trigrams(
 
     cctx(w1,w2) = Σ_w3 c3, c1ctx(u1) = Σ_u2 cb, (N, V) = (Σ c1, |c1|)
     — derived by re-aggregating the Zipf-small count relations, never
-    the corpus. Count tables broadcast while they fit; one shuffle
-    keyed by doc_id for the final fold."""
+    the corpus. One shuffle keyed by doc_id for the final fold.
+
+    Broadcast policy: the hint is GATED, not unconditional — each
+    count relation is counted (one small job over the already-
+    aggregated relation; callers that persist_in_scope the relations
+    pay it once) and broadcast only under ``broadcast_row_cap`` rows.
+    Trigram diversity grows with the corpus, so at 100 TB the count
+    relations can exceed the 8 GB broadcast hard limit; over the cap
+    the joins degrade to shuffle joins by construction instead of
+    OOMing a forced broadcast."""
+    n3, nb, n1 = c3.count(), cb.count(), c1.count()
+
+    def _hint(df: DataFrame, rows: int) -> DataFrame:
+        return F.broadcast(df) if rows <= broadcast_row_cap else df
+
     cctx = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("cctx"))
     c1ctx = cb.groupBy("u1").agg(F.sum("cb").alias("c1ctx"))
     tot = c1.agg(
@@ -130,13 +144,13 @@ def score_trigrams(
     )
     nll = F.floor(-F.log(p) * 1_000_000).cast("long")
     scored = (
-        tri.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(cctx), ["w1", "w2"], "left")
-        .join(F.broadcast(cb), (F.col("w2") == F.col("u1")) & (F.col("w3") == F.col("u2")), "left")
+        tri.join(_hint(c3, n3), ["w1", "w2", "w3"], "left")
+        .join(_hint(cctx, n3), ["w1", "w2"], "left")
+        .join(_hint(cb, nb), (F.col("w2") == F.col("u1")) & (F.col("w3") == F.col("u2")), "left")
         .drop("u1", "u2")
-        .join(F.broadcast(c1ctx), F.col("w2") == F.col("u1"), "left")
+        .join(_hint(c1ctx, nb), F.col("w2") == F.col("u1"), "left")
         .drop("u1")
-        .join(F.broadcast(c1), F.col("w3") == F.col("w"), "left")
+        .join(_hint(c1, n1), F.col("w3") == F.col("w"), "left")
         .drop("w")
         .crossJoin(F.broadcast(tot))
     )

@@ -144,6 +144,11 @@ def power_iteration(
         for x in u:
             norm2 = norm2 + x * x
         nrm = math.sqrt(norm2)
+        if nrm == 0.0:
+            # all-zero covariance (e.g. a constant embedding cloud):
+            # every direction is an eigenvector with eigenvalue 0 —
+            # return the start vector instead of dividing by zero.
+            return v, 0.0
         v = [math.floor((x / nrm) * MICRO) / MICRO for x in u]
     w = _matvec(cov, v)
     lam = 0.0

@@ -599,8 +599,11 @@ def stupid_backoff_nll(
     engines implement the same rule).
 
     Scale shape: the count relations are Zipf-small (vocabulary-
-    bounded) -> broadcast onto the trigram stream while they fit,
-    degrading to shuffle joins automatically; the corpus itself is
+    bounded) -> broadcast onto the trigram stream only while they fit
+    (score_trigrams counts each relation and gates the hint on
+    broadcast_row_cap; over the cap the joins are shuffle joins by
+    construction — an unconditional hint would OOM at 100 TB trigram
+    diversity); the corpus itself is
     scanned once and re-shuffled only by doc_id for the final fold.
     The count relations are persisted (they feed both the scoring
     joins and their derived context counts — unpersisted, each would

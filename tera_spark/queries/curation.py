@@ -126,13 +126,20 @@ def text_lm_persisted_score(spark: SparkSession, sf: str) -> DataFrame:
     in-plan math.
 
     Scale shape: identical to text_perplexity_buckets scoring plus one
-    parquet write/read of the vocabulary-sized count tables."""
+    parquet write/read of the vocabulary-sized count tables. The model
+    lands in ONE fixed per-Spark-app scratch dir (NgramLM.build
+    overwrites it), so repeated invocations reuse the slot instead of
+    leaking a directory per run."""
     import tempfile
+    from pathlib import Path
 
     from tera_spark.operators.lm import NgramLM
 
     docs = load(spark, sf, "documents")
-    lm = NgramLM.build(docs.filter(F.col("lang") == "en"), tempfile.mkdtemp(prefix="ngram_lm_"))
+    scratch = Path(tempfile.gettempdir()) / (
+        "tera_spark_ngram_lm_" + spark.sparkContext.applicationId
+    )
+    lm = NgramLM.build(docs.filter(F.col("lang") == "en"), str(scratch))
     crawl = docs.filter(F.col("lang") != "en")
     nll = lm.score(crawl)
     return crawl.select("doc_id", "lang").join(nll, "doc_id").select(
@@ -387,7 +394,7 @@ def ann_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
     anisotropy MAGNITUDE with the actual axis — the direction you
     subtract for the all-but-the-top correction (Mu & Viswanath 2018)
     or whiten against. DuckDB oracle replays moments, covariance, and
-    all 8 iterations bit-for-bit."""
+    all _PCA_ITERS (=128) power iterations bit-for-bit."""
     from tera_spark.operators.pca import pca_top_component
 
     emb = load(spark, sf, "embeddings")

@@ -66,8 +66,14 @@ class DriftMonitor:
         Returns the epoch's log rows."""
         ref = self.spark.read.parquet(str(self.root / "ref"))
         cur = self._bin_counts(batch)
+        # Spine = reference groups ∪ batch groups: a group that appears
+        # only in the micro-batch is exactly the drift signal this
+        # monitor exists for — with cr=0 everywhere, Laplace smoothing
+        # makes its PSI well-defined (p uniform 1/bins), and it scores
+        # maximally rather than being silently dropped from the log.
         spine = (
             ref.select("g")
+            .union(cur.select("g"))
             .distinct()
             .crossJoin(
                 self.spark.range(self.bins).select(F.col("id").cast("int").alias("bin"))

@@ -1,0 +1,97 @@
+"""Regression tests for the round-5 ADVICE findings: gated (not
+unconditional) LM broadcast hints, single-class classifier guard,
+drift-monitor spine covering batch-only groups, per-app LM scratch
+reuse, and the power-iteration zero-norm guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tera_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_score_trigrams_shuffle_path_matches_broadcast_path(spark):
+    """broadcast_row_cap=0 forces every count-relation join onto the
+    shuffle path; the integer micro-nat contract means the scores must
+    be bit-identical to the (test-scale) broadcast path."""
+    from tera_spark.operators.lm import ngram_counts, score_trigrams, trigram_stream
+
+    docs = load(spark, SF, "documents").limit(200)
+    c3, cb, c1 = ngram_counts(docs.filter("doc_id % 2 = 0"))
+    tri = trigram_stream(docs)
+    bcast = {r.doc_id: r.avg_nll_micro for r in score_trigrams(tri, c3, cb, c1).collect()}
+    shuf = {
+        r.doc_id: r.avg_nll_micro
+        for r in score_trigrams(tri, c3, cb, c1, broadcast_row_cap=0).collect()
+    }
+    assert bcast and bcast == shuf
+
+
+def test_classifier_single_class_does_not_divide_by_zero(spark):
+    from tera_spark.operators.classifier import train_surface_classifier
+
+    df = spark.range(20).select(
+        F.lit(1.0).alias("y"),
+        (F.col("id") % 7 / 7.0).alias("x1"),
+        (F.col("id") % 5 / 5.0).alias("x2"),
+        (F.col("id") % 3 / 3.0).alias("x3"),
+    )
+    w = train_surface_classifier(df, balanced=True)  # all-positive corpus
+    assert len(w) == 4
+    w0 = train_surface_classifier(df.withColumn("y", F.lit(0.0)), balanced=True)
+    assert len(w0) == 4
+
+
+def test_classifier_empty_corpus_raises(spark):
+    from tera_spark.operators.classifier import train_surface_classifier
+
+    df = spark.range(0).select(
+        F.lit(1.0).alias("y"),
+        F.lit(0.0).alias("x1"),
+        F.lit(0.0).alias("x2"),
+        F.lit(0.0).alias("x3"),
+    )
+    with pytest.raises(ValueError):
+        train_surface_classifier(df)
+
+
+def test_drift_monitor_surfaces_batch_only_group(spark, tmp_path):
+    """A group present in the micro-batch but absent from the reference
+    must appear in the PSI log (and score hot), not vanish."""
+    from tera_spark.streaming.drift import DriftMonitor
+
+    mon = DriftMonitor(spark, str(tmp_path / "d"), lo=0.0, hi=200.0, bins=20)
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    mon.set_reference(ev.filter("event_type <> 'click'"))
+    out = {r.g: r.psi_nano for r in mon.observe(ev, 0).collect()}
+    assert "click" in out
+    known = [p for g, p in out.items() if g != "click"]
+    assert known and all(out["click"] > p for p in known), out
+
+
+def test_power_iteration_zero_covariance_guard():
+    from tera_spark.operators.pca import power_iteration
+
+    v, lam = power_iteration([[0.0] * 4 for _ in range(4)], iters=8)
+    assert lam == 0.0 and len(v) == 4
+
+
+def test_lm_persisted_query_reuses_one_scratch_dir(spark):
+    """text_lm_persisted_score must not leak one model dir per run —
+    the scratch path is keyed by the Spark applicationId and
+    overwritten on rebuild."""
+    import tempfile
+    from pathlib import Path
+
+    from tera_spark.queries.curation import text_lm_persisted_score
+
+    root = Path(tempfile.gettempdir())
+    pat = "tera_spark_ngram_lm_*"
+    text_lm_persisted_score(spark, SF).count()
+    first = {p.name for p in root.glob(pat)}
+    text_lm_persisted_score(spark, SF).count()
+    second = {p.name for p in root.glob(pat)}
+    assert first == second and len(second) == 1

@@ -709,3 +709,133 @@ def test_slot_path_inflight_survives_peer_recovery(spark, tmp_path):
     a._record_commit("t", hi, [5], lo=lo)
     (Path(root) / "t" / "casmeta" / "resv-slotter.json").unlink()
     assert {r.row_key for r in b.view("t").collect()} == {"r0", "mid", "r1"}
+
+
+def test_expired_lease_takeover_single_winner_two_processes(tmp_path):
+    """Round-6 task: the lease twin of the claim-takeover hammer. Two
+    processes both observe the SAME expired writer lease and race
+    acquire_writer_lease. The old in-place tmp.replace takeover let
+    BOTH return a lease record (both believe they hold the fence —
+    the exact two-writers-interleaving the lease exists to prevent).
+    Routed through _try_excl_claim's rename-aside arbiter, exactly one
+    racer per round may win; the loser gets WriterFenced."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog, WriterFenced
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    root = str(tmp_path / "cat")
+    rounds = 40
+    cat = Catalog(None, root, writer_id="proc-main")
+    sync = Path(root) / "sync"
+    sync.mkdir(parents=True)
+    for k in range(rounds):  # one table per round, pre-seeded EXPIRED lease
+        d = Path(root) / f"t{k}"
+        d.mkdir()
+        (d / "writer.lease").write_text(
+            json.dumps({"holder": "dead-writer", "expires": 0.0})
+        )
+
+    child = textwrap.dedent(
+        f"""
+        import sys, time
+        from pathlib import Path
+        sys.path.insert(0, {repo!r})
+        from tera_spark.catalog import Catalog, WriterFenced
+
+        cat = Catalog(None, {root!r}, writer_id="proc-child")
+        sync = Path({root!r}) / "sync"
+        for k in range({rounds}):
+            (sync / f"ready-{{k}}").touch()
+            while not (sync / f"go-{{k}}").exists():
+                pass
+            try:
+                cat.acquire_writer_lease(f"t{{k}}", "proc-child", ttl_s=60)
+                won = 1
+            except WriterFenced:
+                won = 0
+            print(f"RES {{k}} {{won}}", flush=True)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    mine = {}
+    try:
+        for k in range(rounds):
+            deadline = _time.time() + 30
+            while not (sync / f"ready-{k}").exists():
+                assert _time.time() < deadline, "child never became ready"
+                assert proc.poll() is None, proc.stdout.read()
+            (sync / f"go-{k}").touch()
+            try:
+                cat.acquire_writer_lease(f"t{k}", "proc-main", ttl_s=60)
+                mine[k] = True
+            except WriterFenced:
+                mine[k] = False
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    theirs = {}
+    for line in out.splitlines():
+        if line.startswith("RES "):
+            _, k, won = line.split()
+            theirs[int(k)] = bool(int(won))
+    assert len(theirs) == rounds
+    for k in range(rounds):
+        assert mine[k] + theirs[k] == 1, (
+            f"round {k}: main={mine[k]} child={theirs[k]} — lease takeover "
+            "must have exactly one winner"
+        )
+        # the surviving lease records the actual winner, live
+        rec = cat._read_lease(f"t{k}")
+        assert rec["holder"] == ("proc-main" if mine[k] else "proc-child")
+        assert rec["expires"] > _time.time()
+        # no leaked takeover temps
+        assert not list((Path(root) / f"t{k}").glob("*.dead-*"))
+        assert not list((Path(root) / f"t{k}").glob("*.w-*"))
+
+
+def test_lease_live_renewal_survives_concurrent_takeover_probe(tmp_path):
+    """A live self-renewal racing an (incorrect-but-possible) takeover
+    probe: the prober must lose because the aside-verify sees a live
+    record and restores it. Sequential re-check of the protocol pieces
+    the hammer test exercises under load."""
+    import time as _time
+
+    import pytest
+
+    from tera_spark.catalog import Catalog, WriterFenced
+
+    root = str(tmp_path / "cat")
+    a = Catalog(None, root, writer_id="wa")
+    b = Catalog(None, root, writer_id="wb")
+    (a.root / "t").mkdir(parents=True)
+
+    rec = a.acquire_writer_lease("t", "wa", ttl_s=60)
+    assert rec["holder"] == "wa"
+    # live renewal extends
+    rec2 = a.acquire_writer_lease("t", "wa", ttl_s=60)
+    assert rec2["expires"] >= rec["expires"]
+    # a second writer is fenced off a live lease
+    with pytest.raises(WriterFenced):
+        b.acquire_writer_lease("t", "wb", ttl_s=60)
+    # lapsed lease: the ex-holder gets no renewal shortcut but CAN
+    # re-acquire through the claim race; a fresh taker can too
+    a.acquire_writer_lease("t", "wa", ttl_s=0)
+    _time.sleep(0.01)
+    assert b.acquire_writer_lease("t", "wb", ttl_s=60)["holder"] == "wb"
+    with pytest.raises(WriterFenced):
+        a.acquire_writer_lease("t", "wa", ttl_s=60)
+    b.release_writer_lease("t", "wb")
+    assert a.acquire_writer_lease("t", "wa", ttl_s=60)["holder"] == "wa"
