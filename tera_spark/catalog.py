@@ -340,6 +340,13 @@ class Catalog:
         self._check_writer_lease(name)
         self._consume(name, "write")
         self._recover_tail(name)
+        # snapshot the rollback census: a rollback that APPEARS while
+        # this append runs (a reader/peer healed us as "dead" because
+        # our lease or reservation ttl lapsed mid-commit) must fence
+        # the commit record loudly — recording it would claim success
+        # for rows the new rollback window permanently masks.
+        rb0 = {(r["after"], r["upto"]) for r in self._rollbacks(name)}
+        w0 = self.commit_watermark(name)
         self._staged_append(name, cells)
         if commit_seq is None:
             import pyspark.sql.functions as _F
@@ -368,6 +375,22 @@ class Catalog:
                             f"table {name!r}: reserved window "
                             f"[{commit_lo},{commit_seq}] was rolled back "
                             "mid-commit (reservation ttl elapsed?)"
+                        )
+            else:
+                # plain (reservation-less) append: same loud-fail if a
+                # NEW rollback landed during the run (reader heal of an
+                # expired lease classifies this writer as dead). The
+                # batch occupies (w0, commit_seq] by the torn-tail
+                # convention; pre-existing rollbacks are not ours.
+                lo0 = (w0 if w0 is not None else -1) + 1
+                for r in self._rollbacks(name):
+                    if (r["after"], r["upto"]) in rb0:
+                        continue
+                    if r["after"] < commit_seq and lo0 <= r["upto"]:
+                        raise WriterFenced(
+                            f"table {name!r}: batch window "
+                            f"({w0},{commit_seq}] was rolled back "
+                            "mid-append (writer lease expired?)"
                         )
             self._record_commit(name, commit_seq, op_kinds, lo=commit_lo)
 
@@ -434,6 +457,107 @@ class Catalog:
         # reservations must never hand out seqs inside the torn range
         self._bump_alloc(name, raw, self.writer_id or self._auto_writer_id)
 
+    def _observes_dead_state(self, name: str) -> bool:
+        """Cheap detector (two directory globs + one lease read, zero
+        Spark jobs) of a crashed coordinator's leftovers: an EXPIRED
+        seq-window reservation, an EXPIRED or torn commit-slot claim,
+        or an EXPIRED writer lease. This is the reader-side trigger —
+        live (or absent) coordination state returns False and readers
+        touch nothing."""
+        now = time.time()
+        d = self.root / name / "casmeta"
+        if d.exists():
+            for p in d.glob("resv-*.json"):
+                try:
+                    rec = json.loads(p.read_text())
+                except (OSError, json.JSONDecodeError):
+                    continue  # manifests publish via tmp+replace: parse-fail is dirt
+                if rec.get("expires", 0) <= now:
+                    return True
+        c = self.root / name / "commits"
+        if c.exists():
+            for p in c.glob("claim-*.lock"):
+                try:
+                    rec = json.loads(p.read_text())
+                except FileNotFoundError:
+                    continue
+                except (OSError, json.JSONDecodeError):
+                    return True  # torn claim = dead holder (claims link atomically)
+                if rec.get("expires", 0) <= now:
+                    return True
+        lease = self._read_lease(name)
+        if lease is not None and lease.get("expires", 0) <= now:
+            return True
+        return False
+
+    def _reader_heal(self, name: str) -> bool:
+        """Reader-driven lock cleanup / roll-forward (the reference
+        lets ANY reader that meets a lock past its TTL clean up the
+        dead transaction instead of waiting for the next writer —
+        src/sdk/global_txn.cc:337-501 BackoffAndMaybeCleanupLock /
+        CleanLock / RollForward). Here: a read that OBSERVES dead
+        coordination state (expired reservation / claim / lease) runs
+        the exact recovery the next writer would (_recover_tail: sweep
+        expired reservations, retire dead commit gaps into rollback
+        windows, roll back the torn tail, bump the allocator), plus
+        clears expired claim files, so a crashed writer's garbage
+        heals on a writer-less table.
+
+        Safety gate = the observation itself: tables whose coordination
+        state is all live (or that have none) are never touched, so an
+        in-flight single-writer plain append (parquet landed, record
+        pending, lease live) cannot be rolled back by a reader. A
+        writer that outlives its lease/reservation ttl mid-commit is —
+        by the ttl contract — indistinguishable from a dead one; the
+        CAS path fails loudly on the overlap re-check, and plain
+        append now re-checks rollbacks that appeared during its run
+        (see append()) rather than recording silently-masked rows."""
+        if not self._observes_dead_state(name):
+            return False
+        # expired claim files are slot dirt, not pending windows; clear
+        # them with the takeover's rename-aside + live-restore arbiter
+        # so a racer's fresh claim is never unlinked by a stale read
+        c = self.root / name / "commits"
+        if c.exists():
+            for p in list(c.glob("claim-*.lock")):
+                self._clear_dead_claim(p)
+        self._tail_checked.discard(name)  # force a fresh recovery pass
+        self._recover_tail(name)
+        return True
+
+    @staticmethod
+    def _clear_dead_claim(p) -> None:
+        """Unlink a claim iff it is expired/torn, arbitrated the same
+        way takeover is: rename ASIDE (atomic, single winner), verify
+        the aside copy really is dead, restore it via link if a live
+        claim got renamed in the read->rename window."""
+        import os
+        import uuid
+
+        try:
+            rec = json.loads(p.read_text())
+        except FileNotFoundError:
+            return
+        except (OSError, json.JSONDecodeError):
+            rec = None
+        if rec is not None and rec.get("expires", 0) > time.time():
+            return  # live claim: not ours to touch
+        aside = p.parent / f"{p.name}.dead-{uuid.uuid4().hex}"
+        try:
+            os.rename(str(p), str(aside))
+        except OSError:
+            return  # lost the rename race
+        try:
+            got = json.loads(aside.read_text())
+        except (OSError, json.JSONDecodeError):
+            got = None
+        if got is not None and got.get("expires", 0) > time.time():
+            try:
+                os.link(str(aside), str(p))  # live victim: restore
+            except OSError:
+                pass
+        aside.unlink(missing_ok=True)
+
     def _retire_dead_gaps(self, name: str) -> None:
         """Convert commit gaps with no live reservation into rollback
         windows: the gap's committer is dead (swept/expired), and the
@@ -457,6 +581,7 @@ class Catalog:
         self._check_enabled(name)
         self._authorize("read", name)
         self._consume(name, "scan")
+        self._reader_heal(name)  # reference global_txn.cc:337-501 analog
         schema = self.get_schema(name)
         if schema.kv_mode:
             return kv_current_view(self.read_oplog(name), **kw)

@@ -1,0 +1,160 @@
+"""Reader-driven lock cleanup / roll-forward (round-6 task; reference
+src/sdk/global_txn.cc:337-501 — any reader meeting a lock past its TTL
+cleans up the dead transaction). A crashed writer's garbage must heal
+on a table that only ever sees reads again."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pytest
+
+from tera_spark.catalog import Catalog, WriterFenced
+from tera_spark.operators.mutation import MutationBatch
+
+
+def _committed(cat: Catalog, spark, name: str, rows: list[str]):
+    for i, r in enumerate(rows, start=1):
+        cat.append(
+            name,
+            MutationBatch(base_seq=i).put(r, "d", "q", f"v{r}", ts=1).to_df(spark),
+            commit_seq=i,
+            op_kinds=[5],
+        )
+
+
+def test_reader_heals_crashed_cas_writer(spark, tmp_path):
+    """Kill a CAS writer mid-commit (reservation published, parquet
+    landed, record pending), then run ONLY reads: after the
+    reservation ttl lapses, the first read sweeps the reservation,
+    rolls the torn window back, and table_stats shows no pending
+    windows — without any writer ever arriving."""
+    root = str(tmp_path / "cat")
+    w = Catalog(spark, root, writer_id="writer-w")
+    w.create_table("t { d }")
+    _committed(w, spark, "t", ["r0"])
+
+    # crashed writer: live reservation + torn parquet, no record
+    lo, hi = w._reserve_seq_window("t", 2, "dead-writer", ttl_s=300.0)
+    resv = w._publish_reservation("t", "dead-writer", lo, hi, [], 300.0)
+    MutationBatch(base_seq=lo).put("torn", "d", "q", "x", ts=1).to_df(
+        spark
+    ).write.mode("append").parquet(w.oplog_path("t"))
+    # ...and a claim file it also left behind
+    (Path(root) / "t" / "commits").mkdir(exist_ok=True)
+    claim = Path(root) / "t" / "commits" / f"claim-{lo}.lock"
+    claim.write_text(json.dumps({"holder": "dead-writer", "expires": time.time() + 300}))
+
+    # a pure READER process arrives
+    r = Catalog(spark, root, writer_id="reader-only")
+
+    # while the reservation is live, the reader must NOT touch it
+    assert {x.row_key for x in r.view("t").collect()} == {"r0"}
+    assert r.table_stats("t")["live_reservations"] == 1
+
+    # the writer is now formally dead: its ttls lapse
+    Path(resv).write_text(
+        json.dumps({"holder": "dead-writer", "lo": lo, "hi": hi, "rows": [],
+                    "expires": time.time() - 1})
+    )
+    claim.write_text(json.dumps({"holder": "dead-writer", "expires": time.time() - 1}))
+
+    # first read after expiry heals the table
+    assert {x.row_key for x in r.view("t").collect()} == {"r0"}
+    st = r.table_stats("t")
+    assert st["live_reservations"] == 0
+    assert st["commit_gaps"] == 0
+    assert st["pending_rollback_windows"] >= 1  # the torn window, masked
+    assert not list((Path(root) / "t" / "commits").glob("claim-*.lock"))
+    assert not list((Path(root) / "t" / "commits").glob("*.dead-*"))
+
+    # the torn rows stay invisible forever, even after new commits
+    w2 = Catalog(spark, root, writer_id="writer-2")
+    nxt = MutationBatch().put("r1", "d", "q", "v1", ts=1)
+    w2.append_cas("t", nxt, rows=nxt.row_keys)
+    assert {x.row_key for x in r.view("t").collect()} == {"r0", "r1"}
+
+
+def test_reader_heals_expired_lease_torn_tail(spark, tmp_path):
+    """A lease-fenced writer crashes mid-plain-append (lease expires,
+    parquet above the watermark, no record). A reader observing the
+    expired lease rolls the tail back; a fresh writer then takes the
+    lease and commits normally."""
+    root = str(tmp_path / "cat")
+    w = Catalog(spark, root, writer_id="writer-w")
+    w.create_table("t { d }")
+    w.acquire_writer_lease("t", "writer-w", ttl_s=300)
+    _committed(w, spark, "t", ["r0"])
+
+    # crash mid-append: parquet lands above watermark, record pending,
+    # and the lease runs out
+    MutationBatch(base_seq=9).put("torn", "d", "q", "x", ts=1).to_df(
+        spark
+    ).write.mode("append").parquet(w.oplog_path("t"))
+    lease = Path(root) / "t" / "writer.lease"
+    lease.write_text(json.dumps({"holder": "writer-w", "expires": time.time() - 1}))
+
+    r = Catalog(spark, root, writer_id="reader-only")
+    assert {x.row_key for x in r.view("t").collect()} == {"r0"}
+    assert any(rb["upto"] >= 9 for rb in r._rollbacks("t")), "tail not rolled back"
+
+    b = Catalog(spark, root, writer_id="writer-b")
+    b.acquire_writer_lease("t", "writer-b", ttl_s=300)
+    b.append(
+        "t",
+        MutationBatch(base_seq=20).put("r1", "d", "q", "v", ts=1).to_df(spark),
+        commit_seq=20,
+        op_kinds=[5],
+    )
+    assert {x.row_key for x in r.view("t").collect()} == {"r0", "r1"}
+
+
+def test_reader_leaves_live_writer_alone(spark, tmp_path):
+    """No dead state observed -> reads never roll anything back: a
+    live lease + torn-looking tail (a plain append in flight RIGHT
+    NOW) is the writer's business, not the reader's."""
+    root = str(tmp_path / "cat")
+    w = Catalog(spark, root, writer_id="writer-w")
+    w.create_table("t { d }")
+    w.acquire_writer_lease("t", "writer-w", ttl_s=300)
+    _committed(w, spark, "t", ["r0"])
+    MutationBatch(base_seq=9).put("mid", "d", "q", "x", ts=1).to_df(
+        spark
+    ).write.mode("append").parquet(w.oplog_path("t"))
+
+    r = Catalog(spark, root, writer_id="reader-only")
+    assert {x.row_key for x in r.view("t").collect()} == {"r0"}  # gap-masked only
+    assert r._rollbacks("t") == []
+    # the in-flight writer finishes: its rows become visible
+    w._record_commit("t", 9, [5])
+    assert {x.row_key for x in r.view("t").collect()} == {"r0", "mid"}
+
+
+def test_plain_append_fenced_when_healed_mid_run(spark, tmp_path, monkeypatch):
+    """A plain-append writer whose window gets rolled back DURING the
+    append (a reader classified it as dead — its lease ttl lapsed) must
+    fail loudly instead of recording a commit over masked rows."""
+    root = str(tmp_path / "cat")
+    w = Catalog(spark, root, writer_id="writer-w")
+    w.create_table("t { d }")
+    _committed(w, spark, "t", ["r0"])
+
+    staged = Catalog._staged_append
+
+    def slow_staged(self, name, cells):
+        staged(self, name, cells)
+        # a reader heal lands between parquet write and commit record
+        self._add_rollback(name, 1, 99)
+
+    monkeypatch.setattr(Catalog, "_staged_append", slow_staged)
+    with pytest.raises(WriterFenced, match="mid-append"):
+        w.append(
+            "t",
+            MutationBatch(base_seq=5).put("r1", "d", "q", "v", ts=1).to_df(spark),
+            commit_seq=5,
+            op_kinds=[5],
+        )
+    monkeypatch.undo()
+    assert {x.row_key for x in w.view("t").collect()} == {"r0"}
