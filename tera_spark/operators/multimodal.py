@@ -261,9 +261,14 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
         from tera_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from tera_spark.operators.vp8l import decode_webp
+
+        return decode_webp(payload)
     if not fake:
         raise NotImplementedError(
-            "image codecs beyond PNG/baseline-JPEG/GIF not available in this container"
+            "image codecs beyond PNG/baseline-JPEG/GIF/WebP-lossless "
+            "not available in this container"
         )
     n = len(payload)
     return {
@@ -750,6 +755,54 @@ JPEG_W = "8 * (1 + id % 3)"
 JPEG_H = "8 * (1 + n % 2)"
 JPEG_BLOCK = "(id * 37 + b * 29) % 256"  # b = row-major block index
 JPEG_CHANNELS = "1 if id % 2 == 0 else 3"
+
+
+def synth_webp_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode one real WebP-lossless (VP8L) file per row: grayscale
+    ramp content v(i) = (id*31 + i*17) % 256 as RGBA (v,v,v,255),
+    rotating the fixture encoder by id % 4 — flat literals,
+    SUBTRACT_GREEN transform, LZ77 left-copy runs, COLOR_INDEXING
+    palette — so the driver row exercises four distinct decoder paths.
+    VP8L is lossless, so one closed-form oracle covers all four."""
+    from tera_spark.operators.vp8l import (
+        encode_vp8l,
+        encode_vp8l_palette,
+        encode_vp8l_runs,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for sid, n in zip(pdf["id"], pdf["n"]):
+                sid, n = int(sid), int(n)
+                w, h = 5 + sid % 9, 4 + n % 7
+                px = bytearray()
+                for i in range(w * h):
+                    v = (sid * 31 + i * 17) % 256
+                    px += bytes((v, v, v, 255))
+                raw = bytes(px)
+                variant = sid % 4
+                if variant == 0:
+                    payloads.append(encode_vp8l(w, h, raw))
+                elif variant == 1:
+                    payloads.append(encode_vp8l(w, h, raw, subtract_green=True))
+                elif variant == 2:
+                    payloads.append(encode_vp8l_runs(w, h, raw))
+                else:
+                    payloads.append(encode_vp8l_palette(w, h, raw))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
 
 
 def synth_jpeg_media(

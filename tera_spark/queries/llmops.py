@@ -406,6 +406,43 @@ def multimodal_gif_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_webp_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 5 + (doc_id % 9) AS w, 4 + (n_chars % 7) AS h
+      FROM documents WHERE doc_id % 6 = 0
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(w AS int) AS width, cast(h AS int) AS height,
+           cast(4 * w * h AS bigint) AS n_pixels,
+           cast(255 * w * h + 3 * sum((id * 31 + i * 17) % 256) AS bigint) AS pixel_sum
+    FROM m, unnest(range(0, w * h)) AS u(i)
+    GROUP BY id, w, h
+    """,
+)
+def multimodal_webp_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WebP-lossless decode end-to-end: one genuine VP8L file per
+    document (operators/vp8l.py fixture encoders, rotating literal /
+    SUBTRACT_GREEN / LZ77-runs / COLOR_INDEXING-palette by id), decoded
+    back through the full bitstream pipeline (Huffman trees, backward
+    references, inverse transforms, palette un-bundling) inside the
+    mapInPandas extractor. VP8L is lossless, so the oracle predicts
+    every decoded RGBA byte from the closed-form ramp: pixels decode to
+    (v,v,v,255), hence 4·w·h bytes and pixel_sum = 3·Σv + 255·w·h."""
+    from tera_spark.operators.multimodal import extract_features, synth_webp_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 6 == 0)
+    feats = extract_features(synth_webp_media(docs))
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "n_pixels",
+        "pixel_sum",
+    )
+
+
+@query(
     "multimodal_jpeg_features",
     """
     WITH m AS (

@@ -10,18 +10,24 @@ running total lives in keyed state, so reads see an always-current
 value without rescanning the log — the streaming analog of a compacted
 counter cell.
 
-Uses Spark 4's StatefulProcessor API (transformWithState) rather than
-applyInPandasWithState (which streaming/stateful.py demonstrates):
-typed per-key ValueState, explicit init/close lifecycle, and the
-RocksDB state-store requirement that keeps 10^8-key counter spaces
-off-heap at 100 TB/day ingest. Set
-``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
-provider (session.get_spark(rocksdb_state=True)) before starting.
+Two implementations of the same fold, one default entry:
 
-Runtime dependency: transformWithState's Python state-server protocol
-needs the ``protobuf`` package at query START (plan construction does
-not). This container ships without it, so the execution tests
-importorskip; the operator itself is cluster-ready as written.
+* ``counter_fold`` — USE THIS. Auto-selects the implementation:
+  the native Spark-4 ``transformWithStateInPandas`` path when its
+  protobuf state-server runtime is importable, else the
+  ``applyInPandasWithState`` compat path. Both replay (seq, is_base,
+  delta) per key identically; the equivalence is pinned by the twin
+  test pairs in tests/test_counter_state.py.
+* ``counter_stream`` — the native StatefulProcessor path: typed
+  per-key ValueState, explicit init/close lifecycle, RocksDB
+  state-store friendly (session.get_spark(rocksdb_state=True)) for
+  10^8-key counter spaces. **EXPERIMENTAL where protobuf is absent**:
+  the Python state-server protocol needs the ``protobuf`` package, so
+  this path raises a clear RuntimeError at plan construction in
+  environments without it (this container is one — the execution
+  tests therefore exercise it only on protobuf-equipped clusters).
+* ``counter_stream_compat`` — the Spark-3.4+ compat path; executes
+  everywhere, end-to-end tested in this container.
 """
 
 from __future__ import annotations
@@ -85,6 +91,30 @@ class CounterProcessor(StatefulProcessor):
         pass
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def counter_fold(cells: DataFrame, *, encoding: str = "le", impl: str = "auto") -> DataFrame:
+    """Default entry for the streaming counter fold: ``impl='auto'``
+    picks the native transformWithState path iff its protobuf runtime
+    is importable, else the compat path — so callers always get an
+    executable plan with identical semantics. ``'native'``/``'compat'``
+    force a specific implementation."""
+    if impl == "auto":
+        impl = "native" if _has_protobuf() else "compat"
+    if impl == "native":
+        return counter_stream(cells, encoding=encoding)
+    if impl == "compat":
+        return counter_stream_compat(cells, encoding=encoding)
+    raise ValueError(f"impl must be auto|native|compat, got {impl!r}")
+
+
 def counter_stream(cells: DataFrame, *, encoding: str = "le") -> DataFrame:
     """Fold a streaming op-log into running counter totals.
 
@@ -99,6 +129,14 @@ def counter_stream(cells: DataFrame, *, encoding: str = "le") -> DataFrame:
     batches narrow. Keys hash-partition the state; each micro-batch
     touches only keys present in the batch.
     """
+    if not _has_protobuf():
+        raise RuntimeError(
+            "counter_stream (native transformWithState) needs the "
+            "'protobuf' package for Spark's Python state-server "
+            "protocol, which this environment lacks. Use counter_fold "
+            "(auto-selects) or counter_stream_compat (same semantics, "
+            "applyInPandasWithState)."
+        )
     ops = counter_ops(cells, encoding=encoding)
     return ops.groupBy("row_key", "cf", "qualifier").transformWithStateInPandas(
         statefulProcessor=CounterProcessor(),

@@ -1,6 +1,12 @@
-"""transformWithState streaming counter: running totals accumulate
-across micro-batches AND query restarts (RocksDB-checkpointed state),
-and a PUT base resets the fold exactly like the batch view."""
+"""Streaming counter fold: running totals accumulate across
+micro-batches AND query restarts (RocksDB-checkpointed state), and a
+PUT base resets the fold exactly like the batch view.
+
+The lifecycle tests run through counter_fold (impl='auto'), so they
+execute END-TO-END in every environment — natively via
+transformWithState where protobuf exists, via the compat twin here.
+The native-only demotion contract (clear error, never a broken query)
+has its own test."""
 
 from __future__ import annotations
 
@@ -14,6 +20,7 @@ from tera_spark.model import CellOp
 from tera_spark.streaming.counter_state import (
     OUTPUT_SCHEMA,
     CounterProcessor,
+    counter_fold,
     counter_ops,
     counter_stream,
 )
@@ -31,9 +38,7 @@ def _has_protobuf() -> bool:
         return False
 
 
-needs_protobuf = pytest.mark.skipif(
-    not _has_protobuf(), reason="transformWithState runtime needs protobuf"
-)
+
 
 SCHEMA = "row_key string, cf string, qualifier string, ts long, op int, value binary, seq long"
 
@@ -64,7 +69,7 @@ def _run_once(spark, src, ckpt):
         stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
         rows: list = []
         q = (
-            counter_stream(stream, encoding="le")
+            counter_fold(stream, encoding="le")
             .writeStream.outputMode("update")
             .foreachBatch(lambda df, _eid: rows.extend(df.collect()))
             .option("checkpointLocation", ckpt)
@@ -84,7 +89,6 @@ def _write(spark, path, rows):
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
 
 
-@needs_protobuf
 def test_counter_accumulates_and_put_resets(spark, tmpdir):
     src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
 
@@ -109,7 +113,6 @@ def test_counter_accumulates_and_put_resets(spark, tmpdir):
     assert got[("r1", "c", "hits")] == 100
 
 
-@needs_protobuf
 def test_counter_multikey_isolation(spark, tmpdir):
     src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
     rows = [
@@ -127,11 +130,10 @@ def test_counter_multikey_isolation(spark, tmpdir):
 
 
 def test_counter_ops_projection_and_plan_builds(spark, tmpdir):
-    """No-protobuf coverage: the JVM-side decode projection is exact
-    (LE/BE codecs, PUT flagged as base, non-counter ops dropped), the
-    pandas fold applies bases/deltas in seq order, and the streaming
-    plan through transformWithStateInPandas analyzes to the declared
-    output schema (execution needs protobuf; analysis does not)."""
+    """The JVM-side decode projection is exact (LE/BE codecs, PUT
+    flagged as base, non-counter ops dropped), the pandas fold applies
+    bases/deltas in seq order, and counter_fold's auto-selected plan
+    analyzes to the declared output schema in every environment."""
     import pandas as pd
 
     rows = _cells([(1, CellOp.ADDINT64, 5), (2, CellOp.PUT, 100)]) + [
@@ -153,11 +155,31 @@ def test_counter_ops_projection_and_plan_builds(spark, tmpdir):
     src = f"{tmpdir}/src"
     _write(spark, src, rows)
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    out = counter_stream(stream, encoding="le")
+    out = counter_fold(stream, encoding="le")
     assert out.isStreaming
     assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
         ("row_key", "string"), ("cf", "string"), ("qualifier", "string"), ("total", "bigint"),
     ]
+
+
+def test_native_path_demotion_contract(spark, tmpdir):
+    """The native transformWithState path is EXPERIMENTAL where its
+    protobuf runtime is absent: calling it there must raise a clear
+    RuntimeError at plan construction — never ship a plan that dies
+    inside the state server at query start. Where protobuf exists, it
+    must build a streaming plan. counter_fold(impl=...) validates."""
+    src = f"{tmpdir}/src"
+    _write(spark, src, _cells([(1, CellOp.ADDINT64, 5)]))
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    if _has_protobuf():
+        assert counter_stream(stream, encoding="le").isStreaming
+    else:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            counter_stream(stream, encoding="le")
+    with pytest.raises(ValueError, match="impl"):
+        counter_fold(stream, impl="bogus")
+    # compat is always executable-by-construction
+    assert counter_fold(stream, impl="compat").isStreaming
 
 
 def test_counter_stream_compat_executes(spark, tmp_path):

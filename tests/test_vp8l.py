@@ -1,0 +1,341 @@
+"""WebP-lossless (VP8L) codec: fixture-encoder round-trips (literal /
+SUBTRACT_GREEN / LZ77 runs / COLOR_INDEXING palette with sub-byte
+bundling) plus hand-crafted bitstreams for the decoder paths the
+fixture encoders don't emit — PREDICTOR and COLOR transforms, the
+color cache, and meta-Huffman. The forward transforms used to craft
+those streams are reimplemented HERE from the spec, independently of
+the decoder's inverse code."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tera_spark.operators.vp8l import (
+    _BitWriter,
+    _vp8l_header,
+    _wrap_riff,
+    _write_clc_coded,
+    _write_flat8_code,
+    _write_simple_code,
+    decode_webp,
+    encode_vp8l,
+    encode_vp8l_palette,
+    encode_vp8l_runs,
+)
+
+RNG = np.random.RandomState(20260815)
+
+
+def _rand_rgba(w: int, h: int) -> bytes:
+    return RNG.randint(0, 256, (h * w * 4,), dtype=np.uint8).tobytes()
+
+
+# --- fixture-encoder round-trips ----------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 3), (16, 16), (33, 9)])
+def test_literal_round_trip(w, h):
+    px = _rand_rgba(w, h)
+    d = decode_webp(encode_vp8l(w, h, px))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 4)
+    assert d["pixels"] == px
+
+
+@pytest.mark.parametrize("w,h", [(5, 5), (31, 7)])
+def test_subtract_green_round_trip(w, h):
+    px = _rand_rgba(w, h)
+    assert decode_webp(encode_vp8l(w, h, px, subtract_green=True))["pixels"] == px
+
+
+def test_lz77_runs_round_trip_and_compresses():
+    w, h = 24, 10
+    base = np.repeat(RNG.randint(0, 5, (h, w, 1), dtype=np.uint8) * 50, 4, axis=2)
+    base[:, :, 3] = 255
+    # long horizontal runs: the runs encoder must beat the literal one
+    base[:, 4:20] = base[:, 4:5]
+    px = base.tobytes()
+    runs = encode_vp8l_runs(w, h, px)
+    assert decode_webp(runs)["pixels"] == px
+    assert len(runs) < len(encode_vp8l(w, h, px))
+
+
+@pytest.mark.parametrize("ncol", [2, 3, 11, 17, 250])
+def test_palette_round_trip_all_bundling_widths(ncol):
+    w, h = 19, max(6, (ncol + 18) // 19)  # enough pixels to use every color
+    pal = RNG.randint(0, 256, (ncol, 4), dtype=np.uint8)
+    ids = RNG.randint(0, ncol, (h * w,))
+    ids[:ncol] = np.arange(ncol)  # use every color
+    px = pal[ids].reshape(-1).tobytes()
+    d = decode_webp(encode_vp8l_palette(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == px
+
+
+def test_container_walk_and_lossy_rejection():
+    px = _rand_rgba(3, 3)
+    f = encode_vp8l(3, 3, px)
+    # VP8X-extended container: VP8X chunk first, VP8L after
+    vp8l_chunk = f[12:]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    ext = b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk)) + b"WEBP" + vp8x + vp8l_chunk
+    assert decode_webp(ext)["pixels"] == px
+    # lossy VP8 is a different codec tier: loud, typed refusal
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(lossy)
+    with pytest.raises(ValueError):
+        decode_webp(b"RIFF1234WAVE")
+
+
+# --- hand-crafted streams: transform / cache / meta paths ----------------
+# ARGB tuple order below is (a, r, g, b), matching the decoder's
+# working order; literal emission order on the wire is G, R, B, A.
+
+
+def _emit_literal_pixels(bw: _BitWriter, argb_pixels) -> None:
+    for (a, r, g, b) in argb_pixels:
+        bw.write_code(g, 8)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+
+
+def _emit_flat_group(bw: _BitWriter) -> None:
+    _write_flat8_code(bw)  # green
+    _write_flat8_code(bw)  # red
+    _write_flat8_code(bw)  # blue
+    _write_flat8_code(bw)  # alpha
+    _write_simple_code(bw, [0])  # distance (unused)
+
+
+def _finish(bw: _BitWriter) -> bytes:
+    return _wrap_riff(bw.done())
+
+
+def _rand_argb(w: int, h: int) -> list[list[tuple]]:
+    return [
+        [tuple(int(v) for v in RNG.randint(0, 256, 4)) for _ in range(w)]
+        for _ in range(h)
+    ]
+
+
+# independent spec-forward predictors (test-side reimplementation)
+def _avg2(x, y):
+    return tuple((a + b) >> 1 for a, b in zip(x, y))
+
+
+def _spec_predict(mode, L, T, TL, TR):
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        p = sum(abs(T[i] - TL[i]) for i in range(4))
+        q = sum(abs(L[i] - TL[i]) for i in range(4))
+        return T if p <= q else L
+    if mode == 12:
+        return tuple(min(255, max(0, L[i] + T[i] - TL[i])) for i in range(4))
+    if mode == 13:
+        out = []
+        for i in range(4):
+            ave = (L[i] + T[i]) >> 1
+            d = ave - TL[i]
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, ave + half)))
+        return tuple(out)
+    raise AssertionError(mode)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_transform_all_modes(mode):
+    """One predictor block covering the whole image (bits=3 on an
+    8x6): residuals computed by the spec-forward reimplementation
+    must invert to the exact target through the decoder."""
+    w, h = 8, 6
+    target = _rand_argb(w, h)
+
+    def px(y, x):
+        return target[y][x]
+
+    residuals = []
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = px(0, x - 1)
+            elif x == 0:
+                pred = px(y - 1, 0)
+            else:
+                L, T, TL = px(y, x - 1), px(y - 1, x), px(y - 1, x - 1)
+                TR = px(y - 1, x + 1) if x + 1 < w else px(y, 0)
+                pred = _spec_predict(mode, L, T, TL, TR)
+            residuals.append(
+                tuple((target[y][x][i] - pred[i]) & 0xFF for i in range(4))
+            )
+
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(3 - 2, 3)  # bits=3 -> 8x8 tiles -> 1x1 tile image
+    # tile sub-image: 1 pixel, green channel = mode
+    bw.write(0, 1)  # no color cache
+    _emit_flat_group(bw)
+    _emit_literal_pixels(bw, [(0, 0, mode, 0)])
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no meta-huffman
+    bw.write(0, 1)  # no cache
+    _emit_flat_group(bw)
+    _emit_literal_pixels(bw, residuals)
+
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    for y in range(h):
+        for x in range(w):
+            a, r, g, b = target[y][x]
+            assert tuple(got[y, x]) == (r, g, b, a), (mode, y, x)
+
+
+def test_color_transform_inverts():
+    """COLOR transform with one tile: forward per spec (subtract
+    deltas, blue uses the ORIGINAL red), decoder must add them back."""
+    w, h = 6, 4
+    target = _rand_argb(w, h)
+    g2r, g2b, r2b = 0x35, 0xCB, 0x11  # mixed signs as int8
+
+    def cdelta(t, c):
+        ts = t - 256 if t >= 128 else t
+        cs = c - 256 if c >= 128 else c
+        return (ts * cs) >> 5
+
+    coded = []
+    for y in range(h):
+        for x in range(w):
+            a, r, g, b = target[y][x]
+            nr = (r - cdelta(g2r, g)) & 0xFF
+            nb = (b - cdelta(g2b, g) - cdelta(r2b, r)) & 0xFF
+            coded.append((a, nr, g, nb))
+
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # COLOR transform
+    bw.write(3 - 2, 3)  # bits=3: one 8x8 tile
+    bw.write(0, 1)  # sub-image: no cache
+    _emit_flat_group(bw)
+    # transform pixel: blue=g2r, green=g2b, red=r2b
+    _emit_literal_pixels(bw, [(0, r2b, g2b, g2r)])
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _emit_flat_group(bw)
+    _emit_literal_pixels(bw, coded)
+
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    for y in range(h):
+        for x in range(w):
+            a, r, g, b = target[y][x]
+            assert tuple(got[y, x]) == (r, g, b, a), (y, x)
+
+
+def test_color_cache_hits():
+    """Color cache path: first pixel a literal (inserted into the
+    cache), the rest cache hits addressed by the spec hash."""
+    w, h = 5, 3
+    cache_bits = 4
+    a, r, g, b = 77, 200, 0, 13  # green 0 keeps the tree tiny
+    argb = (a << 24) | (r << 16) | (g << 8) | b
+    slot = ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)
+    cache_sym = 280 + slot
+
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no meta
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    # green tree: lengths[0]=1 and lengths[280+slot]=1 (skips between)
+    gap = cache_sym - 1  # zeros between symbol 0 and the cache symbol
+    syms = [(1, 0, 0)]
+    rem = gap
+    while rem > 0:
+        take = min(138, rem)
+        if take >= 11:
+            syms.append((18, take - 11, 7))
+        else:
+            syms.append((17, take - 3, 3))  # take in [3,10] by construction
+        rem -= take
+    syms.append((1, 0, 0))
+    _write_clc_coded(bw, {1: 1, 18: 2, 17: 2}, syms)
+    _write_flat8_code(bw)  # red
+    _write_flat8_code(bw)  # blue
+    _write_flat8_code(bw)  # alpha
+    _write_simple_code(bw, [0])  # distance
+    # literal: green code 0 (1 bit), then R, B, A flat-8
+    bw.write_code(0, 1)
+    bw.write_code(r, 8)
+    bw.write_code(b, 8)
+    bw.write_code(a, 8)
+    for _ in range(w * h - 1):
+        bw.write_code(1, 1)  # cache symbol: canonical code 1
+
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(-1, 4)
+    assert (got == np.array([r, g, b, a], dtype=np.uint8)).all()
+
+
+def test_meta_huffman_single_group():
+    """Meta-Huffman path: a 1-tile Huffman image selecting group 0 for
+    every pixel; literal decode must equal the target."""
+    w, h = 9, 5
+    target = _rand_argb(w, h)
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # meta-huffman present
+    bw.write(2 - 2, 3)  # huff_bits=2 -> 4x4 tiles -> 3x2 tile image
+    # huffman image: all pixels (r<<8|g) = 0
+    bw.write(0, 1)  # sub-image: no cache
+    _emit_flat_group(bw)
+    _emit_literal_pixels(bw, [(0, 0, 0, 0)] * (3 * 2))
+    bw.write(0, 1)  # main: no cache
+    _emit_flat_group(bw)  # group 0
+    _emit_literal_pixels(bw, [p for row in target for p in row])
+
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    for y in range(h):
+        for x in range(w):
+            a, r, g, b = target[y][x]
+            assert tuple(got[y, x]) == (r, g, b, a)
+
+
+def test_decode_image_dispatches_webp():
+    from tera_spark.operators.multimodal import decode_image
+
+    px = _rand_rgba(4, 4)
+    d = decode_image(encode_vp8l(4, 4, px))
+    assert d["channels"] == 4 and d["pixels"] == px
