@@ -474,21 +474,36 @@ class Catalog:
                     continue  # manifests publish via tmp+replace: parse-fail is dirt
                 if rec.get("expires", 0) <= now:
                     return True
-        c = self.root / name / "commits"
-        if c.exists():
-            for p in c.glob("claim-*.lock"):
-                try:
-                    rec = json.loads(p.read_text())
-                except FileNotFoundError:
-                    continue
-                except (OSError, json.JSONDecodeError):
-                    return True  # torn claim = dead holder (claims link atomically)
-                if rec.get("expires", 0) <= now:
-                    return True
-        lease = self._read_lease(name)
-        if lease is not None and lease.get("expires", 0) <= now:
+        for p in self._claim_slot_bases(name):
+            st = self._slot_state(p)
+            if st is None:
+                continue
+            if st[1] is None or st[1].get("expires", 0) <= now:
+                return True  # torn or expired claim = dead holder
+        lease_st = self._slot_state(self.root / name / "writer.lease")
+        if lease_st is not None and (
+            lease_st[1] is None or lease_st[1].get("expires", 0) <= now
+        ):
             return True
         return False
+
+    def _claim_slot_bases(self, name: str) -> list:
+        """Distinct claim-slot base paths in the commits dir (the plain
+        claim file and/or any of its generation files may exist)."""
+        c = self.root / name / "commits"
+        if not c.exists():
+            return []
+        bases = set()
+        for p in c.glob("claim-*.lock*"):
+            n = p.name
+            if n.endswith(".lock"):
+                bases.add(n)
+            else:
+                stem = n.split(".lock", 1)[0] + ".lock"
+                suffix = n[len(stem):]
+                if suffix.startswith(".g") and suffix[2:].isdigit():
+                    bases.add(stem)
+        return [c / b for b in sorted(bases)]
 
     def _reader_heal(self, name: str) -> bool:
         """Reader-driven lock cleanup / roll-forward (the reference
@@ -514,49 +529,34 @@ class Catalog:
         (see append()) rather than recording silently-masked rows."""
         if not self._observes_dead_state(name):
             return False
-        # expired claim files are slot dirt, not pending windows; clear
-        # them with the takeover's rename-aside + live-restore arbiter
-        # so a racer's fresh claim is never unlinked by a stale read
-        c = self.root / name / "commits"
-        if c.exists():
-            for p in list(c.glob("claim-*.lock")):
-                self._clear_dead_claim(p)
+        # expired claim files are slot dirt, not pending windows; slot
+        # records are IMMUTABLE after creation (generation-slot design),
+        # so a record read as expired/torn is expired/torn forever and
+        # unlinking exactly the files we read is race-free — a taker's
+        # concurrently-created higher generation is a different name and
+        # is never touched
+        for base in self._claim_slot_bases(name):
+            self._clear_dead_claim(base)
         self._tail_checked.discard(name)  # force a fresh recovery pass
         self._recover_tail(name)
         return True
 
-    @staticmethod
-    def _clear_dead_claim(p) -> None:
-        """Unlink a claim iff it is expired/torn, arbitrated the same
-        way takeover is: rename ASIDE (atomic, single winner), verify
-        the aside copy really is dead, restore it via link if a live
-        claim got renamed in the read->rename window."""
-        import os
-        import uuid
-
-        try:
-            rec = json.loads(p.read_text())
-        except FileNotFoundError:
-            return
-        except (OSError, json.JSONDecodeError):
-            rec = None
-        if rec is not None and rec.get("expires", 0) > time.time():
-            return  # live claim: not ours to touch
-        aside = p.parent / f"{p.name}.dead-{uuid.uuid4().hex}"
-        try:
-            os.rename(str(p), str(aside))
-        except OSError:
-            return  # lost the rename race
-        try:
-            got = json.loads(aside.read_text())
-        except (OSError, json.JSONDecodeError):
-            got = None
-        if got is not None and got.get("expires", 0) > time.time():
+    @classmethod
+    def _clear_dead_claim(cls, p) -> None:
+        """Unlink every generation of a claim slot whose record is
+        expired or torn. Safe by immutability: each unlink targets a
+        specific file whose content was read as dead; a live claim (or
+        a fresh takeover's new generation) is never removed."""
+        now = time.time()
+        for _gen, f in cls._slot_files(p):
             try:
-                os.link(str(aside), str(p))  # live victim: restore
-            except OSError:
-                pass
-        aside.unlink(missing_ok=True)
+                rec = json.loads(f.read_text())
+            except FileNotFoundError:
+                continue
+            except (OSError, json.JSONDecodeError):
+                rec = None
+            if rec is None or rec.get("expires", 0) <= now:
+                f.unlink(missing_ok=True)
 
     def _retire_dead_gaps(self, name: str) -> None:
         """Convert commit gaps with no live reservation into rollback
@@ -1017,50 +1017,36 @@ class Catalog:
         """Acquire (or renew) the table's writer lease for ``holder``.
         Fails if another holder's lease is still valid.
 
-        Every acquisition of a not-live-ours lease — free, expired
-        (anyone's, including our own lapsed one), or torn — goes
-        through ``_try_excl_claim``: exclusive link-create (atomic WITH
-        content) plus the rename-ASIDE single-winner takeover arbiter,
-        so two processes that both observe an expired lease can never
-        both believe they hold the fence (the in-place ``tmp.replace``
-        this path previously used let exactly that happen).
-
-        The only in-place replace left is LIVE self-renewal, which is
-        safe by the takeover protocol itself: takers only touch
-        expired leases, and a taker that renames a lease aside and
-        finds it live (our renewal landed in its read→rename window)
-        restores it and loses. A holder whose lease has already
-        expired gets no renewal shortcut — it re-races like everyone
-        else, the standard lease contract."""
-        p = self.root / name / "writer.lease"
+        Every path — fresh acquire, expired-lease takeover (anyone's,
+        including our own lapsed lease), torn-record takeover, and
+        LIVE SELF-RENEWAL — goes through the generation-slot claim
+        (``_try_excl_claim``): the next generation name is published by
+        an exclusive hard link, so two processes that both observe an
+        expired lease can never both believe they hold the fence, and
+        a renewal never rewrites a file in place (slot records stay
+        immutable, which is what makes reader-side healing of expired
+        leases safe). A holder whose lease already expired gets no
+        renewal privilege — it re-races like everyone else, the
+        standard lease contract."""
         now = time.time()
         cur = self._read_lease(name)
-        rec = {"holder": holder, "expires": now + ttl_s}
-        if cur is not None and cur["holder"] == holder and cur["expires"] > now:
-            tmp = p.with_suffix(".lease.tmp")
-            tmp.write_text(json.dumps(rec))
-            tmp.replace(p)  # live self-renewal
-            return rec
         if cur is not None and cur["holder"] != holder and cur["expires"] > now:
             raise WriterFenced(
                 f"table {name!r} writer lease held by {cur['holder']!r} "
                 f"for {cur['expires'] - now:.0f}s more"
             )
-        if self._try_excl_claim(p, holder, ttl_s):
-            return rec
-        raise WriterFenced(f"table {name!r} lease was just taken") from None
+        if self._try_excl_claim(self.root / name / "writer.lease", holder, ttl_s):
+            return {"holder": holder, "expires": now + ttl_s}
+        raise WriterFenced(f"table {name!r} lease was just taken")
 
     def release_writer_lease(self, name: str, holder: str) -> None:
-        cur = self._read_lease(name)
-        if cur is not None and cur["holder"] == holder:
-            (self.root / name / "writer.lease").unlink(missing_ok=True)
+        self._release_slot(self.root / name / "writer.lease", holder)
 
     def _read_lease(self, name: str) -> dict | None:
-        p = self.root / name / "writer.lease"
-        try:
-            return json.loads(p.read_text())
-        except (OSError, json.JSONDecodeError):
-            return None
+        st = self._slot_state(self.root / name / "writer.lease")
+        # a torn record (st[1] is None) is a dead holder: treat as free,
+        # matching the old plain-file behavior
+        return None if st is None else st[1]
 
     def _check_writer_lease(self, name: str) -> None:
         cur = self._read_lease(name)
@@ -1095,95 +1081,138 @@ class Catalog:
         return self._try_excl_claim(d / f"claim-{base_mark}.lock", holder, ttl_s)
 
     @staticmethod
-    def _try_excl_claim(p, holder: str, ttl_s: float) -> bool:
-        """One attempt at an exclusive expiring filesystem claim.
+    def _slot_files(p) -> list:
+        """All generation files of a claim slot, sorted by generation:
+        the plain path is generation 0, ``<name>.g<k>`` is generation
+        k. Every slot file is IMMUTABLE after creation (link-published
+        with content; never rewritten), which is what makes concurrent
+        reads/unlinks of dead generations safe."""
+        out = []
+        if p.exists():
+            out.append((0, p))
+        prefix = p.name + ".g"
+        for f in p.parent.glob(p.name + ".g*"):
+            suffix = f.name[len(prefix):]
+            if suffix.isdigit():
+                out.append((int(suffix), f))
+        out.sort()
+        return out
 
-        The claim is created by hard-LINKING a fully-written unique
-        temp file into place — NOT by O_EXCL-create-then-write. The
-        create/write pair has a window where the claim exists but is
-        EMPTY; a racer reading it in that window parse-fails, treats
-        the live-but-unwritten claim as a dead holder's torn record,
-        renames it aside and wins a second takeover — the both-winners
-        race the two-process contention test caught under load. link()
-        is atomic WITH content: the claim file is either absent or a
-        complete JSON record, so the torn-read classification can only
-        ever hit genuinely dead state."""
+    @classmethod
+    def _slot_state(cls, p):
+        """(generation, record|None-if-torn) of the HIGHEST existing
+        generation, or None for an empty slot. A file unlinked between
+        glob and read (a racer's cleanup) falls through to the next
+        lower generation — stale-low answers are tolerated because
+        every winner re-verifies it holds the highest generation."""
+        files = cls._slot_files(p)
+        while files:
+            gen, f = files.pop()
+            try:
+                return gen, json.loads(f.read_text())
+            except FileNotFoundError:
+                continue
+            except (OSError, json.JSONDecodeError):
+                return gen, None  # torn record = dead holder
+        return None
+
+    @classmethod
+    def _try_excl_claim(cls, p, holder: str, ttl_s: float) -> bool:
+        """One attempt at an exclusive expiring filesystem claim —
+        GENERATION-SLOT design (round 6).
+
+        History: round 5 arbitrated expired-claim takeover by renaming
+        the dead record ASIDE and re-racing an exclusive link-create.
+        That passed the two-process hammer, but the 16-process takeover
+        storm (scripts/scale_smoke_cas.py storm) exposed a three-party
+        hole: racer B renames winner A's FRESH claim aside (stale
+        expired read), and while B verifies-and-restores, racer C's
+        link-create wins the momentarily-empty slot — A and C both
+        return True. The root cause is any protocol step that makes a
+        live slot momentarily ABSENT.
+
+        This design never renames and never rewrites: a slot is a
+        family of immutable generation files (plain path = gen 0,
+        ``.g<k>`` above it); the current record is the highest
+        generation. Acquire/takeover/renewal all publish generation
+        ``highest+1`` (or 0 on an empty slot) by hard-linking a fully-
+        written temp — the TARGET NAME is the arbiter: os.link is
+        exclusive, so exactly one racer can ever create a given
+        generation. After winning a name, the winner re-globs and
+        retracts if a higher generation appeared (a release/cleanup
+        race can let two racers win DIFFERENT generations; the higher
+        one keeps, deterministically — no ties, names are exclusive),
+        then unlinks the superseded lower generations.
+
+        Semantics: returns True iff this process now holds the slot.
+        A live foreign record loses; a live record of OUR OWN holder
+        renews (publishes the next generation); expired/torn records
+        are taken over."""
         import os
         import uuid
 
         d = p.parent
-        rec = json.dumps({"holder": holder, "expires": time.time() + ttl_s})
         while True:
-            tmp = d / f"{p.name}.w-{uuid.uuid4().hex}"
-            tmp.write_text(rec)
-            try:
-                os.link(str(tmp), str(p))
-            except FileExistsError:
-                pass
+            st = cls._slot_state(p)
+            if st is None:
+                target = 0
             else:
-                return True
+                gen, rec = st
+                if (
+                    rec is not None
+                    and rec.get("expires", 0) > time.time()
+                    and rec.get("holder") != holder
+                ):
+                    return False  # live foreign claim
+                target = gen + 1
+            tgt = p if target == 0 else d / f"{p.name}.g{target}"
+            tmp = d / f"{p.name}.w-{uuid.uuid4().hex}"
+            tmp.write_text(json.dumps({"holder": holder, "expires": time.time() + ttl_s}))
+            try:
+                os.link(str(tmp), str(tgt))
+            except FileExistsError:
+                continue  # someone else took this generation: re-read
             finally:
                 tmp.unlink(missing_ok=True)
-            try:
-                cur = json.loads(p.read_text())
-            except FileNotFoundError:
-                continue  # just released/taken aside: re-race the create
-            except (OSError, json.JSONDecodeError):
-                cur = None  # torn write by a dead holder: treat as corrupt
-            if cur is not None and cur.get("expires", 0) > time.time():
-                return False  # live claim: lose this round
-            # Expired/corrupt takeover must be SINGLE-winner (two racers
-            # both rewriting the claim in place would both think they
-            # won and append overlapping seq windows). Renaming the dead
-            # claim ASIDE to a unique name is the atomic arbiter: the
-            # source vanishes, so exactly one racer's rename succeeds,
-            # and the winner then re-races the link-create above.
-            aside = d / f"{p.name}.dead-{uuid.uuid4().hex}"
-            try:
-                os.rename(str(p), str(aside))
-            except OSError:
-                continue  # lost the rename race: re-read the new state
-            # Guard the read->rename window: if what we moved aside is
-            # now LIVE (takeover + fresh claim completed in between),
-            # restore it without clobbering any newer claim (link fails
-            # on EEXIST) and lose; append_cas re-verifies ownership
-            # before committing, so even an unrestorable victim cannot
-            # double-commit.
-            try:
-                got = json.loads(aside.read_text())
-            except (OSError, json.JSONDecodeError):
-                got = None
-            if got is not None and got.get("expires", 0) > time.time():
-                try:
-                    os.link(str(aside), str(p))
-                except OSError:
-                    pass
-                aside.unlink(missing_ok=True)
-                return False
-            aside.unlink(missing_ok=True)
-            # slot is now free: loop and race the link-create
+            files = cls._slot_files(p)
+            if files and files[-1][0] > target:
+                # a higher generation landed concurrently (possible only
+                # through a release/cleanup race): the higher wins
+                tgt.unlink(missing_ok=True)
+                continue
+            for g, f in files:
+                if g < target:
+                    f.unlink(missing_ok=True)  # superseded, immutable, dead
+            return True
+
+    @classmethod
+    def _release_slot(cls, p, holder: str) -> None:
+        """Conditional release: unlink the current generation only
+        while it still records US. The check->unlink gap can, in
+        principle, delete a record an expiry takeover just installed
+        (requires this holder to have exceeded its ttl — the
+        documented takeover window). That corner degrades slot
+        ORDERING only, never safety: seq windows come from the
+        reservation counter and can never interleave, and uncommitted
+        windows stay gap-masked."""
+        st = cls._slot_state(p)
+        if st is None:
+            return
+        gen, rec = st
+        if rec is not None and rec.get("holder") == holder:
+            f = p if gen == 0 else p.parent / f"{p.name}.g{gen}"
+            f.unlink(missing_ok=True)
 
     def _claim_holder(self, name: str, base_mark: int) -> str | None:
-        p = self.root / name / "commits" / f"claim-{base_mark}.lock"
-        try:
-            return json.loads(p.read_text()).get("holder")
-        except (OSError, json.JSONDecodeError):
+        st = self._slot_state(self.root / name / "commits" / f"claim-{base_mark}.lock")
+        if st is None or st[1] is None:
             return None
+        return st[1].get("holder")
 
     def _release_claim(self, name: str, base_mark: int, holder: str) -> None:
-        """Conditional release: unlink only while the claim still
-        records US. The check->unlink gap can, in principle, delete a
-        claim an expiry takeover just installed (requires this holder
-        to have exceeded its ttl — the documented takeover window).
-        That corner degrades slot ORDERING only, never safety: seq
-        windows come from the reservation counter and can never
-        interleave, and uncommitted windows stay gap-masked. A
-        rename-aside release was tried and rejected — its restore gap
-        let a third writer O_EXCL-create the slot mid-release, a
-        strictly worse corner."""
-        if self._claim_holder(name, base_mark) == holder:
-            p = self.root / name / "commits" / f"claim-{base_mark}.lock"
-            p.unlink(missing_ok=True)
+        self._release_slot(
+            self.root / name / "commits" / f"claim-{base_mark}.lock", holder
+        )
 
     # --- seq-window reservation + row manifests (disjoint fast path) --
     # The slot claim above serializes whole COMMITS; the reference's
@@ -1242,7 +1271,7 @@ class Catalog:
             tmp.write_text(json.dumps({"next": lo + n}))
             tmp.replace(alloc)
         finally:
-            lock.unlink(missing_ok=True)
+            self._release_slot(lock, holder)
         return lo, lo + n - 1
 
     def _bump_alloc(self, name: str, hi: int, holder: str) -> None:
@@ -1264,7 +1293,7 @@ class Catalog:
                 tmp.write_text(json.dumps({"next": hi + 1}))
                 tmp.replace(alloc)
         finally:
-            lock.unlink(missing_ok=True)
+            self._release_slot(lock, holder)
 
     def _publish_reservation(
         self, name: str, holder: str, lo: int, hi: int, rows: list[str], ttl_s: float

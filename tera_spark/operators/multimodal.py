@@ -9,14 +9,17 @@ Two codec tiers:
   dequant, exact IDCT, 4:4:4/4:2:2/4:2:0 chroma, BT.601 color —
   operators/jpeg.py, stdlib + numpy), GIF (variable-width LZW,
   interlace, palettes, multi-frame counting — operators/gif.py),
+  WebP-lossless / VP8L (full bitstream: Huffman trees, meta-Huffman,
+  color cache, LZ77, all four inverse transforms — operators/vp8l.py),
   WAV (RIFF PCM16 via `wave`, plus a manual RIFF walk expanding G.711
   µ-law — format tag 7), and Y4M video (operators/video.py). A payload
   whose magic bytes identify one of these containers decodes for real
   — pixels/samples out, no fakery.
-* STUBBED: formats needing external codec libraries (progressive
-  JPEG, WebP, MP3, ...) raise NotImplementedError unless ``fake=True``,
-  in which case a deterministic fake derived from the raw bytes
-  stands in (keeps fixtures oracle-checkable without binary assets).
+* STUBBED: formats needing a full transform codec (progressive/
+  arithmetic JPEG, lossy VP8, MP3, ...) raise NotImplementedError
+  unless ``fake=True``, in which case a deterministic fake derived
+  from the raw bytes stands in (keeps fixtures oracle-checkable
+  without binary assets).
 
 Everything around the codecs — schema, Arrow batch iteration,
 partition-size control, UDF signatures — is the production Spark
