@@ -27,54 +27,92 @@ def _registry():
 
 
 # Driver-sample ordering: the correctness driver checks the FIRST 50
-# queries() entries each round. Rounds 1-2 covered the 50 relational/
-# cell entries (CORRECTNESS_r01/r02.json), round 3 the 50 lead
-# LLM-pipeline/events/graph entries (CORRECTNESS_r03.json), round 4 the
-# 50-entry never-checked tail (CORRECTNESS_r04.json) — 149 of 150
-# sampled rows fully green (the one exception being the rows-only zlib
-# query, which is now ordered LAST via _DRIVER_ROWS_ONLY so it never
-# burns a sample slot). Round 5 leads with the 7 entries that have
-# never had a driver row, then queries NEW this round, then a
-# regression mix across every family (all previously driver-green).
-# All entries pass the identical local DuckDB gate at sf0.01
-# (tests/test_oracle_parity.py) regardless of position.
+# queries() entries each round. Cumulative state after round 5: all
+# 171 registry entries have been driver-checked at least once, 170
+# fully green (the exception is the rows-only zlib query, ordered LAST
+# via _DRIVER_ROWS_ONLY). Round-6 rotation policy (freshness): queries
+# NEW this round lead, then every existing query ordered by the round
+# of its LAST green driver row, oldest first — so the 50-slot sample
+# always re-confirms the stalest families (computed from
+# CORRECTNESS_r01..r05.json). All entries pass the identical local
+# DuckDB gate at sf0.01 (tests/test_oracle_parity.py) regardless of
+# position.
 _DRIVER_PRIORITY = [
-    # the 7 never-driver-checked entries (green in the local replica)
-    "dedup_semantic_trained", "dedup_semantic_windowed",
-    "dedup_semantic_incremental", "multimodal_phash_dups",
-    "events_sliding_window", "events_asof_next_purchase",
-    "text_bigram_surprisal",
-    # NEW this round — need a first driver row
-    "text_perplexity_buckets", "pipeline_quality_classifier",
-    "events_cms_heavy_hitters", "events_theta_purchaser_overlap",
-    "text_lm_persisted_score", "ann_pca_top_component",
-    "pipeline_classifier_calibration", "events_drift_psi",
-    "text_signal_spearman",
-    "text_redundancy_stats", "multimodal_jpeg_features",
-    "multimodal_gif_features", "multimodal_video_frames",
-    "multimodal_mulaw_audio",
-    # regression mix (driver-green in r1-r4; re-confirm stability)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q13_cust_order_distribution",
-    "q18_large_volume_customer", "q_topk_per_group",
-    "q_window_running_total", "q_grouping_sets",
-    "cell_multiversion_trim", "cell_tombstone_mask",
-    "cell_counter_add_merge", "cell_compact_fold", "cell_snapshot_read",
-    "cell_check_and_apply", "cell_value_filter", "cell_time_range_scan",
-    "cell_batch_get", "cell_changefeed_diff",
-    "kv_ttl_scan", "kv_lww_scan",
-    "events_sessionize", "events_tumbling_window", "events_m4_downsample",
-    "events_funnel_3step", "events_retention_cohorts",
-    "events_asof_prev_click", "events_range_join_windows",
-    "dedup_exact_hash", "dedup_lsh_verified", "dedup_minhash_lsh_pairs",
-    "dedup_simhash", "dedup_components", "dedup_incremental_batch",
-    "dedup_semantic_drop_list",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_pq_topk", "ann_kmeans_clusters",
-    "text_quality_score", "text_unigram_surprisal", "text_tfidf_bm25",
-    "pipeline_dsir_importance", "pipeline_weighted_interleave",
-    "pipeline_doc_chunking", "pipeline_leakage_safe_split",
-    "graph_pagerank_neardup", "sec_index_lookup",
-    "sample_stratified_deterministic",
+    # NEW in round 6 — needs a first driver row
+    "multimodal_webp_features",
+    # last driver-green in round 2 (oldest — 4 rounds stale)
+    "cell_append_merge", "cell_filter_list_and_or", "cell_max_qualifiers",
+    "cell_put_ifabsent", "cell_row_map_shape", "cell_scan_range_projection",
+    "q10_returned_items", "q11_important_parts", "q12_priority_shipping",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_qty_revenue", "q19_disjunctive_filter",
+    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q_cube_agg", "q_distinct_agg", "q_percentile_profile", "q_pivot_status",
+    "q_rollup_revenue", "q_semi_anti_join", "q_set_ops", "q_sql_surface",
+    "sec_index_lookup",
+    # last driver-green in round 3
+    "ann_cosine_topk", "ann_embedding_health", "ann_hard_negatives",
+    "ann_hyperplane_pairs", "ann_int8_topk", "ann_ivf_near_pairs",
+    "ann_ivf_topk", "dedup_components", "dedup_containment_pairs",
+    "dedup_edit_distance", "dedup_embedding_cosine",
+    "dedup_incremental_batch", "dedup_lsh_verified",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_bpe_token_stats", "doc_fingerprint_rolling", "doc_token_stats",
+    "graph_pagerank_neardup", "multimodal_audio_features",
+    "multimodal_features", "multimodal_frame_plan", "multimodal_resize",
+    "pipeline_decontaminate", "pipeline_dedup_drop_list",
+    "pipeline_doc_chunking", "pipeline_dsir_importance",
+    "pipeline_leakage_safe_split", "pipeline_token_packing",
+    "pipeline_weighted_interleave", "sample_stratified_deterministic",
+    "sample_weighted_reservoir", "text_bpe_pair_counts", "text_language_id",
+    "text_pii_redaction", "text_pmi_collocations", "text_quality_score",
+    "text_tfidf_bm25", "text_tokenizer_fertility", "text_unigram_surprisal",
+    "text_vocab_profile", "text_zipf_slope",
+    # last driver-green in round 4
+    "ann_centroid_outliers", "ann_kmeans_clusters", "ann_pq_topk",
+    "cell_addint64_merge", "cell_filter_if_missing",
+    "cell_hash_key_batch_get", "dedup_cross_source_matrix",
+    "dedup_repeated_ngram_spans", "dedup_semantic_drop_list",
+    "dedup_span_removal", "events_ab_test_lift", "events_anomaly_zscore",
+    "events_bot_regularity", "events_churn_risk", "events_dau_mau_stickiness",
+    "events_dedup_latest_props", "events_equidepth_histogram",
+    "events_hourly_seasonality", "events_json_props",
+    "events_k_anonymity_audit", "events_ohlc_bars",
+    "events_pareto_concentration", "events_salted_distinct_users",
+    "events_session_transcripts", "events_sketch_profile",
+    "events_subseq_topk", "events_trajectory_similarity",
+    "events_transition_matrix", "events_type_correlation",
+    "events_value_histogram", "events_value_trend", "events_window_topk",
+    "graph_triangles_neardup", "pipeline_contamination_report",
+    "pipeline_corpus_curation", "pipeline_dedup_savings_report",
+    "pipeline_filter_audit", "pipeline_mixture_allocation",
+    "pipeline_pseudonymize_users", "pipeline_ref_integrity_audit",
+    "source_profile_stats", "text_bpe_merges", "text_inverted_index",
+    "text_language_id_margin", "text_quality_calibrated",
+    "text_repetition_signals",
+    # last driver-green in round 5
+    "ann_pca_top_component", "cell_batch_get", "cell_changefeed_diff",
+    "cell_check_and_apply", "cell_compact_fold", "cell_counter_add_merge",
+    "cell_multiversion_trim", "cell_snapshot_read", "cell_time_range_scan",
+    "cell_tombstone_mask", "cell_value_filter", "dedup_exact_hash",
+    "dedup_semantic_incremental", "dedup_semantic_trained",
+    "dedup_semantic_windowed", "events_asof_next_purchase",
+    "events_asof_prev_click", "events_cms_heavy_hitters", "events_drift_psi",
+    "events_funnel_3step", "events_m4_downsample",
+    "events_range_join_windows", "events_retention_cohorts",
+    "events_sessionize", "events_sliding_window",
+    "events_theta_purchaser_overlap", "events_tumbling_window", "kv_lww_scan",
+    "kv_ttl_scan", "multimodal_gif_features", "multimodal_jpeg_features",
+    "multimodal_mulaw_audio", "multimodal_phash_dups",
+    "multimodal_video_frames", "pipeline_classifier_calibration",
+    "pipeline_quality_classifier", "q13_cust_order_distribution",
+    "q18_large_volume_customer", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q_grouping_sets",
+    "q_topk_per_group", "q_window_running_total", "text_bigram_surprisal",
+    "text_lm_persisted_score", "text_perplexity_buckets",
+    "text_redundancy_stats", "text_signal_spearman",
 ]
 
 # Rows-only queries (no DuckDB oracle possible) are ordered dead last

@@ -120,6 +120,16 @@ def run_storm(n_procs: int, rounds: int) -> dict:
         }
 
 
+def _child_cores() -> int:
+    """Keep the writer fleet inside the box: 16 children x local[4]
+    oversubscribes 32 cores 2x and the measurement becomes CPU thrash
+    (both modes choke; serialized even 'wins' by accidental
+    time-slicing). Coordination is what this smoke measures."""
+    import os
+
+    return max(1, min(4, (os.cpu_count() or 8) // N_PROCS))
+
+
 def _child_src(root: str, table: str, wid: str, mode: str) -> str:
     return textwrap.dedent(
         f"""
@@ -130,8 +140,8 @@ def _child_src(root: str, table: str, wid: str, mode: str) -> str:
         from tera_spark.operators.mutation import MutationBatch
 
         spark = (
-            SparkSession.builder.master("local[4]")
-            .config("spark.sql.shuffle.partitions", "4")
+            SparkSession.builder.master("local[{_child_cores()}]")
+            .config("spark.sql.shuffle.partitions", "{_child_cores()}")
             .config("spark.ui.enabled", "false")
             .appName("cas-smoke-{{}}".format({wid!r}))
             .getOrCreate()

@@ -187,11 +187,25 @@ class Catalog:
         return json.loads(p.read_text()) if p.exists() else []
 
     def _add_rollback(self, name: str, after: int, upto: int) -> None:
-        ranges = self._rollbacks(name) + [{"after": after, "upto": upto}]
-        p = self.root / name / "rollbacks.json"
-        tmp = p.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(ranges))
-        tmp.replace(p)
+        """Append a rollback window. Locked read-modify-write: two
+        concurrent recoverers (a reader heal racing a writer's
+        recovery) must not last-write-wins each other — a LOST rollback
+        range would let a torn batch resurface once a later commit
+        raises the watermark past it."""
+        import uuid
+
+        holder = (self.writer_id or self._auto_writer_id) + "-rb"
+        lock = self.root / name / "rollbacks.lock"
+        while not self._try_excl_claim(lock, holder, 60.0):
+            time.sleep(0.002)
+        try:
+            ranges = self._rollbacks(name) + [{"after": after, "upto": upto}]
+            p = self.root / name / "rollbacks.json"
+            tmp = p.with_suffix(f".json.tmp-{uuid.uuid4().hex[:12]}")
+            tmp.write_text(json.dumps(ranges))
+            tmp.replace(p)
+        finally:
+            self._release_slot(lock, holder)
 
     def commit_watermark(self, name: str) -> int | None:
         """Highest committed write sequence — the group-commit
@@ -222,9 +236,30 @@ class Catalog:
         # summary-first ordering keeps crash states conservative: a
         # summary claiming kinds for a record that never committed is
         # a superset, and supersets only demote fast-fold routes.
-        prev = self._op_kinds_union(name) if any(d.glob("*.json")) else set()
-        new = None if (op_kinds is None or prev is None) else prev | {int(k) for k in op_kinds}
-        self._write_op_kinds(name, new)
+        #
+        # The read-union-write cycle runs under the table's opkinds
+        # slot lock: the 16-writer contention smoke caught two DISJOINT
+        # fast-path committers racing it — one crashed on the (then
+        # shared) tmp name, and worse, last-write-wins could DROP a
+        # kind (A records {PUT}, B records {ADD}, B's write erases A's
+        # PUT) and mis-route a fast fold over a mixed log. Readers stay
+        # lock-free: the summary is replace-atomic, and a batch's rows
+        # only become visible after its record lands, which is after
+        # its locked summary update.
+        holder = self.writer_id or self._auto_writer_id
+        lock = self.root / name / "opkinds.lock"
+        while not self._try_excl_claim(lock, holder, 60.0):
+            time.sleep(0.002)
+        try:
+            prev = self._op_kinds_union(name) if any(d.glob("*.json")) else set()
+            new = (
+                None
+                if (op_kinds is None or prev is None)
+                else prev | {int(k) for k in op_kinds}
+            )
+            self._write_op_kinds(name, new)
+        finally:
+            self._release_slot(lock, holder)
         p = d / f"{hi}.json"
         tmp = d / f"{hi}.json.tmp"
         rec: dict = {"seq": int(hi)}
@@ -241,8 +276,12 @@ class Catalog:
         tmp.replace(p)  # atomic rename = the commit point
 
     def _write_op_kinds(self, name: str, kinds: set[int] | list[int] | None) -> None:
+        import uuid
+
         p = self.root / name / "opkinds.json"
-        tmp = p.with_suffix(".json.tmp")
+        # unique tmp per writer: a shared tmp name made two concurrent
+        # committers race the rename (one crashed on FileNotFoundError)
+        tmp = p.with_suffix(f".json.tmp-{uuid.uuid4().hex[:12]}")
         tmp.write_text(
             json.dumps({"kinds": sorted(int(k) for k in kinds) if kinds is not None else None})
         )
@@ -432,6 +471,10 @@ class Catalog:
         if name in self._tail_checked:
             return
         self._tail_checked.add(name)
+        # Percolator roll-FORWARD first: windows whose txn marker exists
+        # are committed by decision — write their missing records before
+        # any sweep/rollback below could classify them as dead gaps.
+        self._roll_forward_marked(name)
         self._sweep_expired_reservations(name)
         self._retire_dead_gaps(name)  # aborted/dead windows below the mark
         w = self.commit_watermark(name)
@@ -537,6 +580,11 @@ class Catalog:
         # is never touched
         for base in self._claim_slot_bases(name):
             self._clear_dead_claim(base)
+        # an expired writer lease is already no-fence (_check_writer_lease
+        # treats it as open access); clearing it is what makes this heal
+        # CONVERGE — otherwise every subsequent read would re-observe the
+        # dead lease and re-run recovery forever
+        self._clear_dead_claim(self.root / name / "writer.lease")
         self._tail_checked.discard(name)  # force a fresh recovery pass
         self._recover_tail(name)
         return True
@@ -1422,24 +1470,169 @@ class Catalog:
                 return None  # intersecting write set in flight
         return {"name": name, "lo": lo, "hi": hi, "resv": resv}
 
-    def finish_disjoint_commit(self, token: dict, batch, *, now_us: int | None = None) -> int:
-        """Phase 2: append with the reserved window, release the
-        manifest. The commit record carries the window's low end so
-        readers can gap-mask concurrent in-flight windows. ``now_us``
-        threads through the batch materialization (per-cell TTL
-        stamping) for transactional callers."""
+    def stage_disjoint_data(self, token: dict, batch, *, now_us: int | None = None) -> None:
+        """Phase 2a: land the window's parquet WITHOUT its commit
+        record. The rows stay gap-masked (reservation-covered) until
+        record_disjoint_commit — or a txn-marker roll-forward — lands
+        the record. Splitting stage from record is what lets a
+        MULTI-TABLE transaction put one atomic commit point (the txn
+        marker) between all tables' data and all tables' records."""
+        name = token["name"]
+        self._check_enabled(name)
+        self._authorize("write", name)
+        self._check_writer_lease(name)
+        self._consume(name, "write")
+        self._recover_tail(name)
+        batch._base_seq = token["lo"]
+        self._staged_append(name, batch.to_df(self.spark, now_us=now_us))
+        token["op_kinds"] = [int(k) for k in batch.op_kinds]
+        token["staged"] = True
+
+    def record_disjoint_commit(self, token: dict) -> int:
+        """Phase 2b: the window's commit record (visibility point),
+        with the same rolled-back-mid-commit fence append() applies to
+        reserved windows; releases the manifest either way."""
+        name, lo, hi = token["name"], token["lo"], token["hi"]
         try:
-            batch._base_seq = token["lo"]
-            self.append(
-                token["name"],
-                batch.to_df(self.spark, now_us=now_us),
-                commit_seq=token["hi"],
-                commit_lo=token["lo"],
-                op_kinds=batch.op_kinds,
-            )
-            return token["hi"]
+            self._bump_alloc(name, hi, self.writer_id or self._auto_writer_id)
+            for r in self._rollbacks(name):
+                if r["after"] < hi and lo <= r["upto"]:
+                    raise WriterFenced(
+                        f"table {name!r}: reserved window [{lo},{hi}] was "
+                        "rolled back mid-commit (reservation ttl elapsed?)"
+                    )
+            self._record_commit(name, hi, token.get("op_kinds"), lo=lo)
+            return hi
         finally:
             token["resv"].unlink(missing_ok=True)
+
+    def finish_disjoint_commit(self, token: dict, batch, *, now_us: int | None = None) -> int:
+        """Phase 2 (single-table form): stage + record in one call.
+        The commit record carries the window's low end so readers can
+        gap-mask concurrent in-flight windows. ``now_us`` threads
+        through the batch materialization (per-cell TTL stamping) for
+        transactional callers."""
+        try:
+            if not token.get("staged"):
+                self.stage_disjoint_data(token, batch, now_us=now_us)
+        except BaseException:
+            token["resv"].unlink(missing_ok=True)
+            raise
+        return self.record_disjoint_commit(token)
+
+    # --- cross-table txn markers (Percolator primary-commit analog) ---
+    # The reference's global transaction has ONE atomic commit point —
+    # the primary cell's lock→write flip (global_txn.cc:578-720) —
+    # after which readers/peers roll the secondaries FORWARD
+    # (global_txn.cc:337-501) instead of back. Here the analog is a
+    # txn marker file renamed into <root>/.txnlog/ AFTER every table's
+    # window data is staged and BEFORE any table's commit record: crash
+    # before the marker and recovery rolls every staged window back
+    # (consistent abort); crash after it and recovery writes the
+    # missing commit records (consistent commit). Without the marker, a
+    # crash between two tables' records left the transaction
+    # half-applied — head table visible, tail rolled back.
+
+    def _txnlog_dir(self):
+        return self.root / ".txnlog"
+
+    def write_txn_marker(self, txn_id: str, tokens: dict) -> "Path":
+        """THE cross-table commit point: one atomic rename publishing
+        every (table, window, op_kinds) of the transaction. Call only
+        after ALL windows' data is staged."""
+        d = self._txnlog_dir()
+        d.mkdir(exist_ok=True)
+        rec = {
+            "txn": txn_id,
+            "tables": [
+                {
+                    "name": t["name"],
+                    "lo": int(t["lo"]),
+                    "hi": int(t["hi"]),
+                    "op_kinds": t.get("op_kinds"),
+                }
+                for t in tokens.values()
+            ],
+        }
+        p = d / f"txn-{txn_id}.json"
+        tmp = d / f".txn-{txn_id}.tmp"
+        tmp.write_text(json.dumps(rec))
+        tmp.replace(p)  # atomic: the whole transaction commits HERE
+        return p
+
+    def _txn_markers_for(self, name: str) -> list[dict]:
+        d = self._txnlog_dir()
+        out = []
+        if not d.is_dir():
+            return out
+        for p in d.glob("txn-*.json"):
+            try:
+                rec = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if any(e["name"] == name for e in rec.get("tables", ())):
+                rec["_path"] = p
+                out.append(rec)
+        return out
+
+    def _window_recorded(self, name: str, hi: int) -> bool:
+        return (self.root / name / "commits" / f"{int(hi)}.json").exists()
+
+    def _window_rolled_back(self, name: str, lo: int, hi: int) -> bool:
+        return any(r["after"] < hi and lo <= r["upto"] for r in self._rollbacks(name))
+
+    def _window_live(self, name: str, lo: int, hi: int) -> bool:
+        return any(
+            int(r.get("lo", -1)) == lo and int(r.get("hi", -1)) == hi
+            for r in self._live_reservations(name)
+        )
+
+    def _process_txn_marker(self, rec: dict) -> None:
+        """Roll a marked transaction FORWARD (write the missing commit
+        records) or, when its commit never actually started recording
+        and a window already died, roll the remainder back — then
+        retire the marker. A window under a LIVE reservation belongs
+        to a committer still at work: untouched.
+
+        Marker-vs-rollback conflicts (a window rolled back although
+        the marker exists) are reachable only when a reservation
+        expired MID-COMMIT — the same ttl-contract violation
+        documented for leases; the masked window then stays masked
+        (rollback wins on the read path) and the marker is retired."""
+        entries = rec.get("tables", [])
+        state = []
+        for e in entries:
+            n, lo, hi = e["name"], int(e["lo"]), int(e["hi"])
+            state.append(
+                (
+                    e,
+                    self._window_recorded(n, hi),
+                    self._window_rolled_back(n, lo, hi),
+                    self._window_live(n, lo, hi),
+                )
+            )
+        if any(live and not rec_ for e, rec_, rb, live in state):
+            return  # committer still at work on some window
+        recorded = [s for s in state if s[1]]
+        if not recorded and any(rb for _, _, rb, _ in state):
+            # commit point reached but a window died before ANY record
+            # landed: consistent abort — mask the remaining windows
+            for e, rec_, rb, _ in state:
+                if not rec_ and not rb:
+                    self._add_rollback(e["name"], int(e["lo"]) - 1, int(e["hi"]))
+            rec["_path"].unlink(missing_ok=True)
+            return
+        for e, rec_, rb, _ in state:
+            if rec_ or rb:
+                continue
+            n, lo, hi = e["name"], int(e["lo"]), int(e["hi"])
+            self._bump_alloc(n, hi, self.writer_id or self._auto_writer_id)
+            self._record_commit(n, hi, e.get("op_kinds"), lo=lo)
+        rec["_path"].unlink(missing_ok=True)
+
+    def _roll_forward_marked(self, name: str) -> None:
+        for rec in self._txn_markers_for(name):
+            self._process_txn_marker(rec)
 
     def abort_disjoint_commit(self, token: dict) -> None:
         """Release without committing. The abandoned window is retired

@@ -295,11 +295,12 @@ class GlobalTransaction:
     def _commit_cas(self) -> dict[str, int]:
         import uuid
 
+        txn_id = uuid.uuid4().hex[:16]
         holder = (
-            (self._cat.writer_id or self._cat._auto_writer_id)
-            + f"-txn{uuid.uuid4().hex[:8]}"
-        )
+            self._cat.writer_id or self._cat._auto_writer_id
+        ) + f"-txn{txn_id[:8]}"
         tokens: dict[str, dict] = {}
+        marker = None
         try:
             # phase 1 — prewrite: one manifest per table, all-or-abort
             for table, batch in self._batches.items():
@@ -317,17 +318,38 @@ class GlobalTransaction:
             # validate under the locks: committed state can no longer
             # gain ops on our rows before we apply
             self._validate()
-            # phase 2 — commit through the reserved windows
+            # phase 2a — stage every table's data: parquet lands but the
+            # windows stay gap-masked (invisible) until their records
+            for table, tok in tokens.items():
+                self._cat.stage_disjoint_data(
+                    tok, self._batches[table], now_us=self._now_us
+                )
+            # phase 2b — THE commit point (Percolator primary commit,
+            # global_txn.cc:578-720): one atomic marker rename covering
+            # every table's window. Crash before it -> recovery rolls
+            # every staged window back (consistent abort); crash after
+            # it -> recovery writes the missing records (consistent
+            # commit, reference roll-forward global_txn.cc:337-501).
+            # Single-table txns skip it: their record IS the point.
+            if len(tokens) > 1:
+                marker = self._cat.write_txn_marker(txn_id, tokens)
+            # phase 3 — per-table commit records
             applied: dict[str, int] = {}
             for table, tok in list(tokens.items()):
-                batch = self._batches[table]
-                self._cat.finish_disjoint_commit(tok, batch, now_us=self._now_us)
+                self._cat.record_disjoint_commit(tok)
                 del tokens[table]
-                applied[table] = len(batch)
+                applied[table] = len(self._batches[table])
+            if marker is not None:
+                marker.unlink(missing_ok=True)
             return applied
         finally:
-            for tok in tokens.values():  # abort any still-held manifests
-                self._cat.abort_disjoint_commit(tok)
+            if marker is None:
+                # before the commit point: consistent abort
+                for tok in tokens.values():
+                    self._cat.abort_disjoint_commit(tok)
+            # after the commit point, still-held windows are NOT
+            # aborted — recovery (any later writer, or any reader via
+            # the heal path) rolls them forward from the marker
 
 def new_global_transaction(catalog, **kw) -> GlobalTransaction:
     """Client::NewGlobalTransaction analog."""

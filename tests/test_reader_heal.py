@@ -158,3 +158,22 @@ def test_plain_append_fenced_when_healed_mid_run(spark, tmp_path, monkeypatch):
         )
     monkeypatch.undo()
     assert {x.row_key for x in w.view("t").collect()} == {"r0"}
+
+
+def test_reader_heal_converges(spark, tmp_path):
+    """Healing must CONVERGE: after the first read cleans the dead
+    state (including the expired lease), later reads observe nothing
+    dead and skip recovery — no per-read recovery tax forever."""
+    root = str(tmp_path / "cat")
+    w = Catalog(spark, root, writer_id="writer-w")
+    w.create_table("t { d }")
+    _committed(w, spark, "t", ["r0"])
+    lease = Path(root) / "t" / "writer.lease"
+    lease.write_text(json.dumps({"holder": "dead", "expires": time.time() - 1}))
+
+    r = Catalog(spark, root, writer_id="reader-only")
+    assert r._observes_dead_state("t")
+    assert r._reader_heal("t") is True
+    assert not lease.exists()
+    assert r._observes_dead_state("t") is False
+    assert r._reader_heal("t") is False  # second read: nothing to do
