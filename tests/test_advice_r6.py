@@ -89,9 +89,9 @@ def test_lm_persisted_query_reuses_one_scratch_dir(spark):
     from tera_spark.queries.curation import text_lm_persisted_score
 
     root = Path(tempfile.gettempdir())
-    pat = "tera_spark_ngram_lm_*"
+    pat = "tera_spark_ngram_lm_" + spark.sparkContext.applicationId + "*"
     text_lm_persisted_score(spark, SF).count()
     first = {p.name for p in root.glob(pat)}
     text_lm_persisted_score(spark, SF).count()
     second = {p.name for p in root.glob(pat)}
-    assert first == second and len(second) == 1
+    assert first == second and len(second) == 1  # one slot per app, reused
