@@ -195,3 +195,71 @@ def sql_fingerprint(expr: str) -> str:
         f"i * ({sql_h60('__t[i]')} % {P31})), (a, b) -> a + b) % {(1 << 61) - 1} "
         f"FROM (SELECT {toks} AS __t))"
     )
+
+
+# --- URL canonicalization (crawl-pipeline first-stage dedup key) ----------
+# Same twin-implementation contract as the hashes above: one Spark
+# Column expression, one DuckDB fragment, identical semantics —
+# lowercase scheme+host, strip a leading 'www.', strip the scheme's
+# default port (:80 http / :443 https), drop the fragment, drop
+# tracking query params (utm_*, fbclid, gclid, ref), sort surviving
+# params byte-lexicographically (ASCII assumption documented), and
+# collapse trailing path slashes (empty path -> '/'). Non-default
+# ports, other schemes, and unknown params are preserved.
+
+URL_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host0 = F.regexp_replace(F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1)), r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host0, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host0, r":443$", ""))
+        .otherwise(host0)
+    )
+    pathq = F.regexp_replace(F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1), r"#.*$", "")
+    path0 = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    query0 = F.regexp_extract(pathq, r"^[^?]*\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query0, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(URL_TRACKING_PARAM_RE),
+    )
+    q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def sql_canonical_url(expr: str) -> str:
+    scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    rest = f"regexp_replace(trim({expr}), '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    host0 = f"regexp_replace(lower(regexp_extract({rest}, '^([^/?#]*)', 1)), '^www\\.', '')"
+    host = (
+        f"(CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"ELSE {host0} END)"
+    )
+    pathq = f"regexp_replace(regexp_extract({rest}, '^[^/?#]*(.*)$', 1), '#.*$', '')"
+    path0 = f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/+$', '')"
+    path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    query0 = f"regexp_extract({pathq}, '^[^?]*\\?(.*)$', 1)"
+    kept = (
+        f"list_filter(string_split({query0}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{URL_TRACKING_PARAM_RE}'))"
+    )
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL (the
+    # Spark twin's array_join returns ''), and concat ignores NULLs —
+    # without it a query-less URL grows a bare '?'
+    q = f"coalesce(array_to_string(list_sort({kept}), '&'), '')"
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"(CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END))"
+    )

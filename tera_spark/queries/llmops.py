@@ -1956,6 +1956,76 @@ def dedup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SQL_URL_FIXTURE = """
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 4 = 1 THEN 'HTTPS' ELSE 'https' END, '://',
+               CASE WHEN doc_id % 4 = 2 THEN 'www.' ELSE '' END,
+               'crawl.example.com',
+               CASE WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END,
+               '/docs/', cast(doc_id // 4 AS varchar),
+               CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+               CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=x&a=1'
+                    ELSE '?a=1&b=2' END,
+               CASE WHEN doc_id % 4 = 1 THEN '#frag' ELSE '' END
+             ) AS url
+      FROM documents
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    f"""
+    WITH raw AS ({_SQL_URL_FIXTURE})
+    SELECT {X.sql_canonical_url('url')} AS canonical_url,
+           cast(count(*) AS bigint) AS n_dups,
+           cast(min(doc_id) AS bigint) AS keep_doc
+    FROM raw GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST stage of the standard
+    crawl pipeline (dedup by canonical URL before any content pass:
+    RefinedWeb / CCNet practice). Each document synthesizes one URL
+    from a closed-form fixture whose four variants differ only by
+    case, 'www.', the scheme's default port, a trailing slash, a
+    tracking param and a fragment — canonical_url (functions/text.py,
+    Spark/DuckDB twins) must collapse all four onto one key; keep rule
+    is min(doc_id).
+
+    Scale shape: canonicalization is a map-only JVM regex/array
+    expression pipeline (no UDF); ONE shuffle on the canonical key —
+    the same single-exchange shape as dedup_exact_hash, so it holds at
+    100 TB the same way (canonical-URL keys are near-unique, no skew
+    beyond genuinely duplicated pages; a pathological mega-duplicate
+    URL is exactly the row you want to find)."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 4 == 1, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 4 == 2, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("crawl.example.com"),
+        F.when(did % 4 == 3, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.floor(did / 4).cast("long").cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("?b=2&utm_source=x&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(did % 4 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(did.alias("doc_id"), url.alias("url"))
+        .select("doc_id", X.canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+    )
+
+
 @query(
     "dedup_incremental_batch",
     f"""

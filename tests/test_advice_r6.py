@@ -95,3 +95,39 @@ def test_lm_persisted_query_reuses_one_scratch_dir(spark):
     text_lm_persisted_score(spark, SF).count()
     second = {p.name for p in root.glob(pat)}
     assert first == second and len(second) == 1  # one slot per app, reused
+
+
+def test_canonical_url_twins_and_dedup(spark):
+    """URL canonicalization (crawl first-stage dedup key): the Spark
+    and DuckDB twins agree on the tricky cases, and the fixture's four
+    variants (case/www/default-port/trailing-slash/tracking/fragment)
+    collapse onto one canonical key."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tera_spark.functions.text import canonical_url, sql_canonical_url
+    from tera_spark.queries.llmops import dedup_url_canonical
+
+    cases = [
+        "HTTP://WWW.Ex.COM:80/a/b/?utm_source=1",
+        "https://ex.com:8443/a?z=1&a=2",      # non-default port kept
+        "ftp://Ex.com:21/file",               # other scheme: port kept
+        "https://ex.com",                     # empty path -> '/'
+        "https://ex.com/?fbclid=abc&gclid=1&ref=x",  # all-tracking query
+        "https://Ex.com/path#frag?notquery",  # fragment swallows fake query
+    ]
+    got = spark.createDataFrame([(c,) for c in cases], "u string").select(
+        canonical_url(F.col("u")).alias("c")
+    ).collect()
+    con = duckdb.connect()
+    for c, row in zip(cases, got):
+        assert row.c == con.execute(f"select {sql_canonical_url(repr(c))}").fetchone()[0]
+    assert got[0].c == "http://ex.com/a/b"
+    assert got[1].c == "https://ex.com:8443/a?a=2&z=1"
+    assert got[4].c == "https://ex.com/"
+
+    out = dedup_url_canonical(spark, SF).collect()
+    assert out and all(r.n_dups == 4 or r.n_dups < 4 for r in out)
+    assert max(r.n_dups for r in out) == 4  # the four variants collapsed
+    for r in out:
+        assert r.keep_doc % 4 == 0 or r.n_dups < 4  # keep = min(doc_id)
