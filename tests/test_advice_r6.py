@@ -131,3 +131,25 @@ def test_canonical_url_twins_and_dedup(spark):
     assert max(r.n_dups for r in out) == 4  # the four variants collapsed
     for r in out:
         assert r.keep_doc % 4 == 0 or r.n_dups < 4  # keep = min(doc_id)
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point, so re-running the dedup stage over already-canonical
+    keys is a no-op (pipeline-restart safety)."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.functions.text import canonical_url
+
+    urls = [
+        "HTTP://WWW.A.COM:80/x/?utm_source=1&b=2&a=3#f",
+        "https://b.org:9443/p/q//",
+        "ftp://C.net/z?x=1",
+        "https://d.io",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonical_url(F.col("u")).alias("c"))
+    twice = once.select(F.col("c").alias("u")).select(
+        canonical_url(F.col("u")).alias("c")
+    )
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]

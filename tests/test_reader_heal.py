@@ -177,3 +177,82 @@ def test_reader_heal_converges(spark, tmp_path):
     assert not lease.exists()
     assert r._observes_dead_state("t") is False
     assert r._reader_heal("t") is False  # second read: nothing to do
+
+
+def test_heal_storm_concurrent_readers_converge(spark, tmp_path):
+    """Heal under contention: FOUR OS processes race the same dead
+    state (expired reservation + txn marker with a missing record).
+    Healing WRITES (rollbacks, roll-forward records, marker/claim
+    cleanup), so the round-6 locks must make concurrent heals
+    converge to one consistent state — records present exactly once,
+    marker gone, no torn visibility."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "cat")
+    w = Catalog(spark, root, writer_id="writer-w")
+    w.create_table("t { d }")
+    _committed(w, spark, "t", ["r0"])
+
+    # crashed multi-table-style commit on one table: staged window with
+    # an expired reservation, marker present, record missing
+    b = MutationBatch().put("marked", "d", "q", "v")
+    tok = w.begin_disjoint_commit("t", 1, ["marked"], "dying", ttl_s=300)
+    w.stage_disjoint_data(tok, b)
+    w.write_txn_marker("stormcafebabe01", {"t": tok})
+    # ...plus a second torn window with NO marker (must roll back)
+    lo2, hi2 = w._reserve_seq_window("t", 2, "dying2", ttl_s=300)
+    w._publish_reservation("t", "dying2", lo2, hi2, [], 300.0)
+    MutationBatch(base_seq=lo2).put("torn", "d", "q", "x", ts=1).to_df(
+        spark
+    ).write.mode("append").parquet(w.oplog_path("t"))
+    for table in ["t"]:
+        _expire_all(Path(root), table)
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    child = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from tera_spark.catalog import Catalog
+        cat = Catalog(None, {root!r}, writer_id="healer-" + sys.argv[1])
+        # drive the non-Spark heal machinery directly (no JVM in child)
+        for _ in range(3):
+            cat._tail_checked.discard("t")
+            cat._roll_forward_marked("t")
+            cat._sweep_expired_reservations("t")
+            cat._retire_dead_gaps("t")
+            for base in cat._claim_slot_bases("t"):
+                cat._clear_dead_claim(base)
+        print("HEALED", flush=True)
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(4)
+    ]
+    outs = [p.communicate(timeout=120)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    # converged: marker retired, marked row visible, torn row masked
+    r = Catalog(spark, root, writer_id="reader-only")
+    assert not list((Path(root) / ".txnlog").glob("txn-*.json"))
+    assert {x.row_key for x in r.view("t").collect()} == {"r0", "marked"}
+    recs = list((Path(root) / "t" / "commits").glob(f"{tok['hi']}.json"))
+    assert len(recs) == 1
+    st = r.table_stats("t")
+    assert st["live_reservations"] == 0 and st["commit_gaps"] == 0
+
+
+def _expire_all(root: Path, table: str) -> None:
+    for p in (root / table / "casmeta").glob("resv-*.json"):
+        rec = json.loads(p.read_text())
+        rec["expires"] = time.time() - 1
+        p.write_text(json.dumps(rec))
