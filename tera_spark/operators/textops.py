@@ -620,3 +620,73 @@ def stupid_backoff_nll(
     return score_trigrams(
         trigram_stream(docs, text_col), c3, cb, c1, backoff=backoff
     )
+
+
+# --- Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A) ------
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher document-quality filters, map-only:
+
+    1. word count in [50, 100_000];
+    2. mean word length in [3, 10] characters;
+    3. symbol-to-word ratio <= 0.1 (symbols: '#' and '...');
+    4. >= 80% of words contain at least one alphabetic character;
+    5. at least TWO of the required English stop words present
+       (the/be/to/of/and/that/have/with — distinct types, not tokens).
+
+    The two line-shape rules (bullet-started / ellipsis-ended line
+    fractions) need line structure the synthetic corpus lacks and are
+    line-local anyway — they compose as one more boolean under this
+    exact pattern when the source carries newlines.
+
+    Ratios are floor-truncated to 6 decimals (the engine-stable
+    convention of quality_features); per-rule booleans ship as ints so
+    audits can count failures per rule, `keep` is their AND. Pure
+    expression pipeline — no shuffle, no UDF."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    wc = F.size(toks)
+
+    def trunc6(x):
+        return F.floor(x * 1_000_000).cast("double") / 1_000_000
+
+    sum_wl = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = trunc6(sum_wl.cast("double") / F.greatest(wc, F.lit(1)))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = trunc6(
+        (n_hash + n_ellipsis).cast("double") / F.greatest(wc, F.lit(1))
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_word_ratio = trunc6(alpha_words.cast("double") / F.greatest(wc, F.lit(1)))
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+        )
+    )
+    r1 = (wc >= 50) & (wc <= 100_000)
+    r2 = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r3 = symbol_ratio <= 0.1
+    r4 = alpha_word_ratio >= 0.8
+    r5 = n_stops >= 2
+    return ensure_parallelism(docs).select(
+        "doc_id",
+        wc.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_ratio.alias("alpha_word_ratio"),
+        n_stops.cast("int").alias("n_required_stops"),
+        r1.cast("int").alias("pass_word_count"),
+        r2.cast("int").alias("pass_mean_word_len"),
+        r3.cast("int").alias("pass_symbol_ratio"),
+        r4.cast("int").alias("pass_alpha_words"),
+        r5.cast("int").alias("pass_stop_words"),
+        (r1 & r2 & r3 & r4 & r5).cast("int").alias("keep"),
+    )

@@ -245,6 +245,66 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return quality_features(docs)
 
 
+_SQL_GTOK = X.sql_tokens("text")
+_SQL_GWC = f"len({_SQL_GTOK})"
+_SQL_GMWL = _t6(
+    f"list_sum(list_transform({_SQL_GTOK}, x -> length(x)))::double"
+    f" / greatest({_SQL_GWC}, 1)"
+)
+_SQL_GSYM = _t6(
+    "((length(text) - length(replace(text, '#', '')))"
+    " + (length(text) - length(replace(text, '...', ''))) / 3)::double"
+    f" / greatest({_SQL_GWC}, 1)"
+)
+_SQL_GALPHA = _t6(
+    f"len(list_filter({_SQL_GTOK}, x -> regexp_matches(x, '[a-zA-Z]')))::double"
+    f" / greatest({_SQL_GWC}, 1)"
+)
+_SQL_GSTOPS = (
+    f"len(list_intersect(list_distinct(list_transform({_SQL_GTOK}, x -> lower(x))),"
+    " ['the','be','to','of','and','that','have','with']))"
+)
+
+
+@query(
+    "text_gopher_rules",
+    f"""
+    WITH m AS (
+      SELECT cast(doc_id AS bigint) AS doc_id,
+             cast({_SQL_GWC} AS bigint) AS n_words,
+             {_SQL_GMWL} AS mean_word_len,
+             {_SQL_GSYM} AS symbol_ratio,
+             {_SQL_GALPHA} AS alpha_word_ratio,
+             cast({_SQL_GSTOPS} AS int) AS n_required_stops
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           n_required_stops,
+           cast(n_words >= 50 AND n_words <= 100000 AS int) AS pass_word_count,
+           cast(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS int) AS pass_mean_word_len,
+           cast(symbol_ratio <= 0.1 AS int) AS pass_symbol_ratio,
+           cast(alpha_word_ratio >= 0.8 AS int) AS pass_alpha_words,
+           cast(n_required_stops >= 2 AS int) AS pass_stop_words,
+           cast(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+                AND n_required_stops >= 2 AS int) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The published Gopher document-quality filters (word-count,
+    mean-word-length, symbol ratio, alphabetic-word fraction, required
+    stop words) with per-rule pass flags for filter audits — the
+    recognizable curation classic next to the composite
+    text_quality_score. Map-only expression pipeline, zero shuffles,
+    any corpus size."""
+    from tera_spark.operators.textops import gopher_rules
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 3 == 1)
+    return gopher_rules(docs)
+
+
 @query(
     "doc_fingerprint_rolling",
     f"""

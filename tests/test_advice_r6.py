@@ -153,3 +153,29 @@ def test_canonical_url_is_idempotent(spark):
         canonical_url(F.col("u")).alias("c")
     )
     assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+def test_gopher_rules_on_crafted_text(spark):
+    """Pin the Gopher-rule semantics on text engineered to pass/fail
+    specific rules (the synthetic corpus never trips rule 5, so the
+    crafted cases carry the stop-word and symbol logic)."""
+    from tera_spark.operators.textops import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog have with " * 6).strip()
+    hashy = ("the of " + "#tag " * 60).strip()          # symbol ratio blown
+    short = "the of and"                                 # < 50 words
+    numeric = ("the of " + "123 456 " * 30).strip()      # alpha fraction low
+    df = spark.createDataFrame(
+        [(1, good), (2, hashy), (3, short), (4, numeric)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].keep == 1 and out[1].n_required_stops >= 2
+    assert out[2].keep == 0 and out[2].pass_symbol_ratio == 0
+    assert out[3].keep == 0 and out[3].pass_word_count == 0
+    assert out[4].keep == 0 and out[4].pass_alpha_words == 0
+    # every pass flag is the conjunction input it claims to be
+    r = out[1]
+    assert (
+        r.pass_word_count and r.pass_mean_word_len and r.pass_symbol_ratio
+        and r.pass_alpha_words and r.pass_stop_words
+    )
