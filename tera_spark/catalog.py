@@ -476,6 +476,7 @@ class Catalog:
         # any sweep/rollback below could classify them as dead gaps.
         self._roll_forward_marked(name)
         self._sweep_expired_reservations(name)
+        self._sweep_stale_stage_dirs(name)
         self._retire_dead_gaps(name)  # aborted/dead windows below the mark
         w = self.commit_watermark(name)
         if w is None:
@@ -499,6 +500,23 @@ class Catalog:
             self._add_rollback(name, start - 1, raw)
         # reservations must never hand out seqs inside the torn range
         self._bump_alloc(name, raw, self.writer_id or self._auto_writer_id)
+
+    def _sweep_stale_stage_dirs(self, name: str, *, ttl_s: float = 3600.0) -> None:
+        """Remove `.stage-<uuid>` staging dirs a CRASHED writer left in
+        the table dir (_staged_append stages there before renaming part
+        files into the op-log). They are invisible to every read path —
+        this is disk-dirt hygiene, not correctness — but a long-lived
+        deployment would otherwise accumulate one per crash forever.
+        Age-gated generously: a live writer's staging dir is at most
+        one batch-write old; anything past ttl_s belongs to a writer
+        that died mid-stage."""
+        now = time.time()
+        for d in (self.root / name).glob(".stage-*"):
+            try:
+                if now - d.stat().st_mtime > ttl_s:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                continue
 
     def _observes_dead_state(self, name: str) -> bool:
         """Cheap detector (two directory globs + one lease read, zero

@@ -256,3 +256,28 @@ def _expire_all(root: Path, table: str) -> None:
         rec = json.loads(p.read_text())
         rec["expires"] = time.time() - 1
         p.write_text(json.dumps(rec))
+
+
+def test_stale_stage_dirs_swept_fresh_kept(spark, tmp_path):
+    """A crashed writer's .stage-<uuid> dir is reaped once it ages past
+    the ttl; a FRESH staging dir (a writer mid-batch right now) is
+    never touched."""
+    import os
+
+    root = str(tmp_path / "cat")
+    w = Catalog(spark, root, writer_id="w")
+    w.create_table("t { d }")
+    _committed(w, spark, "t", ["r0"])
+
+    stale = Path(root) / "t" / ".stage-deadbeef"
+    fresh = Path(root) / "t" / ".stage-cafebabe"
+    for d in (stale, fresh):
+        d.mkdir()
+        (d / "part-x.parquet").write_bytes(b"junk")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    r = Catalog(spark, root, writer_id="r")
+    r._recover_tail("t")
+    assert not stale.exists(), "stale staging dir must be reaped"
+    assert fresh.exists(), "fresh staging dir belongs to a live writer"
