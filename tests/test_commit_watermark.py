@@ -839,3 +839,67 @@ def test_lease_live_renewal_survives_concurrent_takeover_probe(tmp_path):
         a.acquire_writer_lease("t", "wa", ttl_s=60)
     b.release_writer_lease("t", "wb")
     assert a.acquire_writer_lease("t", "wa", ttl_s=60)["holder"] == "wa"
+
+
+def test_op_kinds_summary_no_lost_update_two_processes(tmp_path):
+    """The 16-writer smoke's second catch: two concurrent committers
+    racing the rolling op-kinds summary could (a) crash on the shared
+    tmp name and (b) last-write-wins each other, DROPPING a kind and
+    mis-routing a fast fold over a mixed log. Under the round-6 slot
+    lock, interleaved _record_commit calls from two OS processes must
+    union to exactly the full kind set."""
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    root = str(tmp_path / "cat")
+    rounds = 60
+    cat = Catalog(None, root, writer_id="main")
+    (Path(root) / "t").mkdir(parents=True)
+    sync = Path(root) / "sync"
+    sync.mkdir()
+
+    child = textwrap.dedent(
+        f"""
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, {repo!r})
+        from tera_spark.catalog import Catalog
+        cat = Catalog(None, {root!r}, writer_id="child")
+        sync = Path({root!r}) / "sync"
+        for k in range({rounds}):
+            (sync / f"ready-{{k}}").touch()
+            while not (sync / f"go-{{k}}").exists():
+                pass
+            cat._record_commit("t", 2 * k + 1, [7])   # ADD
+        print("DONE", flush=True)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        import time as _time
+
+        for k in range(rounds):
+            deadline = _time.time() + 30
+            while not (sync / f"ready-{k}").exists():
+                assert _time.time() < deadline, "child never ready"
+                assert proc.poll() is None, proc.stdout.read()
+            (sync / f"go-{k}").touch()
+            cat._record_commit("t", 2 * k + 2, [5])   # PUT, racing the ADD
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert cat._op_kinds_union("t") == {5, 7}, cat._op_kinds_union("t")
+    # and the routing consequence: a mixed table must NOT fast-fold
+    assert cat.fold_hints("t") == {}
