@@ -339,3 +339,114 @@ def test_decode_image_dispatches_webp():
     px = _rand_rgba(4, 4)
     d = decode_image(encode_vp8l(4, 4, px))
     assert d["channels"] == 4 and d["pixels"] == px
+
+
+def _write_green_9bit_with(bw: _BitWriter, special: int) -> None:
+    """Green tree: lengths[0..255]=9 and lengths[special]=1 (complete:
+    256/512 + 1/2). Canonical: special -> 0 (1 bit), literal s ->
+    256+s (9 bits). Generalizes the runs encoder's tree to any single
+    control symbol (length prefixes above 0 need it)."""
+    syms = [(9, 0, 0)]
+    remaining = 255
+    while remaining > 0:
+        take = min(6, remaining)
+        syms.append((16, take - 3, 2))
+        remaining -= take
+    gap = special - 256
+    while gap > 0:
+        take = min(gap, 138) if gap >= 11 else gap
+        if take >= 11:
+            syms.append((18, take - 11, 7))
+        else:
+            syms.append((17, take - 3, 3))  # gap in [3,10]
+        gap -= take
+    syms.append((1, 0, 0))
+    _write_clc_coded(bw, {16: 2, 1: 2, 9: 2, 17: 2}, syms)
+
+
+def test_lz77_long_backref_row_copy():
+    """A single backward reference of LENGTH 10 at distance=width (the
+    (0,1) map entry) copies a whole row: exercises the multi-bit
+    length prefix (code 6 + 2 extra bits) and the copy loop."""
+    w, h = 10, 2
+    row = [tuple(int(v) for v in RNG.randint(0, 256, 4)) for _ in range(w)]
+
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no meta
+    bw.write(0, 1)  # no cache
+    # length prefix for 10 is code 6 (offset 9, 2 extra bits, value 1):
+    # green symbol 256 + 6 = 262 at 1 bit, literals at 9
+    _write_green_9bit_with(bw, 262)
+    _write_flat8_code(bw)  # red
+    _write_flat8_code(bw)  # blue
+    _write_flat8_code(bw)  # alpha
+    _write_simple_code(bw, [0])  # dist prefix 0 -> code 1 -> (0,1) = width
+
+    _emit_literal_pixels_9bit(bw, row)
+    bw.write_code(0, 1)  # symbol 262
+    bw.write(1, 2)       # extra bits: length = 9 + 1 = 10
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    for x in range(w):
+        a, r, g, b = row[x]
+        assert tuple(got[0, x]) == (r, g, b, a)
+        assert tuple(got[1, x]) == (r, g, b, a)  # copied row
+
+
+def _emit_literal_pixels_9bit(bw: _BitWriter, argb_pixels) -> None:
+    for (a, r, g, b) in argb_pixels:
+        bw.write_code(256 + g, 9)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+
+
+def test_meta_huffman_two_groups():
+    """Two REAL Huffman groups selected per 4x4 tile: group 0 decodes
+    flat-8 literals, group 1 a two-symbol simple green code — a
+    mis-selected group would garble one half of the image."""
+    w, h = 8, 4  # two 4x4 tiles side by side
+    left = [tuple(int(v) for v in RNG.randint(0, 256, 4)) for _ in range(16)]
+    G0, G1 = 7, 201  # group 1's only green symbols
+
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # meta-huffman present
+    bw.write(0, 3)  # huff_bits = 2 -> 4x4 tiles -> 2x1 tile image
+    bw.write(0, 1)  # tile sub-image: no cache
+    _emit_flat_group(bw)
+    # tile 0 -> group 0, tile 1 -> group 1 (index = red<<8 | green)
+    _emit_literal_pixels(bw, [(0, 0, 0, 0), (0, 0, 1, 0)])
+    bw.write(0, 1)  # main: no cache
+    _emit_flat_group(bw)  # group 0: flat-8 everywhere
+    # group 1: simple 2-symbol green, flat RBA, unused distance
+    _write_simple_code(bw, [G0, G1])
+    _write_flat8_code(bw)
+    _write_flat8_code(bw)
+    _write_flat8_code(bw)
+    _write_simple_code(bw, [0])
+
+    expect = {}
+    k = 0
+    for y in range(h):
+        for x in range(w):
+            if x < 4:  # group 0 tile: full literals
+                a, r, g, b = left[k]
+                k += 1
+                _emit_literal_pixels(bw, [(a, r, g, b)])
+                expect[(y, x)] = (r, g, b, a)
+            else:  # group 1 tile: green from the simple pair
+                g = G0 if (x + y) % 2 == 0 else G1
+                bw.write(0 if g == G0 else 1, 1)  # simple code: 1 bit
+                bw.write_code(11, 8)  # red (flat-8)
+                bw.write_code(22, 8)  # blue
+                bw.write_code(255, 8)  # alpha
+                expect[(y, x)] = (11, g, 22, 255)
+
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    for (y, x), rgba in expect.items():
+        assert tuple(got[y, x]) == rgba, (y, x)
