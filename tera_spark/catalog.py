@@ -1101,7 +1101,9 @@ class Catalog:
                 f"table {name!r} writer lease held by {cur['holder']!r} "
                 f"for {cur['expires'] - now:.0f}s more"
             )
-        if self._try_excl_claim(self.root / name / "writer.lease", holder, ttl_s):
+        if self._try_excl_claim(
+            self.root / name / "writer.lease", holder, ttl_s, renew=True
+        ):
             return {"holder": holder, "expires": now + ttl_s}
         raise WriterFenced(f"table {name!r} lease was just taken")
 
@@ -1183,7 +1185,7 @@ class Catalog:
         return None
 
     @classmethod
-    def _try_excl_claim(cls, p, holder: str, ttl_s: float) -> bool:
+    def _try_excl_claim(cls, p, holder: str, ttl_s: float, *, renew: bool = False) -> bool:
         """One attempt at an exclusive expiring filesystem claim —
         GENERATION-SLOT design (round 6).
 
@@ -1210,10 +1212,15 @@ class Catalog:
         one keeps, deterministically — no ties, names are exclusive),
         then unlinks the superseded lower generations.
 
-        Semantics: returns True iff this process now holds the slot.
-        A live foreign record loses; a live record of OUR OWN holder
-        renews (publishes the next generation); expired/torn records
-        are taken over."""
+        Semantics: returns True iff this call now holds the slot.
+        A live foreign record loses; expired/torn records are taken
+        over. A live record of OUR OWN holder loses by default —
+        same-holder re-entry must keep MUTUAL EXCLUSION for the spin
+        locks (two driver threads share one writer_id; letting both
+        "renew" into the alloc critical section would corrupt the
+        counter) — and renews (publishes the next generation) only
+        when the caller passes ``renew=True`` (the lease path, where
+        the holder is by contract one process refreshing its fence)."""
         import os
         import uuid
 
@@ -1224,12 +1231,9 @@ class Catalog:
                 target = 0
             else:
                 gen, rec = st
-                if (
-                    rec is not None
-                    and rec.get("expires", 0) > time.time()
-                    and rec.get("holder") != holder
-                ):
-                    return False  # live foreign claim
+                if rec is not None and rec.get("expires", 0) > time.time():
+                    if rec.get("holder") != holder or not renew:
+                        return False  # live claim (foreign, or ours sans renew)
                 target = gen + 1
             tgt = p if target == 0 else d / f"{p.name}.g{target}"
             tmp = d / f"{p.name}.w-{uuid.uuid4().hex}"

@@ -903,3 +903,23 @@ def test_op_kinds_summary_no_lost_update_two_processes(tmp_path):
     assert cat._op_kinds_union("t") == {5, 7}, cat._op_kinds_union("t")
     # and the routing consequence: a mixed table must NOT fast-fold
     assert cat.fold_hints("t") == {}
+
+
+def test_slot_lock_same_holder_reentry_loses_without_renew():
+    """Mutual exclusion for the spin locks: a SECOND acquisition by the
+    same holder while its record is live must LOSE (two driver threads
+    share one writer_id — both entering the alloc critical section
+    would corrupt the counter). Only renew=True (the lease path) may
+    supersede its own live record."""
+    import tempfile
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "x.lock"
+        assert Catalog._try_excl_claim(p, "w", 60.0)
+        assert not Catalog._try_excl_claim(p, "w", 60.0)  # re-entry loses
+        assert Catalog._try_excl_claim(p, "w", 60.0, renew=True)  # lease-style
+        Catalog._release_slot(p, "w")
+        assert Catalog._try_excl_claim(p, "w", 60.0)  # fresh after release
