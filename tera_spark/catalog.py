@@ -260,8 +260,14 @@ class Catalog:
             self._write_op_kinds(name, new)
         finally:
             self._release_slot(lock, holder)
+        import uuid
+
         p = d / f"{hi}.json"
-        tmp = d / f"{hi}.json.tmp"
+        # unique tmp: two concurrent roll-forwards of the same marked
+        # window write the SAME record — identical content, so the
+        # double replace is harmless, but a shared tmp name made the
+        # loser crash on FileNotFoundError mid-rename
+        tmp = d / f"{hi}.json.tmp-{uuid.uuid4().hex[:12]}"
         rec: dict = {"seq": int(hi)}
         if lo is not None:
             # the window's low end — lets readers distinguish a GAP

@@ -923,3 +923,45 @@ def test_slot_lock_same_holder_reentry_loses_without_renew():
         assert Catalog._try_excl_claim(p, "w", 60.0, renew=True)  # lease-style
         Catalog._release_slot(p, "w")
         assert Catalog._try_excl_claim(p, "w", 60.0)  # fresh after release
+
+
+def test_reserve_seq_window_threaded_disjoint():
+    """Eight threads on ONE Catalog (one writer_id) hammer the
+    reservation counter: every window must be disjoint — the strict
+    same-holder mutual exclusion the renew flag preserves. (With
+    default-renew semantics, threads sharing the writer_id could all
+    'renew' into the critical section and hand out overlapping
+    windows.)"""
+    import tempfile
+    import threading
+    from pathlib import Path
+
+    from tera_spark.catalog import Catalog
+
+    import json as _json
+
+    with tempfile.TemporaryDirectory() as d:
+        cat = Catalog(None, d, writer_id="one-writer")
+        (Path(d) / "t" / "casmeta").mkdir(parents=True)
+        # pre-seed the counter: the cold-start path reads parquet via
+        # Spark, which this pure-filesystem test deliberately lacks
+        (Path(d) / "t" / "casmeta" / "alloc.json").write_text(_json.dumps({"next": 0}))
+        got: list[tuple[int, int]] = []
+        lock = threading.Lock()
+
+        def worker():
+            for _ in range(25):
+                w = cat._reserve_seq_window("t", 3, "one-writer", ttl_s=60.0)
+                with lock:
+                    got.append(w)
+
+        ts = [threading.Thread(target=worker) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(got) == 200
+        spans = sorted(got)
+        assert all(hi < lo2 for (_, hi), (lo2, _) in zip(spans, spans[1:])), (
+            "overlapping reserved windows"
+        )
