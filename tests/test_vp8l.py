@@ -450,3 +450,85 @@ def test_meta_huffman_two_groups():
     got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 4)
     for (y, x), rgba in expect.items():
         assert tuple(got[y, x]) == rgba, (y, x)
+
+
+def test_backref_copies_insert_into_color_cache():
+    """Spec subtlety: pixels produced by a BACKWARD REFERENCE must be
+    inserted into the color cache exactly like literals. Two colors A
+    and B collide in the 4-bit cache slot; the stream goes
+    literal A, literal B (slot now B), backref copying A (slot must
+    flip back to A), cache-hit — which must decode A. A decoder that
+    skips cache insertion on copies yields B here."""
+    from tera_spark.operators.vp8l import _canonical
+
+    cache_bits = 4
+    A = (0xFF, 10, 20, 30)   # (a, r, g, b) — slot 8
+    B = (0xFF, 0, 40, 50)    # same slot 8
+    argb = lambda c: (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+    s = ((argb(A) * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)
+    assert s == ((argb(B) * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    w, h = 4, 1
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no meta
+    bw.write(1, 1)  # color cache
+    bw.write(cache_bits, 4)
+    # green tree: literals 0..255 at 9 bits (Kraft 1/2) + symbol 256
+    # (length prefix 0 -> copy len 1) and the cache symbol 280+s at
+    # 2 bits each (1/4 + 1/4) -> complete
+    lengths = {i: 9 for i in range(256)}
+    lengths[256] = 2
+    lengths[280 + s] = 2
+    syms = [(9, 0, 0)]
+    rem = 255
+    while rem > 0:
+        take = min(6, rem)
+        syms.append((16, take - 3, 2))
+        rem -= take
+    syms.append((2, 0, 0))        # lengths[256] = 2
+    gap = 280 + s - 257           # zeros between 257 and the cache sym
+    while gap > 0:
+        take = min(gap, 138) if gap >= 11 else gap
+        if take >= 11:
+            syms.append((18, take - 11, 7))
+        else:
+            syms.append((17, take - 3, 3))
+        gap -= take
+    syms.append((2, 0, 0))        # lengths[280+s] = 2
+    _write_clc_coded(bw, {9: 2, 16: 2, 2: 2, 17: 3, 18: 3}, syms)
+    _write_flat8_code(bw)  # red
+    _write_flat8_code(bw)  # blue
+    _write_flat8_code(bw)  # alpha
+    # distance needed: plain distance 2 (px2 copies px0). Short codes
+    # 1..120 are the 2D map; plain distances are dist_code 120+d, so
+    # dist_code = 122 -> prefix code 13 with 5 extra bits (value 25).
+    _write_simple_code(bw, [13])
+    codes = _canonical(lengths)
+
+    def green(sym):
+        bw.write_code(*codes[sym])
+
+    # pixels: A literal, B literal, copy distance 2 (px0=A), cache hit
+    def lit(c):
+        a, r, g, b = c
+        green(g)
+        bw.write_code(r, 8)
+        bw.write_code(b, 8)
+        bw.write_code(a, 8)
+
+    lit(A)
+    lit(B)
+    green(256)  # copy length 1 (prefix 0, no extra bits)
+    bw.write(25, 5)  # distance extra bits: dist_code 96+25+1 = 122 -> distance 2
+    green(280 + s)  # cache hit: must be A (copy re-inserted it)
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(w, 4)
+    exp = lambda c: (c[1], c[2], c[3], c[0])
+    assert tuple(got[0]) == exp(A)
+    assert tuple(got[1]) == exp(B)
+    assert tuple(got[2]) == exp(A), "backref must copy A from distance 2"
+    assert tuple(got[3]) == exp(A), (
+        "cache hit after the copy must see A — copies insert into the cache"
+    )
