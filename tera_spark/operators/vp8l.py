@@ -123,9 +123,13 @@ def _read_code_lengths(br: _BitReader, alphabet_size: int) -> list[int]:
         first_8 = br.read(1)
         lengths = [0] * alphabet_size
         s0 = br.read(8 if first_8 else 1)
+        if s0 >= alphabet_size:
+            raise ValueError("VP8L: simple-code symbol out of alphabet")
         lengths[s0] = 1
         if n_syms == 2:
             s1 = br.read(8)
+            if s1 >= alphabet_size:
+                raise ValueError("VP8L: simple-code symbol out of alphabet")
             lengths[s1] = 1
         return lengths
     # code-length code

@@ -532,3 +532,37 @@ def test_backref_copies_insert_into_color_cache():
     assert tuple(got[3]) == exp(A), (
         "cache hit after the copy must see A — copies insert into the cache"
     )
+
+
+def test_decoder_survives_corruption_fuzz():
+    """Crawl robustness: corrupt/truncated VP8L payloads must fail
+    with a TYPED error (ValueError / NotImplementedError), never an
+    IndexError/KeyError/hang — a 100 TB crawl WILL contain garbage
+    with valid magics. 300 single-byte corruptions + 60 truncations of
+    a valid file, plus pure-noise bodies."""
+    px = _rand_rgba(9, 7)
+    good = bytearray(encode_vp8l(9, 7, px))
+    rng = np.random.RandomState(99)
+    allowed = (ValueError, NotImplementedError)
+    for _ in range(300):
+        buf = bytearray(good)
+        i = int(rng.randint(12, len(buf)))  # keep the RIFF magic intact
+        buf[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            d = decode_webp(bytes(buf))
+            assert isinstance(d["pixels"], bytes)  # harmless flip: fine
+        except allowed:
+            pass
+    for _ in range(60):
+        cut = int(rng.randint(13, len(good)))
+        try:
+            decode_webp(bytes(good[:cut]))
+        except allowed:
+            pass
+    for _ in range(30):
+        body = bytes(rng.randint(0, 256, int(rng.randint(1, 400)), dtype=np.uint8))
+        payload = b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body
+        try:
+            decode_webp(payload)
+        except allowed:
+            pass
