@@ -120,6 +120,8 @@ def decode_gif(payload: bytes) -> dict:
     if payload[:6] not in GIF_MAGIC:
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if sw * sh > (1 << 26):
+        raise ValueError(f"GIF dimensions {sw}x{sh} exceed the decode cap")
     pos = 13
     gct = None
     if packed & 0x80:

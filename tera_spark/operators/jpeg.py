@@ -275,6 +275,8 @@ def decode_jpeg(payload: bytes) -> dict:
             if body[0] != 8:
                 raise NotImplementedError("non-8-bit precision")
             height, width = struct.unpack(">HH", body[1:5])
+            if height * width > (1 << 26):
+                raise ValueError(f"JPEG dimensions {width}x{height} exceed the decode cap")
             n = body[5]
             comps = []
             for c in range(n):

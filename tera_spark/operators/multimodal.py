@@ -39,6 +39,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+# Decode hardening: a 100 TB crawl contains corrupt payloads with
+# valid magics. Every decode failure at the dispatch boundary is a
+# TYPED error (ValueError / NotImplementedError) — low-level slips
+# (zlib.error, struct.error, IndexError, KeyError, StopIteration)
+# from a corrupted bitstream re-raise as ValueError so mapInPandas
+# error handling and tests can rely on one contract. Decoders also
+# cap header-claimed dimensions (MAX_DECODE_PIXELS) so a corrupt
+# size field cannot allocate unbounded buffers.
+MAX_DECODE_PIXELS = 1 << 26  # 64M pixels = 256 MB RGBA
+
+
+def _typed_decode(fmt: str, fn, *args):
+    try:
+        return fn(*args)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, StopIteration, OverflowError, EOFError,
+            TypeError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt {fmt} payload: {type(e).__name__}: {e}") from e
+
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -88,6 +110,8 @@ def decode_png(payload: bytes) -> dict:
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(f"PNG dimensions {w}x{h} exceed the decode cap")
             if depth != 8 or ctype not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG depth={depth} color_type={ctype}")
             if interlace:
@@ -160,7 +184,10 @@ def decode_wav(payload: bytes) -> dict:
             rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
             nframes = w.getnframes()
             frames = w.readframes(nframes)
-    except wave.Error:
+    except (wave.Error, RuntimeError, EOFError):
+        # wave.py raises a BARE RuntimeError seeking past a corrupt
+        # chunk size — a corrupt-payload signal here, so fall through
+        # to the manual RIFF walk, which fails with typed errors
         return _decode_wav_riff(bytes(payload))
     if width != 2:
         raise NotImplementedError(f"WAV sample width {width}")
@@ -255,19 +282,19 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
     deterministic stand-in derives pseudo-dimensions from the bytes
     and uses the payload itself as the 'pixels'."""
     if payload[:8] == PNG_MAGIC:
-        return decode_png(payload)
+        return _typed_decode("PNG", decode_png, payload)
     if payload[:3] == JPEG_MAGIC:
         from tera_spark.operators.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
+        return _typed_decode("JPEG", decode_jpeg, payload)
     if payload[:6] in GIF_MAGICS:
         from tera_spark.operators.gif import decode_gif
 
-        return decode_gif(payload)
+        return _typed_decode("GIF", decode_gif, payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from tera_spark.operators.vp8l import decode_webp
 
-        return decode_webp(payload)
+        return _typed_decode("WebP", decode_webp, payload)
     if not fake:
         raise NotImplementedError(
             "image codecs beyond PNG/baseline-JPEG/GIF/WebP-lossless "
@@ -288,7 +315,7 @@ def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
     they raise unless ``fake=True`` (deterministic rate/sample-count
     stand-in derived from the bytes)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return decode_wav(payload)
+        return _typed_decode("WAV", decode_wav, payload)
     if not fake:
         raise NotImplementedError("non-WAV audio codecs not available in this container")
     n = len(payload)

@@ -422,6 +422,8 @@ def decode_vp8l(payload: bytes) -> dict:
         raise ValueError("VP8L: bad signature")
     width = br.read(14) + 1
     height = br.read(14) + 1
+    if width * height > (1 << 26):
+        raise ValueError(f"VP8L dimensions {width}x{height} exceed the decode cap")
     br.read(1)  # alpha-is-used hint
     if br.read(3) != 0:
         raise ValueError("VP8L: unsupported version")

@@ -521,3 +521,75 @@ def test_synth_mulaw_formulas(spark):
         assert r.amp_sum == sum(
             abs(mulaw_expand((did * 31 + i * 7) % 256)) for i in range(cnt)
         )
+
+
+def test_all_codecs_fail_typed_on_corruption():
+    """Crawl robustness across the whole codec tier: bit-flipped and
+    truncated payloads with valid magics must fail with TYPED errors
+    (ValueError/NotImplementedError/EOFError) — never IndexError /
+    KeyError / zlib.error / wave's bare RuntimeError escaping the
+    decode boundary. (Round 6: _typed_decode dispatch + per-decoder
+    dimension caps; found live holes in PNG/JPEG/GIF/WAV.)"""
+    import numpy as np
+
+    from tera_spark.operators.gif import encode_gif_gray
+    from tera_spark.operators.jpeg import encode_jpeg_gray
+    from tera_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+    from tera_spark.operators.video import decode_y4m, encode_y4m_gray
+    from tera_spark.operators.vp8l import encode_vp8l
+
+    rng = np.random.RandomState(77)
+    w, h = 12, 9
+    gray = bytes(int(x) for x in rng.randint(0, 256, w * h))
+    rgba = bytes(int(x) for x in rng.randint(0, 256, w * h * 4))
+    frames = [bytes((f * 19 + i * 7) % 256 for i in range(w * h)) for f in range(2)]
+    cases = [
+        (encode_png_gray(w, h, gray), decode_image, 8),
+        (encode_jpeg_gray(w, h, gray), decode_image, 3),
+        (encode_gif_gray(w, h, gray), decode_image, 6),
+        (encode_vp8l(w, h, rgba), decode_image, 12),
+        (encode_wav_pcm16(8000, [90, -90] * 200), decode_audio, 12),
+        (encode_y4m_gray(w, h, frames), decode_y4m, 9),
+    ]
+    allowed = (ValueError, NotImplementedError, EOFError)
+    for good, dec, start in cases:
+        for _ in range(250):
+            buf = bytearray(good)
+            i = int(rng.randint(start, len(buf)))
+            buf[i] ^= 1 << int(rng.randint(0, 8))
+            try:
+                dec(bytes(buf))
+            except allowed:
+                pass
+        for _ in range(60):
+            cut = int(rng.randint(start + 1, len(good)))
+            try:
+                dec(bytes(good[:cut]))
+            except allowed:
+                pass
+
+
+def test_decode_dimension_caps():
+    """A corrupt header claiming absurd dimensions must refuse BEFORE
+    allocating (the 64M-pixel cap), not OOM."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from tera_spark.operators.multimodal import PNG_MAGIC, decode_image
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 0, 0, 0, 0)  # 1G pixels
+    evil = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="cap"):
+        decode_image(evil)
