@@ -655,7 +655,9 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         return F.floor(x * 1_000_000).cast("double") / 1_000_000
 
     sum_wl = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),  # long accumulator: a multi-GB doc's
+        lambda a, x: a + x,     # char count overflows int32 under ANSI
     )
     mean_wl = trunc6(sum_wl.cast("double") / F.greatest(wc, F.lit(1)))
     n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
