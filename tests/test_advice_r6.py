@@ -179,3 +179,42 @@ def test_gopher_rules_on_crafted_text(spark):
         r.pass_word_count and r.pass_mean_word_len and r.pass_symbol_ratio
         and r.pass_alpha_words and r.pass_stop_words
     )
+
+
+def test_canonical_url_twin_fuzz(spark):
+    """Randomized twin parity: 250 structured-random URLs plus
+    degenerate strings must canonicalize IDENTICALLY in Spark (Java
+    regex) and DuckDB (RE2) — dialect divergence here would silently
+    split dedup groups between the engine and its oracle."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tera_spark.functions.text import canonical_url, sql_canonical_url
+
+    rng = np.random.RandomState(42)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", "a+b-c"]
+    hosts = ["Ex.COM", "www.ex.com", "WWW.a.b.ORG", "ex.com:80",
+             "ex.com:443", "ex.com:8080", "x"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a//b///", "/%7Euser", "/a.b"]
+    params = ["", "a=1", "utm_source=x", "b=2&a=1", "fbclid=9&z=0",
+              "ref=h&a=", "a", "=v", "a=1&a=0", "gclid=", "utm_=1", "xutm_a=1"]
+    frags = ["", "#f", "#a?b=1", "##"]
+    urls = []
+    for _ in range(250):
+        u = (schemes[rng.randint(len(schemes))] + "://"
+             + hosts[rng.randint(len(hosts))] + paths[rng.randint(len(paths))])
+        q = params[rng.randint(len(params))]
+        if q:
+            u += "?" + q
+        u += frags[rng.randint(len(frags))]
+        urls.append(u)
+    urls += ["", "notaurl", "://nohost", "http://", "http:///path",
+             "http://h?#", "http://h?&&&"]
+
+    sp = [r.c for r in spark.createDataFrame([(u,) for u in urls], "u string")
+          .select(canonical_url(F.col("u")).alias("c")).collect()]
+    con = duckdb.connect()
+    for u, s in zip(urls, sp):
+        lit = "'" + u.replace("'", "''") + "'"
+        assert s == con.execute(f"select {sql_canonical_url(lit)}").fetchone()[0], u
