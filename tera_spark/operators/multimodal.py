@@ -323,15 +323,37 @@ def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
     return {"sample_rate": rate, "n_samples": n * 256, "channels": 1, "samples": ()}
 
 
-def extract_features(media: DataFrame, *, fake_decode: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, *, fake_decode: bool = False, on_error: str = "fail"
+) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, one feature
     row per asset out. Partition count is preserved, so upstream
-    repartitioning controls decode parallelism and batch memory."""
+    repartitioning controls decode parallelism and batch memory.
+
+    ``on_error``: a 100 TB crawl WILL contain corrupt payloads behind
+    valid magics. ``"fail"`` (default) keeps strict semantics — the
+    first bad asset fails the task (right for curated fixtures and
+    oracle checks). ``"quarantine"`` converts every TYPED decode error
+    (the _typed_decode contract) into a row with width/height = -1 and
+    n_pixels/pixel_sum = 0, so one garbage asset cannot kill a
+    million-asset task; filter `width >= 0` downstream (byte-level
+    columns stay populated — enough to route the asset to a
+    quarantine sink for inspection)."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
+
+    def decode_or_quarantine(b: bytes) -> dict:
+        if on_error == "fail":
+            return decode_image(b, fake=fake_decode)
+        try:
+            return decode_image(b, fake=fake_decode)
+        except (ValueError, NotImplementedError, EOFError):
+            return {"width": -1, "height": -1, "channels": 0, "pixels": b""}
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"].apply(lambda b: bytes(b) if b is not None else b"")
-            dims = payloads.apply(lambda b: decode_image(b, fake=fake_decode))
+            dims = payloads.apply(decode_or_quarantine)
             out = pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -593,3 +593,30 @@ def test_decode_dimension_caps():
     evil = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="cap"):
         decode_image(evil)
+
+
+def test_extract_features_quarantine_policy(spark):
+    """on_error='quarantine': corrupt assets yield width=-1 rows
+    instead of killing the task; on_error='fail' keeps strict
+    semantics. Byte columns stay populated either way so the asset can
+    be routed to a quarantine sink."""
+    from tera_spark.operators.multimodal import encode_png_gray, extract_features
+
+    good = encode_png_gray(4, 3, bytes(range(12)))
+    bad = good[:40] + bytes(4) + good[44:]  # corrupt the IDAT zlib stream
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(good), None), (2, "image", bytearray(bad), None)],
+        "asset_id long, media_type string, payload binary, meta string",
+    )
+    rows = {r.asset_id: r for r in extract_features(media, on_error="quarantine").collect()}
+    assert rows[1].width == 4 and rows[1].n_pixels == 12
+    assert rows[2].width == -1 and rows[2].n_pixels == 0
+    assert rows[2].n_bytes == len(bad) and rows[2].head_byte == good[0]
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):  # strict mode: the task fails loudly
+        extract_features(media, on_error="fail").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_features(media, on_error="bogus")
