@@ -566,3 +566,60 @@ def test_decoder_survives_corruption_fuzz():
             decode_webp(payload)
         except allowed:
             pass
+
+
+def test_stacked_transforms_reverse_order():
+    """Real libwebp files stack transforms (typically PREDICTOR +
+    SUBTRACT_GREEN). The spec inverts them in REVERSE bitstream order:
+    with [P, SG] in the stream, decode applies SG-inverse first, then
+    P-inverse — so the forward crafting here is residual = P_fwd(target)
+    followed by coded = SG_fwd(residual). A decoder inverting in read
+    order garbles every pixel."""
+    w, h = 6, 5
+    mode = 2  # T predictor: simple forward
+    target = _rand_argb(w, h)
+
+    def px(y, x):
+        return target[y][x]
+
+    residuals = []
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = px(0, x - 1)
+            elif x == 0:
+                pred = px(y - 1, 0)
+            else:
+                pred = px(y - 1, x)  # mode 2 = T
+            residuals.append(
+                tuple((target[y][x][i] - pred[i]) & 0xFF for i in range(4))
+            )
+    # subtract-green forward on the RESIDUALS (a, r, g, b working order)
+    coded = [
+        (a, (r - g) & 0xFF, g, (b - g) & 0xFF) for (a, r, g, b) in residuals
+    ]
+
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1)  # transform 1: PREDICTOR
+    bw.write(0, 2)
+    bw.write(3 - 2, 3)  # bits=3 -> one tile
+    bw.write(0, 1)  # sub-image: no cache
+    _emit_flat_group(bw)
+    _emit_literal_pixels(bw, [(0, 0, mode, 0)])
+    bw.write(1, 1)  # transform 2: SUBTRACT_GREEN
+    bw.write(2, 2)
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no meta
+    bw.write(0, 1)  # no cache
+    _emit_flat_group(bw)
+    _emit_literal_pixels(bw, coded)
+
+    d = decode_webp(_finish(bw))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    for y in range(h):
+        for x in range(w):
+            a, r, g, b = target[y][x]
+            assert tuple(got[y, x]) == (r, g, b, a), (y, x)
