@@ -92,7 +92,7 @@ class Catalog:
         if tdir.exists():
             raise ValueError(f"table exists: {schema.name}")
         (tdir / "snapshots").mkdir(parents=True)
-        (tdir / "schema.json").write_text(schema.to_json())
+        self._write_schema(tdir, schema)
         # seed an empty op-log so readers never hit PATH_NOT_FOUND
         from tera_spark.model import KV_OPLOG_SCHEMA
 
@@ -147,7 +147,17 @@ class Catalog:
         tdir = self.root / schema.name
         if not tdir.exists():
             raise ValueError(f"no such table: {schema.name}")
-        (tdir / "schema.json").write_text(schema.to_json())
+        # atomic replace: this is an ONLINE change — a concurrent reader
+        # opening schema.json mid-write_text would parse a torn file
+        self._write_schema(tdir, schema)
+
+    @staticmethod
+    def _write_schema(tdir, schema) -> None:
+        import uuid
+
+        tmp = tdir / f".schema.json.tmp-{uuid.uuid4().hex[:12]}"
+        tmp.write_text(schema.to_json())
+        tmp.replace(tdir / "schema.json")
 
     # --- data paths ---------------------------------------------------
     def oplog_path(self, name: str) -> str:
@@ -951,9 +961,10 @@ class Catalog:
         )
         if top is None or top <= snap_seq:
             return
-        ranges = self._rollbacks(name)
-        ranges.append({"after": int(snap_seq), "upto": int(top)})
-        (self.root / name / "rollbacks.json").write_text(json.dumps(ranges))
+        # through the locked read-modify-write: a concurrent recovery's
+        # _add_rollback must not be last-write-wins erased (and vice
+        # versa) — a lost range would resurface rolled-back rows
+        self._add_rollback(name, int(snap_seq), int(top))
 
     def compact_ranges(self, name: str, *, now_us: int | None = None) -> dict:
         """Selective (minor) compaction: fold only the row-key ranges
