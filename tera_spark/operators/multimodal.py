@@ -16,10 +16,13 @@ Two codec tiers:
   whose magic bytes identify one of these containers decodes for real
   — pixels/samples out, no fakery.
 * STUBBED: formats needing a full transform codec (progressive/
-  arithmetic JPEG, lossy VP8, MP3, ...) raise NotImplementedError
-  unless ``fake=True``, in which case a deterministic fake derived
-  from the raw bytes stands in (keeps fixtures oracle-checkable
-  without binary assets).
+  arithmetic JPEG, lossy VP8, MP3 *samples*, ...) raise
+  NotImplementedError unless ``fake=True``, in which case a
+  deterministic fake derived from the raw bytes stands in (keeps
+  fixtures oracle-checkable without binary assets). MP3 *container
+  metadata* (frame walk, duration, CBR/VBR, ID3 tags) is REAL —
+  operators/mp3.py — because crawl triage needs the header walk,
+  not the filterbank.
 
 Everything around the codecs — schema, Arrow batch iteration,
 partition-size control, UDF signatures — is the production Spark
@@ -953,3 +956,142 @@ def synth_wav_media(docs: DataFrame, *, id_col: str = "doc_id", size_col: str = 
 
     base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
     return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------- MP3
+
+# Fixture formulas (id = doc_id, n = n_chars, i = frame index) — the
+# oracle replays these in SQL, so a parser bug cannot cancel an
+# encoder bug:
+MP3_FRAMES = "30 + (n % 40)"
+MP3_SR_IDX = "id % 3"  # -> [44100, 48000, 32000]
+MP3_BR_IDX = "1 + ((id + i*3) % 14) if id % 2 == 0 else 1 + (id % 14)"
+MP3_PAD = "i % 2"
+MP3_ID3V2 = "3 * (id % 17) payload bytes unless id % 3 == 0 (no tag)"
+MP3_ID3V1 = "id % 5 == 0"
+
+
+def synth_mp3_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode one real MPEG-1 Layer III stream per row (MP3_* formulas):
+    even ids are VBR with an encoder-standard Xing tag, odd ids CBR
+    with an Info tag; ID3v2 prefix and ID3v1 trailer presence vary by
+    id so the parser's tag handling is exercised across the corpus."""
+    from tera_spark.operators.mp3 import encode_mp3
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["id"], pdf["n"]):
+                did, n = int(did), int(n)
+                nf = 30 + n % 40
+                vbr = did % 2 == 0
+                frames = [
+                    (1 + ((did + i * 3) % 14) if vbr else 1 + (did % 14), i % 2)
+                    for i in range(nf)
+                ]
+                payloads.append(
+                    encode_mp3(
+                        frames,
+                        did % 3,
+                        id3v2_payload=None if did % 3 == 0 else 3 * (did % 17),
+                        id3v1=did % 5 == 0,
+                        vbr_tag=b"Xing" if vbr else b"Info",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+MP3_META_SCHEMA = (
+    "asset_id long, n_bytes long, n_frames long, sample_rate int, "
+    "duration_ms long, mode string, avg_kbps long, id3v2_bytes long, "
+    "has_id3v1 int, vbr_tag string"
+)
+
+
+def extract_mp3_metadata(media: DataFrame, *, on_error: str = "fail") -> DataFrame:
+    """mapInPandas MP3 container-metadata extraction (operators/mp3.py
+    frame-header walk) — same partition-preserving Arrow-batch shape
+    as the image path; payloads never cross a shuffle. ``on_error=
+    'quarantine'`` maps TYPED parse errors to n_frames = -1 rows
+    instead of failing the task (crawl-garbage policy, mirroring
+    extract_features)."""
+    from tera_spark.operators.mp3 import parse_mp3
+
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
+
+    _bad = {
+        "n_frames": -1, "sample_rate": 0, "duration_ms": 0, "mode": "",
+        "avg_kbps": 0, "id3v2_bytes": 0, "has_id3v1": False, "vbr_tag": "",
+    }
+
+    def parse_or_quarantine(b: bytes) -> dict:
+        if on_error == "fail":
+            return parse_mp3(b)
+        try:
+            return parse_mp3(b)
+        except (ValueError, NotImplementedError, EOFError):
+            return _bad
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].apply(lambda b: bytes(b) if b is not None else b"")
+            meta = payloads.apply(parse_or_quarantine)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.apply(len).astype("int64"),
+                    "n_frames": meta.apply(lambda d: d["n_frames"]).astype("int64"),
+                    "sample_rate": meta.apply(lambda d: d["sample_rate"]).astype("int32"),
+                    "duration_ms": meta.apply(lambda d: d["duration_ms"]).astype("int64"),
+                    "mode": meta.apply(lambda d: d["mode"]),
+                    "avg_kbps": meta.apply(lambda d: d["avg_kbps"]).astype("int64"),
+                    "id3v2_bytes": meta.apply(lambda d: d["id3v2_bytes"]).astype("int64"),
+                    "has_id3v1": meta.apply(lambda d: int(d["has_id3v1"])).astype("int32"),
+                    "vbr_tag": meta.apply(lambda d: d["vbr_tag"]),
+                }
+            )
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(op, schema=MP3_META_SCHEMA)
+
+
+# ------------------------------------------------- container sniffing
+
+def sniff_format_col(payload_col: str = "payload"):
+    """Magic-byte container triage as a pure JVM expression Column —
+    the first stage of any multimodal crawl pipeline runs before any
+    Python decode, inside whole-stage codegen. Matches the containers
+    this engine decodes (png/jpeg/gif/webp/wav/y4m/mp3) plus
+    'unknown'; RIFF is disambiguated on bytes 9-12, MP3 on either an
+    ID3v2 prefix or a raw 11-bit frame sync."""
+    head = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 12)")))
+    riff_kind = F.upper(F.hex(F.expr(f"substring({payload_col}, 9, 4)")))
+    return (
+        F.when(head.startswith("89504E470D0A1A0A"), "png")
+        .when(head.startswith("FFD8FF"), "jpeg")
+        .when(head.startswith("474946383761") | head.startswith("474946383961"), "gif")
+        .when(head.startswith("52494646") & (riff_kind == "57454250"), "webp")
+        .when(head.startswith("52494646") & (riff_kind == "57415645"), "wav")
+        .when(head.startswith("595556344D504547"), "y4m")  # "YUV4MPEG"
+        .when(head.startswith("494433") | head.rlike("^FF[EF]"), "mp3")
+        .otherwise("unknown")
+    )
+
+
+def sniff_formats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach a ``format`` column from the payload's magic bytes."""
+    return media.withColumn("format", sniff_format_col(payload_col))

@@ -3643,3 +3643,105 @@ def ann_embedding_health(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "multimodal_mp3_metadata",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 30 + (n_chars % 40) AS nf,
+             [44100,48000,32000][(doc_id % 3) + 1] AS rate,
+             CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 10 + 3 * (doc_id % 17) END AS id3v2,
+             CASE WHEN doc_id % 5 = 0 THEN 128 ELSE 0 END AS id3v1
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    fr AS (
+      SELECT id, nf, rate, id3v2, id3v1, i,
+             [32,40,48,56,64,80,96,112,128,160,192,224,256,320][
+               CASE WHEN id % 2 = 0 THEN 1 + ((id + i*3) % 14) ELSE 1 + (id % 14) END
+             ] AS kbps,
+             i % 2 AS pad
+      FROM m, unnest(range(0, nf)) AS t(i)
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(id3v2 + id3v1 + sum(144000 * kbps // rate + pad) AS bigint) AS n_bytes,
+           cast(nf AS bigint) AS n_frames,
+           cast(rate AS int) AS sample_rate,
+           cast(nf * 1152 * 1000 // rate AS bigint) AS duration_ms,
+           CASE WHEN id % 2 = 0 THEN 'vbr' ELSE 'cbr' END AS mode,
+           cast(sum(kbps) // nf AS bigint) AS avg_kbps,
+           cast(id3v2 AS bigint) AS id3v2_bytes,
+           cast(id % 5 = 0 AS int) AS has_id3v1,
+           CASE WHEN id % 2 = 0 THEN 'Xing' ELSE 'Info' END AS vbr_tag
+    FROM fr GROUP BY id, nf, rate, id3v2, id3v1
+    """,
+)
+def multimodal_mp3_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL MP3 container-metadata walk end-to-end: one genuine MPEG-1
+    Layer III stream per document (operators/mp3.py encode_mp3, MP3_*
+    formulas — even ids VBR+Xing, odd CBR+Info, ID3v2 prefix and
+    ID3v1 trailer presence varying by id), re-parsed by the frame-sync
+    walk inside the Arrow-batched extractor. The oracle replays frame
+    sizes from the spec arithmetic (144000·kbps//rate + padding) and
+    the bitrate table as SQL — n_bytes pins every frame boundary, so a
+    walk that loses sync or mis-sizes one frame cannot hash-match."""
+    from tera_spark.operators.multimodal import extract_mp3_metadata, synth_mp3_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 13 == 0)
+    return extract_mp3_metadata(synth_mp3_media(docs))
+
+
+@query(
+    "multimodal_format_sniff",
+    """
+    SELECT CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' WHEN 3 THEN 'webp' WHEN 4 THEN 'wav'
+                WHEN 5 THEN 'y4m' WHEN 6 THEN 'mp3' ELSE 'unknown'
+           END AS format,
+           cast(count(*) AS bigint) AS n_assets,
+           cast(min(doc_id) AS bigint) AS first_id,
+           cast(max(doc_id) AS bigint) AS last_id
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_format_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Container triage census — the first stage of a multimodal crawl
+    pipeline. Every document is routed by id to one of the seven REAL
+    fixture encoders (PNG/JPEG/GIF/WebP/WAV/Y4M/MP3) or to garbage
+    bytes, and the magic-byte sniffer (pure JVM expressions, no
+    Python) must put each payload back in its encoder's class — the
+    oracle knows the routing, so one mis-sniffed container breaks the
+    census counts. Map-only over payloads + an 8-group agg; payloads
+    never shuffle (the agg carries only the format string)."""
+    from functools import reduce
+
+    from tera_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sniff_formats,
+        synth_gif_media,
+        synth_jpeg_media,
+        synth_mp3_media,
+        synth_png_media,
+        synth_wav_media,
+        synth_webp_media,
+        synth_y4m_media,
+    )
+
+    docs = load(spark, sf, "documents")
+    synths = [
+        synth_png_media, synth_jpeg_media, synth_gif_media, synth_webp_media,
+        synth_wav_media, synth_y4m_media, synth_mp3_media,
+    ]
+    parts = [fn(docs.filter(F.col("doc_id") % 8 == k)) for k, fn in enumerate(synths)]
+    garbage = docs.filter(F.col("doc_id") % 8 == 7).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("unknown").alias("media_type"),
+        F.expr("unhex('00DEADBEEF00112233')").alias("payload"),
+        F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    media = reduce(DataFrame.unionByName, parts + [garbage])
+    return sniff_formats(media).groupBy("format").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.min("asset_id").cast("long").alias("first_id"),
+        F.max("asset_id").cast("long").alias("last_id"),
+    )

@@ -1,0 +1,187 @@
+"""MP3 container-metadata walk (operators/mp3.py): spec arithmetic,
+tag handling, typed corruption contract, and the JVM magic-byte
+sniffer + quarantine plumbing on Spark."""
+
+from __future__ import annotations
+
+import pytest
+
+from tera_spark.operators.mp3 import (
+    BITRATE_KBPS,
+    SAMPLE_RATES,
+    encode_mp3,
+    frame_length,
+    parse_mp3,
+)
+
+
+def test_cbr_roundtrip_exact_fields():
+    frames = [(9, 0)] * 12  # 128 kbps, no padding
+    p = encode_mp3(frames, 0)  # 44100
+    m = parse_mp3(p)
+    assert m["n_frames"] == 12
+    assert m["sample_rate"] == 44100
+    assert m["mode"] == "cbr"
+    assert m["avg_kbps"] == 128
+    assert m["duration_ms"] == 12 * 1152 * 1000 // 44100
+    assert m["id3v2_bytes"] == 0 and not m["has_id3v1"] and m["vbr_tag"] == ""
+    assert len(p) == 12 * frame_length(128, 44100, 0)
+
+
+def test_vbr_padding_and_tags():
+    frames = [(1, 1), (14, 0), (5, 1)]  # 32/320/64 kbps
+    p = encode_mp3(frames, 1, id3v2_payload=33, id3v1=True, vbr_tag=b"Xing")
+    m = parse_mp3(p)
+    assert m["n_frames"] == 3
+    assert m["sample_rate"] == 48000
+    assert m["mode"] == "vbr"
+    assert m["avg_kbps"] == (32 + 320 + 64) // 3
+    assert m["id3v2_bytes"] == 43  # 10-byte header + payload
+    assert m["has_id3v1"]
+    assert m["vbr_tag"] == "Xing"
+    want = 43 + 128 + sum(frame_length(BITRATE_KBPS[b], 48000, pad) for b, pad in frames)
+    assert len(p) == want
+
+
+def test_info_tag_detected_cbr():
+    p = encode_mp3([(3, 0)] * 4, 2, vbr_tag=b"Info")
+    m = parse_mp3(p)
+    assert m["vbr_tag"] == "Info" and m["mode"] == "cbr"
+    assert m["sample_rate"] == 32000
+
+
+def test_frame_length_spec_table():
+    # hand-checked values of floor(144*bitrate/rate)+pad
+    assert frame_length(128, 44100, 0) == 417
+    assert frame_length(128, 44100, 1) == 418
+    assert frame_length(32, 48000, 0) == 96
+    assert frame_length(320, 32000, 1) == 1441
+
+
+def test_id3v2_syncsafe_size_skipped():
+    # payload 200 crosses the 7-bit boundary (needs two syncsafe bytes)
+    p = encode_mp3([(2, 0)] * 2, 0, id3v2_payload=200)
+    m = parse_mp3(p)
+    assert m["id3v2_bytes"] == 210 and m["n_frames"] == 2
+
+
+@pytest.mark.parametrize(
+    "mutate,err",
+    [
+        (lambda p: p[:10], ValueError),  # frames truncated away entirely
+        (lambda p: b"\x00" + p[1:], ValueError),  # lost sync
+        (lambda p: p[:1] + bytes([p[1] & ~0x08]) + p[2:], NotImplementedError),  # MPEG-2
+        (lambda p: p[:1] + bytes([(p[1] & ~0x06) | 0x06]) + p[2:], NotImplementedError),  # Layer I
+        (lambda p: p[:2] + bytes([0x0F << 4 | (p[2] & 0x0F)]) + p[3:], ValueError),  # bad bitrate
+        (lambda p: p[:2] + bytes([p[2] & 0x0F]) + p[3:], NotImplementedError),  # free format
+        (lambda p: p[:2] + bytes([(p[2] & ~0x0C) | 0x0C]) + p[3:], ValueError),  # reserved rate
+        (lambda p: p[:-5], ValueError),  # truncated final frame
+        (lambda p: p + b"\x01\x02", ValueError),  # trailing garbage
+    ],
+)
+def test_corruption_contract_is_typed(mutate, err):
+    p = encode_mp3([(9, 0)] * 3, 0)
+    with pytest.raises(err):
+        parse_mp3(mutate(p))
+
+
+def test_id3v2_nonsyncsafe_and_oversized_rejected():
+    p = encode_mp3([(9, 0)] * 2, 0, id3v2_payload=5)
+    bad = p[:6] + b"\x80" + p[7:]
+    with pytest.raises(ValueError):
+        parse_mp3(bad)
+    huge = p[:6] + b"\x7f\x7f\x7f\x7f" + p[10:]
+    with pytest.raises(ValueError):
+        parse_mp3(huge)
+
+
+def test_sample_rate_change_midstream_rejected():
+    a = encode_mp3([(9, 0)], 0)
+    b = encode_mp3([(9, 0)], 1)
+    with pytest.raises(ValueError):
+        parse_mp3(a + b)
+
+
+def test_empty_stream_rejected():
+    with pytest.raises(ValueError):
+        parse_mp3(b"")
+
+
+def test_extract_and_sniff_on_spark(spark):
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.multimodal import (
+        extract_mp3_metadata,
+        sniff_formats,
+        synth_mp3_media,
+    )
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 37 % 211).alias("n_chars")
+    )
+    media = synth_mp3_media(docs)
+    sniffed = {r["format"] for r in sniff_formats(media).select("format").collect()}
+    assert sniffed == {"mp3"}
+
+    rows = {r["asset_id"]: r for r in extract_mp3_metadata(media).collect()}
+    assert len(rows) == 40
+    for did, r in rows.items():
+        n = did * 37 % 211
+        assert r["n_frames"] == 30 + n % 40
+        assert r["sample_rate"] == SAMPLE_RATES[did % 3]
+        assert r["mode"] == ("vbr" if did % 2 == 0 else "cbr")
+        assert r["vbr_tag"] == ("Xing" if did % 2 == 0 else "Info")
+        assert r["has_id3v1"] == int(did % 5 == 0)
+
+
+def test_quarantine_policy_on_garbage(spark):
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.multimodal import extract_mp3_metadata, synth_mp3_media
+
+    docs = spark.range(0, 6).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("n_chars")
+    )
+    media = synth_mp3_media(docs).withColumn(
+        "payload",
+        F.when(F.col("asset_id") % 2 == 0, F.expr("unhex('00DEADBEEF')")).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = extract_mp3_metadata(media, on_error="quarantine").collect()
+    bad = [r for r in out if r["n_frames"] == -1]
+    good = [r for r in out if r["n_frames"] > 0]
+    assert len(bad) == 3 and len(good) == 3
+    with pytest.raises(Exception):
+        extract_mp3_metadata(media, on_error="fail").collect()
+    with pytest.raises(ValueError):
+        extract_mp3_metadata(media, on_error="bogus")
+
+
+def test_sniffer_classifies_every_magic(spark):
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.multimodal import sniff_format_col
+
+    cases = [
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "png"),
+        (b"\xff\xd8\xff\xe0JFIF", "jpeg"),
+        (b"GIF87a\x01\x00", "gif"),
+        (b"GIF89a\x01\x00", "gif"),
+        (b"RIFF\x10\x00\x00\x00WEBPVP8L", "webp"),
+        (b"RIFF\x10\x00\x00\x00WAVEfmt ", "wav"),
+        (b"YUV4MPEG2 W8 H6\n", "y4m"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\x00", "mp3"),
+        (b"\xff\xfb\x90\x00" + b"\x00" * 8, "mp3"),  # raw frame sync
+        (b"\xff\xe2\x10\x00", "mp3"),  # lowest sync variant 0xE0 bits
+        (b"\xff\x7b\x00\x00", "unknown"),  # sync bits not set
+        (b"RIFF\x10\x00\x00\x00AVI LIST", "unknown"),  # RIFF but not ours
+        (b"", "unknown"),
+        (b"plain text", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (p, _) in enumerate(cases)], "i int, payload binary"
+    ).withColumn("format", sniff_format_col())
+    got = {r["i"]: r["format"] for r in df.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
