@@ -3745,3 +3745,79 @@ def multimodal_format_sniff(spark: SparkSession, sf: str) -> DataFrame:
         F.min("asset_id").cast("long").alias("first_id"),
         F.max("asset_id").cast("long").alias("last_id"),
     )
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 64 + (n_chars % 128) AS cnt
+      FROM documents WHERE doc_id % 9 = 4
+    ),
+    s AS (
+      SELECT id, cnt, i // 16 AS k,
+             abs(((id*7 + i*13) % 2048 - 1024) * 16) AS a
+      FROM m, unnest(range(0, (cnt // 16) * 16)) AS t(i)
+    ),
+    e AS (SELECT id, cnt, k, sum(a) AS e FROM s GROUP BY id, cnt, k),
+    b AS (
+      SELECT id, cnt, k, e,
+             lead(e) OVER (PARTITION BY id ORDER BY k) AS e_next
+      FROM e
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(cnt // 16 AS bigint) AS n_windows,
+           cast(coalesce(sum(CASE WHEN e_next > e THEN 1 << k ELSE 0 END), 0)
+             AS bigint) AS fp,
+           cast(sum(e) AS bigint) AS energy_sum
+    FROM b GROUP BY id, cnt
+    """,
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy-contour audio fingerprint over REAL PCM16 WAV decode:
+    one genuine WAV per document (synth_wav_media's closed-form
+    samples), decoded by the stdlib parser inside the Arrow-batched
+    extractor, windowed into 16-sample energy sums, and the adjacent
+    louder/quieter pattern packed into one long. The oracle replays
+    the sample formula, windowing, and bit packing as integer SQL —
+    every fingerprint bit is pinned, so an off-by-one in windowing or
+    delta direction cannot hash-match."""
+    from tera_spark.operators.multimodal import audio_fingerprints, synth_wav_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 9 == 4)
+    return audio_fingerprints(synth_wav_media(docs), window=16)
+
+
+@query(
+    "multimodal_scene_cuts",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 2 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id % 9 = 7
+    ),
+    fr AS (
+      SELECT id, nf, f,
+             abs((id*53 + f*19) % 256 - (id*53 + (f-1)*19) % 256) AS dpp
+      FROM m, unnest(range(1, nf)) AS t(f)
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(nf AS bigint) AS n_frames,
+           cast(coalesce(sum(CASE WHEN dpp > 100 THEN 1 ELSE 0 END), 0)
+             AS bigint) AS n_cuts,
+           cast(coalesce(min(CASE WHEN dpp > 100 THEN f END), -1)
+             AS bigint) AS first_cut
+    FROM fr GROUP BY id, nf
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary detection over REAL Y4M decode: one genuine
+    multi-frame clip per document (synth_y4m_media's constant-luma
+    frames), cut wherever the mean-luma jump between adjacent frames
+    exceeds 100 (integer-exact sum compare, no float mean). The
+    fixture's luma ramp wraps mod 256, so cuts land exactly at the
+    wraparound frames — the oracle replays the per-pixel delta in SQL
+    and pins count and first position."""
+    from tera_spark.operators.multimodal import scene_cuts, synth_y4m_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 9 == 7)
+    return scene_cuts(synth_y4m_media(docs), threshold=100)

@@ -1,0 +1,81 @@
+"""Audio energy-contour fingerprints and Y4M shot-boundary detection
+(multimodal.py audio_fingerprints / scene_cuts) against pure-Python
+replays and hand-built clips."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_audio_fingerprint_matches_python_replay(spark):
+    from tera_spark.operators.multimodal import audio_fingerprints, synth_wav_media
+
+    docs = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 41 % 307).alias("n_chars")
+    )
+    rows = {r["asset_id"]: r for r in audio_fingerprints(synth_wav_media(docs)).collect()}
+    assert len(rows) == 30
+    for did in range(30):
+        n = did * 41 % 307
+        cnt = 64 + n % 128
+        s = [((did * 7 + i * 13) % 2048 - 1024) * 16 for i in range(cnt)]
+        nw = cnt // 16
+        e = [sum(abs(x) for x in s[k * 16:(k + 1) * 16]) for k in range(nw)]
+        fp = 0
+        for k in range(nw - 1):
+            if e[k + 1] > e[k]:
+                fp |= 1 << k
+        r = rows[did]
+        assert (r["n_windows"], r["fp"], r["energy_sum"]) == (nw, fp, sum(e))
+
+
+def test_audio_fingerprint_identical_clips_collide(spark):
+    from tera_spark.operators.multimodal import audio_fingerprints, synth_wav_media
+
+    docs = spark.createDataFrame([(1, 50), (101, 50)], "doc_id long, n_chars long")
+    # different ids -> different samples -> (almost surely) different fp;
+    # same id twice -> identical payload -> identical fp
+    same = spark.createDataFrame([(7, 50), (7, 50)], "doc_id long, n_chars long")
+    fps = [r["fp"] for r in audio_fingerprints(synth_wav_media(same)).collect()]
+    assert fps[0] == fps[1]
+    # window must be positive
+    with pytest.raises(ValueError):
+        audio_fingerprints(synth_wav_media(docs), window=0)
+
+
+def test_scene_cuts_handmade_two_scene_clip(spark):
+    from tera_spark.operators.multimodal import MEDIA_SCHEMA, scene_cuts
+    from tera_spark.operators.video import encode_y4m_gray
+
+    w, h = 8, 6
+    # scene A: three near-identical dark frames; hard cut to scene B:
+    # two bright frames; then a gentle fade (no cut)
+    frames = [
+        bytes([10]) * (w * h),
+        bytes([12]) * (w * h),
+        bytes([11]) * (w * h),
+        bytes([200]) * (w * h),  # cut at frame 3
+        bytes([205]) * (w * h),
+        bytes([150]) * (w * h),  # |Δ|=55 < 100: not a cut
+    ]
+    clip = encode_y4m_gray(w, h, frames)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(clip), None)], MEDIA_SCHEMA
+    )
+    r = scene_cuts(media, threshold=100).collect()[0]
+    assert (r["n_frames"], r["n_cuts"], r["first_cut"]) == (6, 1, 3)
+    # threshold is a knob: at 40 the fade becomes a cut too
+    r2 = scene_cuts(media, threshold=40).collect()[0]
+    assert (r2["n_cuts"], r2["first_cut"]) == (2, 3)
+
+
+def test_scene_cuts_single_frame_has_no_cuts(spark):
+    from tera_spark.operators.multimodal import MEDIA_SCHEMA, scene_cuts
+    from tera_spark.operators.video import encode_y4m_gray
+
+    clip = encode_y4m_gray(4, 4, [bytes([99]) * 16])
+    media = spark.createDataFrame([(5, "video", bytearray(clip), None)], MEDIA_SCHEMA)
+    r = scene_cuts(media).collect()[0]
+    assert (r["n_frames"], r["n_cuts"], r["first_cut"]) == (1, 0, -1)
