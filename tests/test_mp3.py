@@ -185,3 +185,55 @@ def test_sniffer_classifies_every_magic(spark):
     got = {r["i"]: r["format"] for r in df.collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+# ------------------------- property: round trip + typed-error fuzz
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _frames = st.lists(
+        st.tuples(st.integers(1, 14), st.integers(0, 1)), min_size=1, max_size=40
+    )
+
+    @given(
+        frames=_frames,
+        sr=st.integers(0, 2),
+        id3=st.one_of(st.none(), st.integers(0, 300)),
+        v1=st.booleans(),
+        tag=st.sampled_from([None, b"Xing", b"Info"]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_property_roundtrip(frames, sr, id3, v1, tag):
+        p = encode_mp3(frames, sr, id3v2_payload=id3, id3v1=v1, vbr_tag=tag)
+        m = parse_mp3(p)
+        kbps = [BITRATE_KBPS[b] for b, _ in frames]
+        assert m["n_frames"] == len(frames)
+        assert m["sample_rate"] == SAMPLE_RATES[sr]
+        assert m["mode"] == ("vbr" if len(set(kbps)) > 1 else "cbr")
+        assert m["avg_kbps"] == sum(kbps) // len(kbps)
+        assert m["id3v2_bytes"] == (0 if id3 is None else 10 + id3)
+        assert m["has_id3v1"] == v1
+        assert m["vbr_tag"] == (tag.decode() if tag else "")
+
+    @given(
+        frames=_frames,
+        pos=st.integers(0, 10_000),
+        val=st.integers(0, 255),
+        data=st.data(),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_property_mutation_never_escapes_typed_errors(frames, pos, val, data):
+        """Any single-byte corruption either still parses (bytes can be
+        coincidentally valid) or raises the TYPED errors — never an
+        IndexError/struct slip out of the walk."""
+        p = bytearray(encode_mp3(frames, 1, id3v2_payload=20))
+        p[pos % len(p)] = val
+        try:
+            m = parse_mp3(bytes(p))
+            assert m["n_frames"] >= 1
+        except (ValueError, NotImplementedError):
+            pass
+except ImportError:  # hypothesis not in the container: plain tests above cover the spec
+    pass
