@@ -592,13 +592,19 @@ def extract_audio_features(media: DataFrame, *, fake_decode: bool = False) -> Da
 def phash64(payload: bytes, *, fake: bool = False) -> int:
     """Perceptual hash of an image payload: an 8x8 mean-threshold bit
     matrix over the luma plane packed into 64 bits (aHash — the
-    mean-threshold member of the pHash family). PNG, baseline-JPEG and
-    GIF payloads hash their REAL decoded pixels (so the same image in
-    any of the three containers hashes alike); other formats raise unless
-    ``fake=True`` (raw payload bytes stand in for luma). Near-identical
-    images land within a small Hamming distance; unrelated ones differ
-    in ~32 bits."""
-    if payload[:8] == PNG_MAGIC or payload[:3] == JPEG_MAGIC or payload[:6] in GIF_MAGICS:
+    mean-threshold member of the pHash family). PNG, baseline-JPEG,
+    GIF and WebP-lossless payloads hash their REAL decoded pixels (so
+    the same image in any of the four containers hashes alike); other
+    formats raise unless ``fake=True`` (raw payload bytes stand in for
+    luma). Near-identical images land within a small Hamming distance;
+    unrelated ones differ in ~32 bits."""
+    is_webp = payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+    if (
+        payload[:8] == PNG_MAGIC
+        or payload[:3] == JPEG_MAGIC
+        or payload[:6] in GIF_MAGICS
+        or is_webp
+    ):
         d = decode_image(payload)
         ch, px = d["channels"], d["pixels"]
         payload = (
@@ -1184,4 +1190,77 @@ def scene_cuts(media: DataFrame, *, threshold: int = 100) -> DataFrame:
 
     return ensure_parallelism(media).mapInPandas(
         op, schema="asset_id long, n_frames long, n_cuts long, first_cut long"
+    )
+
+
+XCONT_W = "8 + (id % 5)"
+XCONT_H = "8 + (n % 3)"
+XCONT_PIX = "(id*19 + i*23) % 256"  # i = row-major pixel index
+
+
+def synth_cross_container_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode the SAME gray plane (XCONT_* formulas) three times per
+    row — PNG, GIF, and WebP-lossless. All three containers are
+    lossless, so their decoded pixels must be identical; any decoder
+    that drifts by one pixel value splits the per-doc phash cluster.
+    Dimensions are kept under 128 px so the aHash falls in its
+    cell=1 regime (bit i compares pixel i to the 64-pixel mean) and
+    a SQL oracle can replay every hash bit exactly."""
+    from tera_spark.operators.gif import encode_gif_gray
+    from tera_spark.operators.vp8l import encode_vp8l
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, containers, payloads = [], [], []
+            for did, n in zip(pdf["id"], pdf["n"]):
+                did, n = int(did), int(n)
+                w, h = 8 + did % 5, 8 + n % 3
+                px = bytes((did * 19 + i * 23) % 256 for i in range(w * h))
+                rgba = b"".join(bytes((v, v, v, 255)) for v in px)
+                for cont, payload in (
+                    ("png", encode_png_gray(w, h, px)),
+                    ("gif", encode_gif_gray(w, h, px)),
+                    ("webp", encode_vp8l(w, h, rgba)),
+                ):
+                    ids.append(did)
+                    containers.append(cont)
+                    payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [{"container": c} for c in containers],
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+def phash_df(media: DataFrame, *, fake_decode: bool = False) -> DataFrame:
+    """Per-asset perceptual hash (real decode) — the hash stage of
+    phash_duplicates exposed standalone; payloads never shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": b["asset_id"],
+                    "container": b["meta"].apply(
+                        lambda m: (m or {}).get("container", "")
+                    ),
+                    "phash": [
+                        phash64(bytes(p) if p is not None else b"", fake=fake_decode)
+                        for p in b["payload"]
+                    ],
+                }
+            )
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(
+        op, "asset_id long, container string, phash long"
     )

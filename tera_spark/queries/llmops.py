@@ -3821,3 +3821,52 @@ def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents").filter(F.col("doc_id") % 9 == 7)
     return scene_cuts(synth_y4m_media(docs), threshold=100)
+
+
+@query(
+    "multimodal_cross_container_dups",
+    """
+    WITH px AS (
+      SELECT doc_id AS id, i, (doc_id*19 + i*23) % 256 AS p
+      FROM documents, unnest(range(0, 64)) AS t(i)
+      WHERE doc_id % 10 = 1
+    ),
+    s AS (SELECT id, sum(p) AS s64 FROM px GROUP BY id),
+    halves AS (
+      SELECT px.id,
+             sum(CASE WHEN i < 32 AND 64*p > s64 THEN 1::bigint << i ELSE 0 END) AS lo,
+             sum(CASE WHEN i >= 32 AND 64*p > s64 THEN 1::bigint << (i-32) ELSE 0 END) AS hi
+      FROM px JOIN s USING (id) GROUP BY px.id
+    )
+    SELECT cast(id AS bigint) AS doc_id,
+           cast(CASE WHEN u >= 9223372036854775808::hugeint
+                     THEN u - 18446744073709551616::hugeint ELSE u END
+             AS bigint) AS phash,
+           cast(3 AS bigint) AS n_containers,
+           cast(1 AS bigint) AS n_distinct_phash
+    FROM (SELECT id, hi::hugeint * 4294967296::hugeint + lo::hugeint AS u
+          FROM halves)
+    """,
+)
+def multimodal_cross_container_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-container image dedup — the SAME gray plane is encoded
+    per document as PNG, GIF, and WebP-lossless, each decoded for
+    real, and all three must land on ONE perceptual hash per document
+    (n_distinct_phash = 1): the strongest cross-codec consistency
+    statement the tier can make, since a single pixel of drift in any
+    decoder splits the cluster. Dimensions sit in the aHash cell=1
+    regime, so the oracle replays every hash bit as integer SQL
+    (bit i = 64·p_i > Σp, packed in two 32-bit halves) — the hash
+    VALUE is pinned, not just the agreement."""
+    from tera_spark.operators.multimodal import (
+        phash_df,
+        synth_cross_container_media,
+    )
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 10 == 1)
+    hashed = phash_df(synth_cross_container_media(docs))
+    return hashed.groupBy(F.col("asset_id").alias("doc_id")).agg(
+        F.min("phash").alias("phash"),
+        F.count("*").cast("long").alias("n_containers"),
+        F.countDistinct("phash").cast("long").alias("n_distinct_phash"),
+    )

@@ -79,3 +79,40 @@ def test_scene_cuts_single_frame_has_no_cuts(spark):
     media = spark.createDataFrame([(5, "video", bytearray(clip), None)], MEDIA_SCHEMA)
     r = scene_cuts(media).collect()[0]
     assert (r["n_frames"], r["n_cuts"], r["first_cut"]) == (1, 0, -1)
+
+
+def test_cross_container_phash_agreement(spark):
+    """PNG, GIF and WebP-lossless of the same plane must hash alike —
+    and a one-pixel drift must split the cluster."""
+    from tera_spark.operators.gif import encode_gif_gray
+    from tera_spark.operators.multimodal import (
+        encode_png_gray,
+        phash64,
+        phash_df,
+        synth_cross_container_media,
+    )
+    from tera_spark.operators.vp8l import encode_vp8l
+
+    docs = spark.range(0, 12).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 29 % 151).alias("n_chars")
+    )
+    hashed = phash_df(synth_cross_container_media(docs))
+    per_doc = {
+        r["asset_id"]: (r["n"], r["d"])
+        for r in hashed.groupBy("asset_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("phash").alias("d"))
+        .collect()
+    }
+    assert len(per_doc) == 12
+    assert all(v == (3, 1) for v in per_doc.values()), per_doc
+
+    # sensitivity: flipping one pixel by enough to cross the mean
+    # threshold separates the hashes
+    w = h = 8
+    px = bytes((i * 23) % 256 for i in range(w * h))
+    drifted = bytes([255 if i == 0 else px[i] for i in range(w * h)])
+    assert phash64(encode_png_gray(w, h, px)) == phash64(encode_gif_gray(w, h, px))
+    assert phash64(encode_png_gray(w, h, px)) != phash64(encode_png_gray(w, h, drifted))
+    # the webp gate routes through the real VP8L decode now
+    rgba = b"".join(bytes((v, v, v, 255)) for v in px)
+    assert phash64(encode_vp8l(w, h, rgba)) == phash64(encode_png_gray(w, h, px))
