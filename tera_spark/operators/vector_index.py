@@ -170,8 +170,21 @@ class VectorIndex:
         rerank: int | None = 100,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        allowed: DataFrame | None = None,
+        allowed_id_col: str = "vec_id",
     ) -> DataFrame:
         """IVF-PQ search with exact re-rank.
+
+        ``allowed`` turns this into METADATA-FILTERED search: a
+        DataFrame of permitted vector ids (computed upstream from any
+        predicate — language, license, dedup survivor set) that is
+        semi-joined against the codes table BEFORE ADC scoring. This
+        is pre-filtering: every one of the k results satisfies the
+        predicate and ranks are full-recall against the filtered
+        corpus — post-filtering (search then drop) under-fills k
+        whenever the predicate is selective. Catalyst picks broadcast
+        for a small allow-list and a shuffle join for a wide one; the
+        codes table itself still never shuffles.
 
         ``nprobe=None`` autotunes to ceil(sqrt(k_coarse)) (clamped to
         k_coarse) — the √k probe rule keeps the scanned fraction
@@ -251,6 +264,9 @@ class VectorIndex:
             F.array(*[qtab_for(j, base) for j in range(m)]).alias("qtab"),
         )
         codes = self.spark.read.parquet(str(self.path / "codes"))
+        if allowed is not None:
+            ids = allowed.select(F.col(allowed_id_col).alias("id")).distinct()
+            codes = codes.join(ids, "id", "left_semi")
         scored = self._adc_scores(codes, q)
         wr = W.partitionBy("q_id").orderBy("adc_d2", "v_id")
         if rerank is None or not self.has_rerank_store:

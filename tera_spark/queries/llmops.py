@@ -3870,3 +3870,43 @@ def multimodal_cross_container_dups(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n_containers"),
         F.countDistinct("phash").cast("long").alias("n_distinct_phash"),
     )
+
+
+@query(
+    "ann_filtered_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.q_id, v.vec_id AS v_id, v.label,
+             round({_sql_cos('q.q_vec', 'v.embedding')}, 6) AS sim
+      FROM embeddings v, q WHERE v.vec_id <> q.q_id AND v.label % 2 = 0
+    ),
+    ranked AS (
+      SELECT q_id, v_id, label, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, v_id) AS rank
+      FROM sims
+    )
+    SELECT cast(q_id AS bigint) AS q_id, cast(v_id AS bigint) AS v_id,
+           cast(label AS int) AS label, sim, cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-filtered nearest-neighbour search — the predicate
+    (here label parity; in production language/license/dedup-survivor)
+    prunes the candidate corpus BEFORE any distance math, so every one
+    of the k answers satisfies it and ranks are full-recall against
+    the filtered corpus (post-filtering under-fills k under selective
+    predicates). This row oracles the exact path; the persisted
+    IVF-PQ index takes the same allow-list via
+    VectorIndex.topk(allowed=...) — semi-joined at the codes scan,
+    pinned by unit tests against this exact twin."""
+    from tera_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    hits = cosine_topk(emb.filter(F.col("label") % 2 == 0), qs, k=5)
+    lbl = emb.select(F.col("vec_id").alias("v_id"), "label")
+    return hits.join(F.broadcast(lbl), "v_id").select(
+        "q_id", "v_id", F.col("label").cast("int").alias("label"), "sim", "rank"
+    )

@@ -113,3 +113,36 @@ def test_streaming_append_maintains_index(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "vi5" / "codes")).count() == emb.count()
+
+
+def test_filtered_search_prefilters_at_codes_scan(spark, tmp_path):
+    """topk(allowed=...) must (a) return only allowed ids, (b) match
+    the exact filtered twin when every list is probed and the rerank
+    set covers the corpus, and (c) beat post-filtering, which
+    under-fills k under a selective predicate."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark)
+    idx = VectorIndex.build(emb, str(tmp_path / "vif"), k_coarse=4, m=16, k_codes=64, iters=2)
+    qs = emb.filter(F.col("vec_id") < 10)
+    evens = emb.filter(F.col("label") % 2 == 0).select("vec_id")
+    got = idx.topk(qs, k=5, nprobe=4, rerank=1000, allowed=evens)
+    rows = got.collect()
+    even_ids = {r.vec_id for r in evens.collect()}
+    assert rows and all(r.v_id in even_ids for r in rows)
+
+    exact = cosine_topk(emb.filter(F.col("label") % 2 == 0), qs, k=5)
+    want = {(r.q_id, r.rank): r.v_id for r in exact.collect()}
+    got_map = {(r.q_id, r.rank): r.v_id for r in rows}
+    assert got_map == want
+
+    # post-filter contrast: unfiltered top-5 then drop odd labels
+    # loses answers for at least one query
+    unf = idx.topk(qs, k=5, nprobe=4, rerank=1000)
+    post = [r for r in unf.collect() if r.v_id in even_ids]
+    per_q = {}
+    for r in post:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+    assert any(v < 5 for v in per_q.values()) or len(per_q) < 10
