@@ -905,3 +905,72 @@ def cell_changefeed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("old_value").cast("string").alias("old_val"),
         F.col("new_value").cast("string").alias("new_val"),
     )
+
+
+@query(
+    "cell_media_current_decode",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 30 + ((n_chars + 7) % 40) AS nf,
+             [44100,48000,32000][(doc_id % 3) + 1] AS rate,
+             CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 10 + 3 * (doc_id % 17) END AS id3v2,
+             CASE WHEN doc_id % 5 = 0 THEN 128 ELSE 0 END AS id3v1
+      FROM documents WHERE doc_id % 12 = 5
+    ),
+    fr AS (
+      SELECT id, nf, rate, id3v2, id3v1, i,
+             [32,40,48,56,64,80,96,112,128,160,192,224,256,320][
+               CASE WHEN id % 2 = 0 THEN 1 + ((id + i*3) % 14) ELSE 1 + (id % 14) END
+             ] AS kbps,
+             i % 2 AS pad
+      FROM m, unnest(range(0, nf)) AS t(i)
+    )
+    SELECT cast(id AS bigint) AS asset_id,
+           cast(id3v2 + id3v1 + sum(144000 * kbps // rate + pad) AS bigint) AS n_bytes,
+           cast(nf AS bigint) AS n_frames,
+           cast(rate AS int) AS sample_rate,
+           cast(nf * 1152 * 1000 // rate AS bigint) AS duration_ms,
+           CASE WHEN id % 2 = 0 THEN 'vbr' ELSE 'cbr' END AS mode,
+           cast(sum(kbps) // nf AS bigint) AS avg_kbps,
+           cast(id3v2 AS bigint) AS id3v2_bytes,
+           cast(id % 5 = 0 AS int) AS has_id3v1,
+           CASE WHEN id % 2 = 0 THEN 'Xing' ELSE 'Info' END AS vbr_tag
+    FROM fr GROUP BY id, nf, rate, id3v2, id3v1
+    """,
+)
+def cell_media_current_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Media payloads THROUGH the cell engine: every asset is PUT
+    twice (two different real MP3 streams as binary cell values), the
+    current view folds maxversions=1, and the SURVIVING payload is
+    re-parsed by the frame walk. The oracle replays the second
+    version's formulas only (n = n_chars + 7), so the query fails if
+    the multiversion fold picks the wrong version OR corrupts a single
+    payload byte (the walk's n_bytes pins every frame boundary) —
+    the proof that opaque binary values ride the op-log/fold machinery
+    untouched, the tera data-model contract (README.md:31)."""
+    from tera_spark.operators.multimodal import extract_mp3_metadata, synth_mp3_media
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 12 == 5)
+    v1 = synth_mp3_media(docs)
+    v2 = synth_mp3_media(docs.withColumn("n_chars", F.col("n_chars") + F.lit(7)))
+
+    def to_cells(media: DataFrame, ts: int) -> DataFrame:
+        return media.select(
+            F.lpad(F.col("asset_id").cast("string"), 10, "0").alias("row_key"),
+            F.lit("m").alias("cf"),
+            F.lit("mp3").alias("qualifier"),
+            F.lit(ts).cast("long").alias("ts"),
+            F.lit(CellOp.PUT).alias("op"),
+            F.col("payload").alias("value"),
+            F.lit(ts).cast("long").alias("seq"),
+        )
+
+    log = to_cells(v1, 1).unionByName(to_cells(v2, 2))
+    v = current_view(log, _schema("m", maxv=1), now_us=NOW, put_only=True)
+    survivors = v.select(
+        F.col("row_key").cast("long").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        F.col("value").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return extract_mp3_metadata(survivors)
