@@ -89,6 +89,24 @@ def main() -> None:
         n_exact = exact.count()
         brute_s = time.perf_counter() - t0
 
+        # metadata-filtered search: allow-list semi-joined at the codes
+        # scan; measure the two cardinality regimes (broadcast-sized 1%
+        # vs shuffle-sized 50%) and check the predicate holds on every
+        # answer
+        filtered = {}
+        for label, mod in (("50pct", 2), ("1pct", 100)):
+            allow = vectors.select("vec_id").filter(
+                F.pmod(F.col("vec_id"), F.lit(mod)) == 0
+            )
+            t0 = time.perf_counter()
+            fres = idx.topk(queries, k=K, nprobe=4, allowed=allow).cache()
+            n_f = fres.count()
+            f_s = time.perf_counter() - t0
+            bad = fres.filter(F.pmod(F.col("v_id"), F.lit(mod)) != 0).count()
+            assert bad == 0, f"filtered search leaked {bad} disallowed ids"
+            filtered[label] = {"rows": n_f, "s": round(f_s, 2)}
+            fres.unpersist()
+
         hits = approx.select("q_id", "v_id").join(
             exact.select("q_id", "v_id"), ["q_id", "v_id"], "inner"
         ).count()
@@ -109,6 +127,7 @@ def main() -> None:
                 "speedup_vs_brute": round(brute_s / query_s, 1),
                 "recall_at_k": round(recall, 3),
                 "approx_rows": n_approx,
+                "filtered": filtered,
             }
         )
     )
