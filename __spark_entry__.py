@@ -42,7 +42,7 @@ _DRIVER_PRIORITY = [
     "multimodal_mp3_metadata", "multimodal_format_sniff",
     "multimodal_audio_fingerprint", "multimodal_scene_cuts",
     "multimodal_cross_container_dups", "ann_filtered_topk",
-    "cell_media_current_decode",
+    "cell_media_current_decode", "pipeline_media_curation",
     "multimodal_webp_features", "dedup_url_canonical", "text_gopher_rules",
     # last driver-green in round 2 (oldest — 4 rounds stale)
     "cell_append_merge", "cell_filter_list_and_or", "cell_max_qualifiers",

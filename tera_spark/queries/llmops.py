@@ -3910,3 +3910,140 @@ def ann_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
     return hits.join(F.broadcast(lbl), "v_id").select(
         "q_id", "v_id", F.col("label").cast("int").alias("label"), "sim", "rank"
     )
+
+
+@query(
+    "pipeline_media_curation",
+    """
+    WITH png AS (
+      SELECT 'png' AS format, count(*) AS n_assets,
+             sum(CASE WHEN (8 + doc_id % 9) * (8 + n_chars % 7) >= 80
+                 THEN 1 ELSE 0 END) AS n_kept
+      FROM documents WHERE doc_id % 8 = 0
+    ),
+    jpeg AS (
+      SELECT 'jpeg', count(*),
+             sum(CASE WHEN (8 * (1 + doc_id % 3)) * (8 * (1 + n_chars % 2)) >= 80
+                 THEN 1 ELSE 0 END)
+      FROM documents WHERE doc_id % 8 = 1
+    ),
+    gif AS (
+      SELECT 'gif', count(*),
+             sum(CASE WHEN (6 + doc_id % 11) * (5 + n_chars % 9) >= 80
+                 THEN 1 ELSE 0 END)
+      FROM documents WHERE doc_id % 8 = 2
+    ),
+    webp AS (
+      SELECT 'webp', count(*),
+             sum(CASE WHEN (5 + doc_id % 9) * (4 + n_chars % 7) >= 80
+                 THEN 1 ELSE 0 END)
+      FROM documents WHERE doc_id % 8 = 3
+    ),
+    wav AS (
+      SELECT 'wav', count(*),
+             sum(CASE WHEN (64 + n_chars % 128) * 1000
+                           // (8000 * (1 + doc_id % 3)) >= 8
+                 THEN 1 ELSE 0 END)
+      FROM documents WHERE doc_id % 8 = 4
+    ),
+    y4m AS (
+      SELECT 'y4m', count(*),
+             sum(CASE WHEN 2 + doc_id % 5 >= 4 THEN 1 ELSE 0 END)
+      FROM documents WHERE doc_id % 8 = 5
+    ),
+    mp3 AS (
+      SELECT 'mp3', count(*),
+             sum(CASE WHEN (30 + n_chars % 40) * 1152 * 1000
+                           // ([44100,48000,32000][(doc_id % 3) + 1]) >= 1200
+                 THEN 1 ELSE 0 END)
+      FROM documents WHERE doc_id % 8 = 6
+    ),
+    unk AS (
+      SELECT 'unknown', count(*), 0 FROM documents WHERE doc_id % 8 = 7
+    ),
+    u AS (
+      SELECT * FROM png UNION ALL SELECT * FROM jpeg UNION ALL
+      SELECT * FROM gif UNION ALL SELECT * FROM webp UNION ALL
+      SELECT * FROM wav UNION ALL SELECT * FROM y4m UNION ALL
+      SELECT * FROM mp3 UNION ALL SELECT * FROM unk
+    )
+    SELECT format, cast(n_assets AS bigint) AS n_assets,
+           cast(n_kept AS bigint) AS n_kept
+    FROM u
+    """,
+)
+def pipeline_media_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The media tier composed end-to-end — the capstone pipeline a
+    crawl operator actually runs: route every asset by magic bytes,
+    decode through the format's REAL codec, apply a per-modality
+    quality gate (images: >= 80 decoded pixels; WAV: >= 8 ms; MP3:
+    >= 1200 ms of frames; video: >= 4 frames; unsniffable: drop), and
+    census keep/drop per format. Every gate reads a value the real
+    decode produced, so the oracle's closed-form replay of the keep
+    counts transitively pins sniff routing AND all seven decoders in
+    one driver row. Payloads never shuffle; the census agg carries
+    three scalars per format."""
+    from functools import reduce
+
+    from tera_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_features,
+        extract_mp3_metadata,
+        scene_cuts,
+        sniff_formats,
+        synth_gif_media,
+        synth_jpeg_media,
+        synth_mp3_media,
+        synth_png_media,
+        synth_wav_media,
+        synth_webp_media,
+        synth_y4m_media,
+    )
+
+    docs = load(spark, sf, "documents")
+    synths = [
+        synth_png_media, synth_jpeg_media, synth_gif_media, synth_webp_media,
+        synth_wav_media, synth_y4m_media, synth_mp3_media,
+    ]
+    parts = [fn(docs.filter(F.col("doc_id") % 8 == k)) for k, fn in enumerate(synths)]
+    garbage = docs.filter(F.col("doc_id") % 8 == 7).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("unknown").alias("media_type"),
+        F.expr("unhex('00FEEDFACE')").alias("payload"),
+        F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    bag = sniff_formats(reduce(DataFrame.unionByName, parts + [garbage]))
+
+    imgs = extract_features(
+        bag.filter(F.col("format").isin("png", "jpeg", "gif", "webp")),
+        on_error="quarantine",
+    ).select(
+        "asset_id",
+        ((F.col("width") > 0) & (F.col("width") * F.col("height") >= 80)).alias("keep"),
+    )
+    wav = extract_audio_features(bag.filter(F.col("format") == "wav")).select(
+        "asset_id", (F.col("duration_ms") >= 8).alias("keep")
+    )
+    mp3 = extract_mp3_metadata(
+        bag.filter(F.col("format") == "mp3"), on_error="quarantine"
+    ).select(
+        "asset_id",
+        ((F.col("n_frames") > 0) & (F.col("duration_ms") >= 1200)).alias("keep"),
+    )
+    y4m = scene_cuts(bag.filter(F.col("format") == "y4m")).select(
+        "asset_id", (F.col("n_frames") >= 4).alias("keep")
+    )
+    unk = bag.filter(F.col("format") == "unknown").select(
+        "asset_id", F.lit(False).alias("keep")
+    )
+    decisions = reduce(DataFrame.unionByName, [imgs, wav, mp3, y4m, unk])
+    return (
+        bag.select("asset_id", "format")
+        .join(decisions, "asset_id")
+        .groupBy("format")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        )
+    )
