@@ -4013,7 +4013,11 @@ def pipeline_media_curation(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("unhex('00FEEDFACE')").alias("payload"),
         F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
     )
-    bag = sniff_formats(reduce(DataFrame.unionByName, parts + [garbage]))
+    # six branches read the bag (five decode routes + the final format
+    # join): persist it once or every branch re-synthesizes the whole
+    # corpus (session-LRU release, the operator-persist stance —
+    # functions/cache.py)
+    bag = sniff_formats(reduce(DataFrame.unionByName, parts + [garbage])).persist()
 
     imgs = extract_features(
         bag.filter(F.col("format").isin("png", "jpeg", "gif", "webp")),
