@@ -116,3 +116,31 @@ def test_cross_container_phash_agreement(spark):
     # the webp gate routes through the real VP8L decode now
     rgba = b"".join(bytes((v, v, v, 255)) for v in px)
     assert phash64(encode_vp8l(w, h, rgba)) == phash64(encode_png_gray(w, h, px))
+
+
+def test_scene_cuts_typed_error_on_corrupt_clip(spark):
+    from tera_spark.operators.multimodal import MEDIA_SCHEMA, scene_cuts
+    from tera_spark.operators.video import encode_y4m_gray
+
+    clip = bytearray(encode_y4m_gray(4, 4, [bytes([1]) * 16, bytes([2]) * 16]))
+    clip[0:5] = b"JUNK!"  # destroy the stream header
+    media = spark.createDataFrame([(1, "video", bytes(clip), None)], MEDIA_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        scene_cuts(media).collect()
+    # the typed contract surfaces through the Py4J wrapper as ValueError text
+    assert "ValueError" in str(ei.value) or "Y4M" in str(ei.value)
+
+
+def test_audio_fingerprint_typed_error_on_corrupt_wav(spark):
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.multimodal import audio_fingerprints, synth_wav_media
+
+    docs = spark.range(0, 2).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_chars")
+    )
+    media = synth_wav_media(docs).withColumn(
+        "payload", F.expr("unhex('52494646FFFFFFFF57415645')")  # RIFF/WAVE, torn body
+    )
+    with pytest.raises(Exception):
+        audio_fingerprints(media).collect()
