@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "multimodal_audio_fingerprint", "multimodal_scene_cuts",
     "multimodal_cross_container_dups", "ann_filtered_topk",
     "cell_media_current_decode", "pipeline_media_curation",
+    "multimodal_exif_gps_audit",
     "multimodal_webp_features", "dedup_url_canonical", "text_gopher_rules",
     # last driver-green in round 2 (oldest — 4 rounds stale)
     "cell_append_merge", "cell_filter_list_and_or", "cell_max_qualifiers",

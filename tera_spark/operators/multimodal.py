@@ -1264,3 +1264,107 @@ def phash_df(media: DataFrame, *, fake_decode: bool = False) -> DataFrame:
     return ensure_parallelism(media).mapInPandas(
         op, "asset_id long, container string, phash long"
     )
+
+
+EXIF_ORIENT = "1 + (id % 8)"
+EXIF_BYTE_ORDER = "'MM' if id % 3 == 0 else 'II'"
+EXIF_GPS = "present unless id % 5 == 0; ref N/S by id % 2; lat = (id%90, n%60, (id*7)%6000 centi-sec)"
+
+
+def synth_jpeg_exif_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """One real grayscale baseline JPEG per row (JPEG block formulas)
+    with a real EXIF APP1 inserted (EXIF_* formulas) — byte order,
+    orientation, and GPS presence/coordinates all vary by id so the
+    audit walk is exercised across both endiannesses and the
+    no-location case."""
+    from tera_spark.operators.exif import encode_exif_app1, insert_exif
+    from tera_spark.operators.jpeg import encode_jpeg_gray
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["id"], pdf["n"]):
+                did, n = int(did), int(n)
+                w, h = 8 * (1 + did % 3), 8 * (1 + n % 2)
+                wb = w // 8
+                px = bytearray(w * h)
+                for by in range(h // 8):
+                    for bx in range(wb):
+                        v = (did * 37 + (by * wb + bx) * 29) % 256
+                        for yy in range(8):
+                            row0 = (by * 8 + yy) * w + bx * 8
+                            px[row0 : row0 + 8] = bytes([v] * 8)
+                app1 = encode_exif_app1(
+                    orientation=1 + did % 8,
+                    byte_order="MM" if did % 3 == 0 else "II",
+                    gps=None
+                    if did % 5 == 0
+                    else (
+                        "N" if did % 2 == 0 else "S",
+                        did % 90,
+                        n % 60,
+                        (did * 7) % 6000,
+                    ),
+                )
+                payloads.append(insert_exif(encode_jpeg_gray(w, h, bytes(px)), app1))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+EXIF_AUDIT_SCHEMA = (
+    "asset_id long, orientation int, byte_order string, has_gps int, "
+    "gps_ref string, lat_deg int, lat_min int, lat_sec_centi int, "
+    "stripped_has_exif int, stripped_pixel_sum long"
+)
+
+
+def extract_exif_audit(media: DataFrame) -> DataFrame:
+    """EXIF GPS audit + strip verification in one Arrow-batched pass:
+    parse the tag block, strip every EXIF APP1, re-audit the stripped
+    bytes (must carry no EXIF), and decode the stripped image (its
+    pixel plane must be untouched — the pixel_sum is what the oracle
+    pins). The image-PII analog of text_pii_redaction: location data
+    leaves the corpus, pixels provably do not change."""
+    from tera_spark.operators.exif import parse_exif, strip_exif
+    from tera_spark.operators.jpeg import decode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                m = _typed_decode("EXIF", parse_exif, p)
+                stripped = _typed_decode("EXIF", strip_exif, p)
+                m2 = _typed_decode("EXIF", parse_exif, stripped)
+                d = _typed_decode("JPEG", decode_jpeg, stripped)
+                rows.append(
+                    (
+                        int(aid), m["orientation"], m["byte_order"],
+                        int(m["has_gps"]), m["gps_ref"], m["lat_deg"],
+                        m["lat_min"], m["lat_sec_centi"], int(m2["has_exif"]),
+                        sum(d["pixels"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "orientation", "byte_order", "has_gps",
+                    "gps_ref", "lat_deg", "lat_min", "lat_sec_centi",
+                    "stripped_has_exif", "stripped_pixel_sum",
+                ],
+            )
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(op, schema=EXIF_AUDIT_SCHEMA)

@@ -4051,3 +4051,48 @@ def pipeline_media_curation(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
         )
     )
+
+
+@query(
+    "multimodal_exif_gps_audit",
+    """
+    WITH m AS (
+      SELECT doc_id AS id,
+             (1 + doc_id % 3) * (1 + n_chars % 2) AS blocks
+      FROM documents WHERE doc_id % 14 = 3
+    ),
+    ps AS (
+      SELECT id, cast(sum(64 * ((id * 37 + b * 29) % 256)) AS bigint) AS pix
+      FROM m, unnest(range(0, blocks)) AS t(b) GROUP BY id
+    )
+    SELECT cast(m.id AS bigint) AS asset_id,
+           cast(1 + m.id % 8 AS int) AS orientation,
+           CASE WHEN m.id % 3 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+           cast(m.id % 5 <> 0 AS int) AS has_gps,
+           CASE WHEN m.id % 5 = 0 THEN ''
+                WHEN m.id % 2 = 0 THEN 'N' ELSE 'S' END AS gps_ref,
+           cast(CASE WHEN m.id % 5 = 0 THEN -1 ELSE m.id % 90 END AS int) AS lat_deg,
+           cast(CASE WHEN m.id % 5 = 0 THEN -1 ELSE n.n_chars % 60 END AS int) AS lat_min,
+           cast(CASE WHEN m.id % 5 = 0 THEN -1 ELSE (m.id * 7) % 6000 END AS int) AS lat_sec_centi,
+           cast(0 AS int) AS stripped_has_exif,
+           ps.pix AS stripped_pixel_sum
+    FROM m JOIN ps ON m.id = ps.id
+    JOIN (SELECT doc_id, n_chars FROM documents) n ON n.doc_id = m.id
+    """,
+)
+def multimodal_exif_gps_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-side PII: audit EXIF location data and PROVE the strip —
+    each asset is a real baseline JPEG carrying a real EXIF APP1
+    (both TIFF byte orders, GPS present or absent by id), parsed by
+    the tag walk, stripped, re-audited (must carry no EXIF), and
+    re-decoded (the oracle's closed-form pixel_sum pins that stripping
+    metadata never touched a pixel). The image analog of
+    text_pii_redaction: location leaves the corpus, content provably
+    does not change."""
+    from tera_spark.operators.multimodal import (
+        extract_exif_audit,
+        synth_jpeg_exif_media,
+    )
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 14 == 3)
+    return extract_exif_audit(synth_jpeg_exif_media(docs))
