@@ -120,7 +120,17 @@ def insert_exif(jpeg: bytes, app1: bytes) -> bytes:
 def parse_exif(payload: bytes) -> dict:
     """Audit a JPEG's EXIF block. Returns {has_exif, byte_order,
     orientation, has_gps, gps_ref, lat_deg, lat_min, lat_sec_centi};
-    absent fields are ''/-1/0 so the schema stays fixed."""
+    absent fields are ''/-1/0 so the schema stays fixed. Corrupt tag
+    blocks (offsets past the TIFF, torn entries) raise ValueError —
+    low-level struct/index slips never escape (found by mutation
+    fuzz: a corrupted IFD offset used to leak struct.error)."""
+    try:
+        return _parse_exif_inner(payload)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt EXIF: {type(e).__name__}: {e}") from e
+
+
+def _parse_exif_inner(payload: bytes) -> dict:
     out = {
         "has_exif": False, "byte_order": "", "orientation": -1,
         "has_gps": False, "gps_ref": "", "lat_deg": -1, "lat_min": -1,

@@ -90,3 +90,41 @@ def test_corrupt_tiff_is_typed():
 def test_encoder_rejects_bad_byte_order():
     with pytest.raises(ValueError):
         encode_exif_app1(orientation=1, byte_order="XX")
+
+
+# ------------------------- property: mutation never escapes typed errors
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        pos=st.integers(0, 10_000),
+        val=st.integers(0, 255),
+        orient=st.integers(1, 8),
+        gps=st.booleans(),
+        bo=st.sampled_from(["II", "MM"]),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_property_exif_mutation_stays_typed(pos, val, orient, gps, bo):
+        """Any single-byte corruption of a tagged JPEG either still
+        audits/strips (bytes can be coincidentally valid) or raises the
+        typed errors — never an IndexError/struct slip."""
+        p = bytearray(
+            insert_exif(
+                JP,
+                encode_exif_app1(
+                    orientation=orient,
+                    byte_order=bo,
+                    gps=("N", 10, 20, 30) if gps else None,
+                ),
+            )
+        )
+        p[pos % len(p)] = val
+        for fn in (parse_exif, strip_exif):
+            try:
+                fn(bytes(p))
+            except (ValueError, NotImplementedError):
+                pass
+except ImportError:
+    pass
