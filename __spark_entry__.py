@@ -27,53 +27,35 @@ def _registry():
 
 
 # Driver-sample ordering: the correctness driver checks the FIRST 50
-# queries() entries each round. Cumulative state after round 5: all
-# 171 registry entries have been driver-checked at least once, 170
-# fully green (the exception is the rows-only zlib query, ordered LAST
-# via _DRIVER_ROWS_ONLY). Round-6 rotation policy (freshness): queries
-# NEW this round lead, then every existing query ordered by the round
-# of its LAST green driver row, oldest first — so the 50-slot sample
-# always re-confirms the stalest families (computed from
-# CORRECTNESS_r01..r05.json). All entries pass the identical local
-# DuckDB gate at sf0.01 (tests/test_oracle_parity.py) regardless of
-# position.
+# queries() entries each round. Cumulative state after round 6: all
+# 183 registry entries have been driver-checked at least once, 182
+# fully green (the exception was the rows-only zlib query, which gains
+# a fully-oracled check in round 7). Round-7 rotation policy
+# (freshness, per VERDICT r6 task 1): queries NEW this round lead,
+# then the 36 rows whose last green driver row is round 3 — the entire
+# dedup/text/pipeline family, the engine's marquee use-case — then
+# rounds 4/5/6 by staleness. Computed from CORRECTNESS_r01..r06.json.
+# All entries pass the identical local DuckDB gate at sf0.01
+# (tests/test_oracle_parity.py) regardless of position.
 _DRIVER_PRIORITY = [
-    # NEW in round 6 — needs a first driver row
-    "multimodal_mp3_metadata", "multimodal_format_sniff",
-    "multimodal_audio_fingerprint", "multimodal_scene_cuts",
-    "multimodal_cross_container_dups", "ann_filtered_topk",
-    "cell_media_current_decode", "pipeline_media_curation",
-    "multimodal_exif_gps_audit",
-    "multimodal_webp_features", "dedup_url_canonical", "text_gopher_rules",
-    # last driver-green in round 2 (oldest — 4 rounds stale)
-    "cell_append_merge", "cell_filter_list_and_or", "cell_max_qualifiers",
-    "cell_put_ifabsent", "cell_row_map_shape", "cell_scan_range_projection",
-    "q10_returned_items", "q11_important_parts", "q12_priority_shipping",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_qty_revenue", "q19_disjunctive_filter",
-    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
-    "q22_idle_rich_customers", "q2_min_cost_supplier", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q_cube_agg", "q_distinct_agg", "q_percentile_profile", "q_pivot_status",
-    "q_rollup_revenue", "q_semi_anti_join", "q_set_ops", "q_sql_surface",
-    "sec_index_lookup",
-    # last driver-green in round 3
-    "ann_cosine_topk", "ann_embedding_health", "ann_hard_negatives",
-    "ann_hyperplane_pairs", "ann_int8_topk", "ann_ivf_near_pairs",
-    "ann_ivf_topk", "dedup_components", "dedup_containment_pairs",
-    "dedup_edit_distance", "dedup_embedding_cosine",
-    "dedup_incremental_batch", "dedup_lsh_verified",
-    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-    "doc_bpe_token_stats", "doc_fingerprint_rolling", "doc_token_stats",
-    "graph_pagerank_neardup", "multimodal_audio_features",
-    "multimodal_features", "multimodal_frame_plan", "multimodal_resize",
-    "pipeline_decontaminate", "pipeline_dedup_drop_list",
-    "pipeline_doc_chunking", "pipeline_dsir_importance",
-    "pipeline_leakage_safe_split", "pipeline_token_packing",
-    "pipeline_weighted_interleave", "sample_stratified_deterministic",
-    "sample_weighted_reservoir", "text_bpe_pair_counts", "text_language_id",
-    "text_pii_redaction", "text_pmi_collocations", "text_quality_score",
-    "text_tfidf_bm25", "text_tokenizer_fertility", "text_unigram_surprisal",
+    # NEW in round 7 — needs a first driver row
+    "multimodal_flac_features", "text_compression_ratio",
+    "ann_filtered_selective", "dedup_cluster_dashboard",
+    # last driver-green in round 3 (oldest — all 36 fit in the sample)
+    "dedup_components", "dedup_containment_pairs", "dedup_edit_distance",
+    "dedup_embedding_cosine", "dedup_incremental_batch",
+    "dedup_lsh_verified", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_bpe_token_stats", "doc_fingerprint_rolling",
+    "doc_token_stats", "graph_pagerank_neardup",
+    "multimodal_audio_features", "multimodal_features",
+    "multimodal_frame_plan", "multimodal_resize", "pipeline_decontaminate",
+    "pipeline_dedup_drop_list", "pipeline_doc_chunking",
+    "pipeline_dsir_importance", "pipeline_leakage_safe_split",
+    "pipeline_token_packing", "pipeline_weighted_interleave",
+    "sample_stratified_deterministic", "sample_weighted_reservoir",
+    "text_bpe_pair_counts", "text_language_id", "text_pii_redaction",
+    "text_pmi_collocations", "text_quality_score", "text_tfidf_bm25",
+    "text_tokenizer_fertility", "text_unigram_surprisal",
     "text_vocab_profile", "text_zipf_slope",
     # last driver-green in round 4
     "ann_centroid_outliers", "ann_kmeans_clusters", "ann_pq_topk",
@@ -118,6 +100,26 @@ _DRIVER_PRIORITY = [
     "q_topk_per_group", "q_window_running_total", "text_bigram_surprisal",
     "text_lm_persisted_score", "text_perplexity_buckets",
     "text_redundancy_stats", "text_signal_spearman",
+    # last driver-green in round 6
+    "ann_cosine_topk", "ann_embedding_health", "ann_filtered_topk",
+    "ann_hard_negatives", "ann_hyperplane_pairs", "ann_int8_topk",
+    "ann_ivf_near_pairs", "ann_ivf_topk", "cell_append_merge",
+    "cell_filter_list_and_or", "cell_max_qualifiers",
+    "cell_media_current_decode", "cell_put_ifabsent", "cell_row_map_shape",
+    "cell_scan_range_projection", "dedup_url_canonical",
+    "multimodal_audio_fingerprint", "multimodal_cross_container_dups",
+    "multimodal_exif_gps_audit", "multimodal_format_sniff",
+    "multimodal_mp3_metadata", "multimodal_scene_cuts",
+    "multimodal_webp_features", "pipeline_media_curation",
+    "q10_returned_items", "q11_important_parts", "q12_priority_shipping",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_qty_revenue", "q19_disjunctive_filter",
+    "q20_excess_stock_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers", "q2_min_cost_supplier", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q_cube_agg", "q_distinct_agg", "q_percentile_profile", "q_pivot_status",
+    "q_rollup_revenue", "q_semi_anti_join", "q_set_ops", "q_sql_surface",
+    "sec_index_lookup", "text_gopher_rules",
 ]
 
 # Rows-only queries (no DuckDB oracle possible) are ordered dead last

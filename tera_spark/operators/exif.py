@@ -84,18 +84,30 @@ def encode_exif_app1(
         gps_ifd_off = ifd0_end
         lat_off = gps_ifd_off + 2 + 2 * 12 + 4
         entries.append(entry(_TAG_GPS_IFD, 4, 1, struct.pack(e + "I", gps_ifd_off)))
-        gps_entries = [
-            entry(_TAG_GPS_LAT_REF, 2, 2, ref.encode("ascii") + b"\x00"),
-            entry(_TAG_GPS_LAT, 5, 3, struct.pack(e + "I", lat_off)),
-        ]
+        ref_bytes = ref.encode("ascii") + b"\x00"
         lat_data = struct.pack(
             e + "IIIIII", deg, 1, minute, 1, sec_centi, 100
         )
+        if len(ref_bytes) <= 4:
+            ref_entry = entry(_TAG_GPS_LAT_REF, 2, len(ref_bytes), ref_bytes)
+            tail = lat_data
+        else:
+            # TIFF 6.0 out-of-line value: the 4-byte field holds the
+            # offset of the string, stored after the RATIONAL block
+            ref_entry = entry(
+                _TAG_GPS_LAT_REF, 2, len(ref_bytes),
+                struct.pack(e + "I", lat_off + len(lat_data)),
+            )
+            tail = lat_data + ref_bytes
+        gps_entries = [
+            ref_entry,
+            entry(_TAG_GPS_LAT, 5, 3, struct.pack(e + "I", lat_off)),
+        ]
         body_after_gps_ifd = (
             struct.pack(e + "H", 2)
             + b"".join(gps_entries)
             + struct.pack(e + "I", 0)
-            + lat_data
+            + tail
         )
     tiff = (
         (b"II" if byte_order == "II" else b"MM")
@@ -170,7 +182,19 @@ def _parse_exif_inner(payload: bytes) -> dict:
             out["has_gps"] = True
             for tag, typ, count, vpos in entries(gps_off):
                 if tag == _TAG_GPS_LAT_REF and typ == 2:
-                    raw = tiff[vpos : vpos + min(count, 4)]
+                    if count <= 4:
+                        raw = tiff[vpos : vpos + count]
+                    else:
+                        # TIFF 6.0: a value wider than the 4-byte field
+                        # is stored out-of-line; the field holds its
+                        # offset — reading the offset bytes as ASCII
+                        # yields garbage refs
+                        (soff,) = struct.unpack_from(e + "I", tiff, vpos)
+                        if soff + count > len(tiff):
+                            raise ValueError(
+                                "corrupt EXIF: ASCII value offset past TIFF end"
+                            )
+                        raw = tiff[soff : soff + count]
                     out["gps_ref"] = raw.split(b"\x00")[0].decode("ascii")
                 elif tag == _TAG_GPS_LAT and typ == 5 and count == 3:
                     (doff,) = struct.unpack_from(e + "I", tiff, vpos)

@@ -33,9 +33,16 @@ BITRATE_KBPS = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
 SAMPLE_RATES = (44100, 48000, 32000)
 SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
 
-# Side-info size for MPEG-1 is 32 bytes (stereo) after the 4-byte
-# header; real encoders place the Xing/Info tag right after it.
-_VBR_TAG_OFFSET = 36
+# Side-info size for MPEG-1 is 32 bytes for stereo/joint/dual and 17
+# for mono, after the 4-byte header; real encoders place the Xing/Info
+# tag right after it — so the probe offset depends on the first
+# frame's channel-mode bits (header byte 3, top two bits; 0b11 = mono).
+_SIDE_INFO_STEREO = 32
+_SIDE_INFO_MONO = 17
+
+
+def _vbr_tag_offset(channel_mode: int) -> int:
+    return 4 + (_SIDE_INFO_MONO if channel_mode == 3 else _SIDE_INFO_STEREO)
 
 _ID3V1_LEN = 128
 
@@ -57,6 +64,7 @@ def encode_mp3(
     id3v2_payload: int | None = None,
     id3v1: bool = False,
     vbr_tag: bytes | None = None,
+    channel_mode: int = 0,
 ) -> bytes:
     """Assemble a real MPEG-1 Layer III stream for fixtures.
 
@@ -65,8 +73,12 @@ def encode_mp3(
     ``id3v2_payload`` is not None an ID3v2.4 tag of that payload size
     precedes the audio; ``id3v1`` appends the legacy 128-byte trailer;
     ``vbr_tag`` (b"Xing"/b"Info") lands at the encoder-standard offset
-    in the first frame.
+    in the first frame — after the 32-byte (stereo) or 17-byte (mono)
+    side info, per ``channel_mode`` (0 stereo, 1 joint, 2 dual,
+    3 mono).
     """
+    if not 0 <= channel_mode <= 3:
+        raise ValueError("channel_mode must be 0..3")
     out = bytearray()
     if id3v2_payload is not None:
         out += b"ID3\x04\x00\x00" + _syncsafe(id3v2_payload)
@@ -80,11 +92,11 @@ def encode_mp3(
             0xFF,
             0xFB,  # sync + MPEG-1 + Layer III + no CRC
             (bri << 4) | (sample_rate_idx << 2) | (pad << 1),
-            0x00,  # stereo, no flags
+            channel_mode << 6,  # channel mode, no mode ext/flags
         ))
         body = bytearray((fno * 29 + i * 7) % 256 for i in range(flen - 4))
         if fno == 0 and vbr_tag is not None:
-            off = _VBR_TAG_OFFSET - 4
+            off = _vbr_tag_offset(channel_mode) - 4
             body[off:off + 4] = vbr_tag
         out += hdr + bytes(body)
     if id3v1:
@@ -158,7 +170,11 @@ def parse_mp3(payload: bytes) -> dict:
         if pos + flen > end:
             raise ValueError(f"corrupt mp3: truncated frame at offset {pos}")
         if n_frames == 0:
-            tag = bytes(payload[pos + _VBR_TAG_OFFSET:pos + _VBR_TAG_OFFSET + 4])
+            # mono streams carry 17 bytes of side info vs 32 for
+            # stereo/joint/dual — the Xing/Info probe must follow the
+            # channel-mode bits or mono VBR tags are silently missed
+            toff = _vbr_tag_offset(payload[pos + 3] >> 6)
+            tag = bytes(payload[pos + toff:pos + toff + 4])
             if tag in (b"Xing", b"Info"):
                 vbr_tag = tag.decode("ascii")
         n_frames += 1

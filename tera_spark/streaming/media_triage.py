@@ -58,15 +58,19 @@ class MediaTriage:
             .filter(F.col("n_frames") == -1)
             .select("asset_id", "n_bytes")
         )
-        bad.write.mode("overwrite").parquet(
-            str(self.root / "quarantine" / f"epoch={epoch_id}")
+        qpath = self.root / "quarantine" / f"epoch={epoch_id}"
+        bad.write.mode("overwrite").parquet(str(qpath))
+        # the census join reads the JUST-WRITTEN quarantine partition
+        # back instead of re-deriving `bad` — otherwise the MP3 deep
+        # walk (the epoch's most expensive Python stage) would run a
+        # second time under the join; the parquet write is the persist
+        bad_ids = (
+            self.spark.read.schema("asset_id long, n_bytes long")
+            .parquet(str(qpath))
+            .select("asset_id", F.lit(1).alias("quarantined"))
         )
         census = (
-            sniffed.join(
-                bad.select("asset_id", F.lit(1).alias("quarantined")),
-                "asset_id",
-                "left",
-            )
+            sniffed.join(F.broadcast(bad_ids), "asset_id", "left")
             .groupBy("format")
             .agg(
                 F.count("*").cast("long").alias("n_assets"),

@@ -1,0 +1,123 @@
+"""Regression tests for the round-6 ADVICE findings: mono-aware MP3
+VBR-tag probe, TIFF out-of-line ASCII GPS refs, and the media-triage
+fold running the MP3 deep walk exactly once per epoch."""
+
+from __future__ import annotations
+
+import pytest
+
+from tera_spark.operators.mp3 import encode_mp3, parse_mp3
+
+
+def test_mono_vbr_tag_detected():
+    """MPEG-1 mono side info is 17 bytes, not 32 — the Xing/Info probe
+    must follow the channel-mode bits or mono VBR streams silently
+    report vbr_tag=''."""
+    mono = encode_mp3([(9, 0)] * 3, 0, vbr_tag=b"Xing", channel_mode=3)
+    assert parse_mp3(mono)["vbr_tag"] == "Xing"
+    # and the stereo offset still works
+    stereo = encode_mp3([(9, 0)] * 3, 0, vbr_tag=b"Info", channel_mode=0)
+    assert parse_mp3(stereo)["vbr_tag"] == "Info"
+
+
+def test_mono_without_tag_reports_empty():
+    mono = encode_mp3([(9, 0)] * 3, 0, channel_mode=3)
+    assert parse_mp3(mono)["vbr_tag"] == ""
+
+
+def test_stereo_tag_not_misread_at_mono_offset():
+    """A stereo stream whose filler bytes happen to spell nothing at
+    offset 21 must not probe there: the tag sits at 36 only."""
+    stereo = encode_mp3([(9, 0)] * 2, 1, vbr_tag=b"Xing")
+    meta = parse_mp3(stereo)
+    assert meta["vbr_tag"] == "Xing"
+    assert meta["n_frames"] == 2
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_exif_out_of_line_ascii_ref(bo):
+    """GPSLatitudeRef with count > 4 stores an OFFSET in the 4-byte
+    field (TIFF 6.0); the parser must dereference it, not read the
+    offset bytes as the string."""
+    from tera_spark.operators.exif import (
+        encode_exif_app1,
+        insert_exif,
+        parse_exif,
+    )
+
+    base = b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xda\x00\x02end"
+    app1 = encode_exif_app1(
+        orientation=1, byte_order=bo, gps=("NORTH", 48, 51, 2412)
+    )
+    meta = parse_exif(insert_exif(base, app1))
+    assert meta["has_gps"]
+    assert meta["gps_ref"] == "NORTH"
+    assert (meta["lat_deg"], meta["lat_min"], meta["lat_sec_centi"]) == (48, 51, 2412)
+
+
+def test_exif_out_of_line_ref_bad_offset_raises():
+    """An out-of-line ASCII offset past the TIFF block is corrupt, not
+    garbage-returned."""
+    import struct
+
+    from tera_spark.operators.exif import (
+        encode_exif_app1,
+        insert_exif,
+        parse_exif,
+    )
+
+    base = b"\xff\xd8\xff\xda\x00\x02end"
+    app1 = bytearray(
+        encode_exif_app1(orientation=1, byte_order="II", gps=("NORTH", 1, 2, 300))
+    )
+    # find the out-of-line ref offset field and point it past the end
+    tiff = bytes(app1[10:])
+    soff = tiff.find(b"NORTH\x00")
+    assert soff > 0
+    pos = app1.find(struct.pack("<I", soff))
+    assert pos > 0
+    app1[pos : pos + 4] = struct.pack("<I", len(tiff) + 100)
+    with pytest.raises(ValueError, match="corrupt EXIF"):
+        parse_exif(insert_exif(base, bytes(app1)))
+
+
+def test_inline_short_ref_still_inline():
+    from tera_spark.operators.exif import (
+        encode_exif_app1,
+        insert_exif,
+        parse_exif,
+    )
+
+    base = b"\xff\xd8\xff\xda\x00\x02end"
+    app1 = encode_exif_app1(orientation=6, byte_order="MM", gps=("N", 10, 20, 3000))
+    meta = parse_exif(insert_exif(base, app1))
+    assert meta["gps_ref"] == "N"
+    assert meta["orientation"] == 6
+
+
+def test_media_triage_walks_mp3_once_per_epoch(spark, tmp_path, monkeypatch):
+    """The quarantine write IS the persist: the census join must read
+    the written partition back, not re-run extract_mp3_metadata (the
+    epoch's most expensive Python stage) a second time."""
+    from tera_spark.operators import multimodal as MM
+    from tera_spark.streaming.media_triage import MediaTriage
+
+    calls = []
+    real = MM.extract_mp3_metadata
+
+    def counting(df, **kw):
+        calls.append(1)
+        return real(df, **kw)
+
+    monkeypatch.setattr(MM, "extract_mp3_metadata", counting)
+
+    good = encode_mp3([(9, 0)] * 2, 0)
+    rows = [(1, bytearray(good)), (2, bytearray(b"\xff\xfb corrupt")),
+            (3, bytearray(b"GIF89a tail"))]
+    batch = spark.createDataFrame(rows, "asset_id long, payload binary")
+    tri = MediaTriage(spark, str(tmp_path / "triage"))
+    tri.fold(batch, epoch_id=0)
+    assert calls == [1]
+    census = {r["format"]: r for r in tri.census().collect()}
+    assert census["mp3"]["n_quarantined"] == 1
+    assert census["mp3"]["n_assets"] == 2
