@@ -94,12 +94,13 @@ def run_storm(n_procs: int, rounds: int) -> dict:
         # integrity: one winner per round, claim survives with a live
         # holder (read through the generation-slot state, not the plain
         # path — the winner's record is the highest generation)
-        from tera_spark.catalog import Catalog
+        from tera_spark.coordination import PosixLinkArbiter
 
+        arb = PosixLinkArbiter()
         leaked = list(d.glob("*.dead-*")) + list(d.glob("*.w-*"))
         holders_ok = True
         for k in range(rounds):
-            st = Catalog._slot_state(d / f"claim-{k}.lock")
+            st = arb.state(d / f"claim-{k}.lock")
             rec = None if st is None else st[1]
             if (
                 rec is None

@@ -24,6 +24,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tera_spark.coordination import PosixLinkArbiter, SlotArbiter
 from tera_spark.model import CELL_SCHEMA
 from tera_spark.registry import TableSchema, parse_schema_string
 from tera_spark.sources.tables import schema_codec, write_cell_table
@@ -42,6 +43,7 @@ class Catalog:
         access=None,
         user: str | None = None,
         writer_id: str | None = None,
+        arbiter: SlotArbiter | None = None,
     ):
         """``access`` (tera_spark.access.AccessControl) + ``user`` turn
         on ACL/quota enforcement at this — the only — data boundary;
@@ -49,13 +51,19 @@ class Catalog:
         kNoneAuthPolicy (everything authorized, nothing metered).
         ``writer_id`` names this process for writer-lease fencing
         (acquire_writer_lease); appends to a table with another
-        holder's live lease raise WriterFenced."""
+        holder's live lease raise WriterFenced. ``arbiter`` is the
+        coordination backend every exclusive claim (lease, commit
+        slot, allocator lock) routes through — default
+        PosixLinkArbiter, which requires all writers to share one
+        POSIX filesystem; see tera_spark/coordination.py for the
+        contract and the object-store/ZooKeeper backend sketch."""
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.access = access
         self.user = user
         self.writer_id = writer_id
+        self.arbiter: SlotArbiter = arbiter if arbiter is not None else PosixLinkArbiter()
         # auto writer identity when none is given: MUST be unique across
         # OS processes (id(self) is not — two CPython processes can
         # yield the same heap address, colliding reservation-manifest
@@ -567,20 +575,7 @@ class Catalog:
     def _claim_slot_bases(self, name: str) -> list:
         """Distinct claim-slot base paths in the commits dir (the plain
         claim file and/or any of its generation files may exist)."""
-        c = self.root / name / "commits"
-        if not c.exists():
-            return []
-        bases = set()
-        for p in c.glob("claim-*.lock*"):
-            n = p.name
-            if n.endswith(".lock"):
-                bases.add(n)
-            else:
-                stem = n.split(".lock", 1)[0] + ".lock"
-                suffix = n[len(stem):]
-                if suffix.startswith(".g") and suffix[2:].isdigit():
-                    bases.add(stem)
-        return [c / b for b in sorted(bases)]
+        return self.arbiter.list_slots(self.root / name / "commits", "claim-")
 
     def _reader_heal(self, name: str) -> bool:
         """Reader-driven lock cleanup / roll-forward (the reference
@@ -623,22 +618,11 @@ class Catalog:
         self._recover_tail(name)
         return True
 
-    @classmethod
-    def _clear_dead_claim(cls, p) -> None:
-        """Unlink every generation of a claim slot whose record is
-        expired or torn. Safe by immutability: each unlink targets a
-        specific file whose content was read as dead; a live claim (or
-        a fresh takeover's new generation) is never removed."""
-        now = time.time()
-        for _gen, f in cls._slot_files(p):
-            try:
-                rec = json.loads(f.read_text())
-            except FileNotFoundError:
-                continue
-            except (OSError, json.JSONDecodeError):
-                rec = None
-            if rec is None or rec.get("expires", 0) <= now:
-                f.unlink(missing_ok=True)
+    def _clear_dead_claim(self, p) -> None:
+        """Remove every generation of a claim slot whose record is
+        expired or torn; a live claim is never removed (immutability —
+        see coordination.PosixLinkArbiter.clear_dead)."""
+        self.arbiter.clear_dead(p)
 
     def _retire_dead_gaps(self, name: str) -> None:
         """Convert commit gaps with no live reservation into rollback
@@ -1165,130 +1149,22 @@ class Catalog:
         d.mkdir(exist_ok=True)
         return self._try_excl_claim(d / f"claim-{base_mark}.lock", holder, ttl_s)
 
-    @staticmethod
-    def _slot_files(p) -> list:
-        """All generation files of a claim slot, sorted by generation:
-        the plain path is generation 0, ``<name>.g<k>`` is generation
-        k. Every slot file is IMMUTABLE after creation (link-published
-        with content; never rewritten), which is what makes concurrent
-        reads/unlinks of dead generations safe."""
-        out = []
-        if p.exists():
-            out.append((0, p))
-        prefix = p.name + ".g"
-        for f in p.parent.glob(p.name + ".g*"):
-            suffix = f.name[len(prefix):]
-            if suffix.isdigit():
-                out.append((int(suffix), f))
-        out.sort()
-        return out
+    # Slot primitives: thin delegates to the coordination arbiter.
+    # The generation-slot protocol itself (the round-6 design proved
+    # single-winner under 16/32-process takeover storms) lives in
+    # tera_spark/coordination.py::PosixLinkArbiter; these shims exist
+    # so every claim in this file routes through self.arbiter — the
+    # seam a ZooKeeper/conditional-put backend plugs into (the
+    # reference's src/zk/ role).
 
-    @classmethod
-    def _slot_state(cls, p):
-        """(generation, record|None-if-torn) of the HIGHEST existing
-        generation, or None for an empty slot. A file unlinked between
-        glob and read (a racer's cleanup) falls through to the next
-        lower generation — stale-low answers are tolerated because
-        every winner re-verifies it holds the highest generation."""
-        files = cls._slot_files(p)
-        while files:
-            gen, f = files.pop()
-            try:
-                return gen, json.loads(f.read_text())
-            except FileNotFoundError:
-                continue
-            except (OSError, json.JSONDecodeError):
-                return gen, None  # torn record = dead holder
-        return None
+    def _slot_state(self, p):
+        return self.arbiter.state(p)
 
-    @classmethod
-    def _try_excl_claim(cls, p, holder: str, ttl_s: float, *, renew: bool = False) -> bool:
-        """One attempt at an exclusive expiring filesystem claim —
-        GENERATION-SLOT design (round 6).
+    def _try_excl_claim(self, p, holder: str, ttl_s: float, *, renew: bool = False) -> bool:
+        return self.arbiter.try_claim(p, holder, ttl_s, renew=renew)
 
-        History: round 5 arbitrated expired-claim takeover by renaming
-        the dead record ASIDE and re-racing an exclusive link-create.
-        That passed the two-process hammer, but the 16-process takeover
-        storm (scripts/scale_smoke_cas.py storm) exposed a three-party
-        hole: racer B renames winner A's FRESH claim aside (stale
-        expired read), and while B verifies-and-restores, racer C's
-        link-create wins the momentarily-empty slot — A and C both
-        return True. The root cause is any protocol step that makes a
-        live slot momentarily ABSENT.
-
-        This design never renames and never rewrites: a slot is a
-        family of immutable generation files (plain path = gen 0,
-        ``.g<k>`` above it); the current record is the highest
-        generation. Acquire/takeover/renewal all publish generation
-        ``highest+1`` (or 0 on an empty slot) by hard-linking a fully-
-        written temp — the TARGET NAME is the arbiter: os.link is
-        exclusive, so exactly one racer can ever create a given
-        generation. After winning a name, the winner re-globs and
-        retracts if a higher generation appeared (a release/cleanup
-        race can let two racers win DIFFERENT generations; the higher
-        one keeps, deterministically — no ties, names are exclusive),
-        then unlinks the superseded lower generations.
-
-        Semantics: returns True iff this call now holds the slot.
-        A live foreign record loses; expired/torn records are taken
-        over. A live record of OUR OWN holder loses by default —
-        same-holder re-entry must keep MUTUAL EXCLUSION for the spin
-        locks (two driver threads share one writer_id; letting both
-        "renew" into the alloc critical section would corrupt the
-        counter) — and renews (publishes the next generation) only
-        when the caller passes ``renew=True`` (the lease path, where
-        the holder is by contract one process refreshing its fence)."""
-        import os
-        import uuid
-
-        d = p.parent
-        while True:
-            st = cls._slot_state(p)
-            if st is None:
-                target = 0
-            else:
-                gen, rec = st
-                if rec is not None and rec.get("expires", 0) > time.time():
-                    if rec.get("holder") != holder or not renew:
-                        return False  # live claim (foreign, or ours sans renew)
-                target = gen + 1
-            tgt = p if target == 0 else d / f"{p.name}.g{target}"
-            tmp = d / f"{p.name}.w-{uuid.uuid4().hex}"
-            tmp.write_text(json.dumps({"holder": holder, "expires": time.time() + ttl_s}))
-            try:
-                os.link(str(tmp), str(tgt))
-            except FileExistsError:
-                continue  # someone else took this generation: re-read
-            finally:
-                tmp.unlink(missing_ok=True)
-            files = cls._slot_files(p)
-            if files and files[-1][0] > target:
-                # a higher generation landed concurrently (possible only
-                # through a release/cleanup race): the higher wins
-                tgt.unlink(missing_ok=True)
-                continue
-            for g, f in files:
-                if g < target:
-                    f.unlink(missing_ok=True)  # superseded, immutable, dead
-            return True
-
-    @classmethod
-    def _release_slot(cls, p, holder: str) -> None:
-        """Conditional release: unlink the current generation only
-        while it still records US. The check->unlink gap can, in
-        principle, delete a record an expiry takeover just installed
-        (requires this holder to have exceeded its ttl — the
-        documented takeover window). That corner degrades slot
-        ORDERING only, never safety: seq windows come from the
-        reservation counter and can never interleave, and uncommitted
-        windows stay gap-masked."""
-        st = cls._slot_state(p)
-        if st is None:
-            return
-        gen, rec = st
-        if rec is not None and rec.get("holder") == holder:
-            f = p if gen == 0 else p.parent / f"{p.name}.g{gen}"
-            f.unlink(missing_ok=True)
+    def _release_slot(self, p, holder: str) -> None:
+        self.arbiter.release(p, holder)
 
     def _claim_holder(self, name: str, base_mark: int) -> str | None:
         st = self._slot_state(self.root / name / "commits" / f"claim-{base_mark}.lock")

@@ -717,7 +717,7 @@ def test_expired_lease_takeover_single_winner_two_processes(tmp_path):
     acquire_writer_lease. The old in-place tmp.replace takeover let
     BOTH return a lease record (both believe they hold the fence —
     the exact two-writers-interleaving the lease exists to prevent).
-    Routed through _try_excl_claim's rename-aside arbiter, exactly one
+    Routed through the arbiter's generation-slot claim, exactly one
     racer per round may win; the loser gets WriterFenced."""
     import json
     import subprocess
@@ -914,15 +914,16 @@ def test_slot_lock_same_holder_reentry_loses_without_renew():
     import tempfile
     from pathlib import Path
 
-    from tera_spark.catalog import Catalog
+    from tera_spark.coordination import PosixLinkArbiter
 
+    arb = PosixLinkArbiter()
     with tempfile.TemporaryDirectory() as d:
         p = Path(d) / "x.lock"
-        assert Catalog._try_excl_claim(p, "w", 60.0)
-        assert not Catalog._try_excl_claim(p, "w", 60.0)  # re-entry loses
-        assert Catalog._try_excl_claim(p, "w", 60.0, renew=True)  # lease-style
-        Catalog._release_slot(p, "w")
-        assert Catalog._try_excl_claim(p, "w", 60.0)  # fresh after release
+        assert arb.try_claim(p, "w", 60.0)
+        assert not arb.try_claim(p, "w", 60.0)  # re-entry loses
+        assert arb.try_claim(p, "w", 60.0, renew=True)  # lease-style
+        arb.release(p, "w")
+        assert arb.try_claim(p, "w", 60.0)  # fresh after release
 
 
 def test_reserve_seq_window_threaded_disjoint():

@@ -1,0 +1,157 @@
+"""The coordination seam: every exclusive claim in the catalog routes
+through a SlotArbiter, so the POSIX hard-link backend can be swapped
+for a ZooKeeper/conditional-put service without touching commit
+logic. These tests pin (a) the PosixLinkArbiter contract at the seam
+and (b) that a completely different backend — an in-memory CAS map,
+the shape of a DynamoDB/GCS-generation arbiter — drives the full
+lease + CAS-commit + reader-heal machinery."""
+
+from __future__ import annotations
+
+import threading
+import time
+from pathlib import Path
+
+import pytest
+
+from tera_spark.coordination import PosixLinkArbiter, SlotArbiter
+
+
+class DictArbiter(SlotArbiter):
+    """Conditional-put arbiter over an in-process dict — the same
+    compare-and-swap shape a DynamoDB conditional write or a GCS
+    if-generation-match PUT provides (coordination.py module
+    docstring). Generations are per-slot integers; the 'store' is the
+    linearization point."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._slots: dict[str, tuple[int, dict]] = {}
+
+    def try_claim(self, p: Path, holder: str, ttl_s: float, *, renew: bool = False) -> bool:
+        k = str(p)
+        with self._lock:
+            cur = self._slots.get(k)
+            if cur is not None:
+                gen, rec = cur
+                if rec.get("expires", 0) > time.time():
+                    if rec.get("holder") != holder or not renew:
+                        return False
+                self._slots[k] = (gen + 1, {"holder": holder, "expires": time.time() + ttl_s})
+            else:
+                self._slots[k] = (0, {"holder": holder, "expires": time.time() + ttl_s})
+            return True
+
+    def state(self, p: Path):
+        return self._slots.get(str(p))
+
+    def release(self, p: Path, holder: str) -> None:
+        k = str(p)
+        with self._lock:
+            cur = self._slots.get(k)
+            if cur is not None and cur[1].get("holder") == holder:
+                del self._slots[k]
+
+    def clear_dead(self, p: Path) -> None:
+        k = str(p)
+        with self._lock:
+            cur = self._slots.get(k)
+            if cur is not None and cur[1].get("expires", 0) <= time.time():
+                del self._slots[k]
+
+    def list_slots(self, d: Path, prefix: str) -> list[Path]:
+        out = []
+        for k in sorted(self._slots):
+            kp = Path(k)
+            if kp.parent == d and kp.name.startswith(prefix):
+                out.append(kp)
+        return out
+
+
+# -- PosixLinkArbiter contract at the seam ------------------------------
+
+
+def test_posix_arbiter_contract(tmp_path):
+    arb = PosixLinkArbiter()
+    p = tmp_path / "s.lock"
+    assert arb.state(p) is None
+    assert arb.try_claim(p, "a", 60.0)
+    assert not arb.try_claim(p, "b", 60.0)  # live foreign record loses
+    gen, rec = arb.state(p)
+    assert rec["holder"] == "a"
+    arb.release(p, "b")  # wrong holder: no-op
+    assert arb.state(p) is not None
+    arb.release(p, "a")
+    assert arb.state(p) is None
+
+
+def test_posix_arbiter_expired_takeover_and_clear_dead(tmp_path):
+    arb = PosixLinkArbiter()
+    p = tmp_path / "s.lock"
+    assert arb.try_claim(p, "dead", 0.01)
+    time.sleep(0.05)
+    assert arb.try_claim(p, "taker", 60.0)  # expired record taken over
+    assert arb.state(p)[1]["holder"] == "taker"
+    arb.clear_dead(p)  # live claim never removed
+    assert arb.state(p)[1]["holder"] == "taker"
+    arb.release(p, "taker")
+    assert arb.try_claim(p, "dead2", 0.01)
+    time.sleep(0.05)
+    arb.clear_dead(p)
+    assert arb.state(p) is None
+
+
+def test_posix_arbiter_list_slots(tmp_path):
+    arb = PosixLinkArbiter()
+    assert arb.list_slots(tmp_path / "nope", "claim-") == []
+    assert arb.try_claim(tmp_path / "claim-0.lock", "a", 60.0)
+    assert arb.try_claim(tmp_path / "claim-3.lock", "a", 60.0, renew=True)
+    assert arb.try_claim(tmp_path / "claim-3.lock", "a", 60.0, renew=True)  # gen bump
+    (tmp_path / "other.txt").write_text("x")
+    bases = arb.list_slots(tmp_path, "claim-")
+    assert [b.name for b in bases] == ["claim-0.lock", "claim-3.lock"]
+
+
+# -- a non-POSIX backend drives the catalog end-to-end ------------------
+
+
+@pytest.fixture()
+def dict_cat(spark, tmp_path):
+    from tera_spark.catalog import Catalog
+
+    return Catalog(spark, str(tmp_path / "cat"), writer_id="w1", arbiter=DictArbiter())
+
+
+def test_dict_arbiter_lease_and_cas_commit(dict_cat, spark, tmp_path):
+    from tera_spark.catalog import Catalog, WriterFenced
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = dict_cat
+    cat.create_table("t { d }")
+    cat.acquire_writer_lease("t", "w1")
+    cat.acquire_writer_lease("t", "w1")  # renewal through the seam
+    # a second catalog SHARING the arbiter is fenced
+    other = Catalog(spark, str(cat.root), writer_id="w2", arbiter=cat.arbiter)
+    with pytest.raises(WriterFenced):
+        other.acquire_writer_lease("t", "w2")
+    cat.append_cas("t", MutationBatch().put("r1", "d", "q", "v1", ts=1))
+    cat.append_cas("t", MutationBatch().put("r2", "d", "q", "v2", ts=1))
+    rows = {r.row_key for r in cat.view("t").collect()}
+    assert rows == {"r1", "r2"}
+    cat.release_writer_lease("t", "w1")
+    other.acquire_writer_lease("t", "w2")  # free after release
+
+
+def test_dict_arbiter_no_claim_files_on_disk(dict_cat):
+    """With a service-backed arbiter, no lock/lease files touch the
+    table root — the proof the commit path has no hidden POSIX claim
+    dependency outside the seam."""
+    from tera_spark.operators.mutation import MutationBatch
+
+    cat = dict_cat
+    cat.create_table("t { d }")
+    cat.acquire_writer_lease("t", "w1")
+    cat.append_cas("t", MutationBatch().put("r", "d", "q", "v", ts=1))
+    assert cat.view("t").count() == 1
+    files = {p.name for p in Path(cat.root).rglob("*") if p.is_file()}
+    assert not any(".lock" in n or n == "writer.lease" for n in files), files
