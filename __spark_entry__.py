@@ -124,7 +124,9 @@ _DRIVER_PRIORITY = [
 
 # Rows-only queries (no DuckDB oracle possible) are ordered dead last
 # so they never occupy one of the driver's 50 oracled sample slots.
-_DRIVER_ROWS_ONLY = frozenset({"text_compression_ratio"})
+# Empty since round 7: text_compression_ratio gained a calibration
+# oracle (zlib output lengths pinned as a literal relation).
+_DRIVER_ROWS_ONLY: frozenset[str] = frozenset()
 
 # keys with a green driver row in CORRECTNESS_r01/r02.json — ordered last
 _DRIVER_GREEN_R2 = frozenset({

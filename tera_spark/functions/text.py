@@ -263,3 +263,70 @@ def sql_canonical_url(expr: str) -> str:
         f"concat({scheme}, '://', {host}, {path}, "
         f"(CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END))"
     )
+
+
+# --- zlib calibration corpus (compression-ratio oracle) -------------------
+# The compression-ratio kernel (operators/textops.compression_ratio)
+# is the one deliberately non-SQL-expressible text operator: DuckDB
+# has no zlib. To still give the driver a VALUE-level check, the
+# registry query compresses these eight FIXED strings — constructed
+# from doc_id only, never from testdata content, so the pins survive
+# testdata regeneration — and the oracle carries their zlib output
+# lengths as a literal relation computed by the same interpreter's
+# zlib at oracle-build time. The classes span the signal range the
+# operator exists to measure: degenerate repetition (ratio ~0.007)
+# through natural-language boilerplate up to hash-chain noise (~0.83).
+
+
+def _hashchain(seed: str, blocks: int) -> str:
+    import hashlib
+
+    out = bytearray()
+    for i in range(blocks):
+        out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+    return "".join(chr(33 + b % 90) for b in out)
+
+
+def calibration_texts() -> list[str]:
+    """Eight deterministic strings, one per doc_id % 8 class."""
+    return [
+        "a" * 4096,
+        "ab" * 1024,
+        "the quick brown fox jumps over the lazy dog. " * 48,
+        " ".join(f"token{i % 97}" for i in range(512)),
+        _hashchain("tera-calib-4", 64),
+        _hashchain("tera-calib-5", 8) + "z" * 1024,
+        (
+            "lorem ipsum dolor sit amet, consectetur adipiscing elit, "
+            "sed do eiusmod tempor incididunt ut labore. "
+        )
+        * 20,
+        "".join(chr(97 + (i * 7919 + i // 26) % 26) for i in range(1024)),
+    ]
+
+
+def calibration_pins() -> list[tuple[int, int, float]]:
+    """(raw_bytes, comp_bytes, ratio) per class — computed by the
+    DRIVER's zlib, the same library the Spark workers load (one
+    interpreter locally; on a heterogeneous cluster, pin the zlib
+    build across workers or this check degrades to an alarm). Ratio
+    uses the kernel's exact floor-truncation."""
+    import zlib
+
+    out = []
+    for s in calibration_texts():
+        raw = s.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        out.append(
+            (len(raw), comp, float(int(comp / len(raw) * 1_000_000)) / 1_000_000)
+        )
+    return out
+
+
+def sql_compression_pins() -> str:
+    """DuckDB VALUES relation (cls, raw_bytes, comp_bytes, ratio)."""
+    rows = ", ".join(
+        f"({c}, {raw}, {comp}, {ratio})"
+        for c, (raw, comp, ratio) in enumerate(calibration_pins())
+    )
+    return f"(VALUES {rows}) AS pins(cls, raw_bytes, comp_bytes, ratio)"

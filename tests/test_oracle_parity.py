@@ -56,16 +56,12 @@ def _normalize(df):
 
 def test_every_query_has_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops may omit oracles, but must be deliberate
-    allowed_weak = {
-        # zlib is not SQL-expressible (no DuckDB compression function);
-        # ordering/determinism pinned in test_llmops.py. The other four
-        # former rows-only entries (kmeans, PQ, BPE merges, sketch
-        # profile) gained full oracles in round 4 — fixed iteration
-        # counts unroll, and engine-reproducible sketch/quantized-mean
-        # arithmetic replaces engine-specific state.
-        "text_compression_ratio",
-    }
+    # Since round 7 every registry query carries a full value oracle:
+    # the last rows-only entry (text_compression_ratio — zlib has no
+    # DuckDB analog) now pins the production kernel on a fixed
+    # calibration corpus whose zlib output lengths ride in the oracle
+    # as a literal relation (functions/text.calibration_pins).
+    allowed_weak: set[str] = set()
     assert missing <= allowed_weak, f"queries without oracles: {missing}"
 
 
