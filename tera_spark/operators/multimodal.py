@@ -314,13 +314,31 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict:
 
 def decode_audio(payload: bytes, *, fake: bool = False) -> dict:
     """Audio decode. RIFF/WAVE payloads decode for REAL via the stdlib
-    `wave` parser. Other formats (MP3/FLAC/...) need ffmpeg/soundfile:
-    they raise unless ``fake=True`` (deterministic rate/sample-count
+    `wave` parser; fLaC payloads via the full FLAC decoder
+    (operators/flac.py — ``samples`` is channel 0 for multi-channel
+    streams; use flac.decode_flac directly for all channels). MP3
+    SAMPLE synthesis is a documented non-goal (SURVEY §2.7): the
+    container walk (operators/mp3.py) serves triage, and the lossless
+    tier (WAV/µ-law/FLAC) covers sample-level analysis. Other formats
+    raise unless ``fake=True`` (deterministic rate/sample-count
     stand-in derived from the bytes)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _typed_decode("WAV", decode_wav, payload)
+    if payload[:4] == b"fLaC":
+        from tera_spark.operators.flac import decode_flac
+
+        def _flac(p: bytes) -> dict:
+            info, chans = decode_flac(p)
+            return {
+                "sample_rate": info["sample_rate"],
+                "n_samples": len(chans[0]) if chans else 0,
+                "channels": info["channels"],
+                "samples": chans[0] if chans else (),
+            }
+
+        return _typed_decode("FLAC", _flac, payload)
     if not fake:
-        raise NotImplementedError("non-WAV audio codecs not available in this container")
+        raise NotImplementedError("non-WAV/FLAC audio codecs not available in this container")
     n = len(payload)
     rate = 8000 * (1 + (payload[0] if n else 0) % 3)  # 8/16/24 kHz
     return {"sample_rate": rate, "n_samples": n * 256, "channels": 1, "samples": ()}
@@ -1075,13 +1093,128 @@ def extract_mp3_metadata(media: DataFrame, *, on_error: str = "fail") -> DataFra
     return ensure_parallelism(media).mapInPandas(op, schema=MP3_META_SCHEMA)
 
 
+# ------------------------------------------------------------- FLAC
+
+# Fixture formulas (id = doc_id, n = n_chars, i = sample index) — the
+# oracle replays these in SQL, so a decoder bug cannot cancel an
+# encoder bug:
+FLAC_RATE = "[8000, 16000, 32000][id % 3]"
+FLAC_COUNT = "64 + (n % 96)"
+FLAC_SAMPLE = "((id*31 + i*17) % 2048) - 1024"
+FLAC_SAMPLE_R = "((id*13 + i*29) % 2048) - 1024  # right channel, id % 4 == 0"
+FLAC_BLOCK = 64
+
+
+def synth_flac_media(
+    docs: DataFrame, *, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Encode one real FLAC stream per row (FLAC_* formulas): ids
+    divisible by 4 are stereo encoded MID/SIDE, the rest mono; the
+    subframe mode rotates fixed2/verbatim/fixed1/lpc by id so every
+    decode path carries fixture traffic. Multi-frame (block 64)."""
+    from tera_spark.operators.flac import encode_flac
+
+    modes = ("fixed2", "verbatim", "fixed1", "lpc")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["id"], pdf["n"]):
+                did, n = int(did), int(n)
+                rate = (8000, 16000, 32000)[did % 3]
+                cnt = 64 + n % 96
+                left = [((did * 31 + i * 17) % 2048) - 1024 for i in range(cnt)]
+                mode = modes[did % 4]
+                kw = {"lpc_coefs": [2, -1], "lpc_shift": 0} if mode == "lpc" else {}
+                if did % 4 == 0:
+                    right = [((did * 13 + i * 29) % 2048) - 1024 for i in range(cnt)]
+                    payloads.append(
+                        encode_flac(
+                            [left, right], rate, mode=mode,
+                            stereo="mid_side", block_size=FLAC_BLOCK, **kw,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_flac([left], rate, mode=mode, block_size=FLAC_BLOCK, **kw)
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(size_col).alias("n"))
+    return base.mapInPandas(op, MEDIA_SCHEMA)
+
+
+FLAC_META_SCHEMA = (
+    "asset_id long, n_bytes long, sample_rate int, channels int, bps int, "
+    "n_samples long, n_frames long, duration_ms long, sample_sum long, "
+    "energy long"
+)
+
+
+def extract_flac_features(media: DataFrame, *, on_error: str = "fail") -> DataFrame:
+    """mapInPandas FLAC full-decode features (operators/flac.py) —
+    unlike the MP3 container walk this verifies every PCM sample
+    (frame CRCs + STREAMINFO MD5), so sample_sum/energy are exact
+    decoded-signal statistics. Same partition-preserving Arrow-batch
+    shape as the other codecs; payloads never cross a shuffle.
+    ``on_error='quarantine'`` maps TYPED parse errors to
+    n_samples = -1 rows (crawl-garbage policy)."""
+    from tera_spark.operators.flac import parse_flac
+
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine, got {on_error!r}")
+
+    _bad = {
+        "sample_rate": 0, "channels": 0, "bps": 0, "n_samples": -1,
+        "n_frames": 0, "duration_ms": 0, "sample_sum": 0, "energy": 0,
+    }
+
+    def parse_or_quarantine(b: bytes) -> dict:
+        if on_error == "fail":
+            return parse_flac(b)
+        try:
+            return parse_flac(b)
+        except (ValueError, NotImplementedError, EOFError):
+            return _bad
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].apply(lambda b: bytes(b) if b is not None else b"")
+            meta = payloads.apply(parse_or_quarantine)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.apply(len).astype("int64"),
+                    "sample_rate": meta.apply(lambda d: d["sample_rate"]).astype("int32"),
+                    "channels": meta.apply(lambda d: d["channels"]).astype("int32"),
+                    "bps": meta.apply(lambda d: d["bps"]).astype("int32"),
+                    "n_samples": meta.apply(lambda d: d["n_samples"]).astype("int64"),
+                    "n_frames": meta.apply(lambda d: d["n_frames"]).astype("int64"),
+                    "duration_ms": meta.apply(lambda d: d["duration_ms"]).astype("int64"),
+                    "sample_sum": meta.apply(lambda d: d["sample_sum"]).astype("int64"),
+                    "energy": meta.apply(lambda d: d["energy"]).astype("int64"),
+                }
+            )
+
+    from tera_spark.sources.tables import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(op, schema=FLAC_META_SCHEMA)
+
+
 # ------------------------------------------------- container sniffing
 
 def sniff_format_col(payload_col: str = "payload"):
     """Magic-byte container triage as a pure JVM expression Column —
     the first stage of any multimodal crawl pipeline runs before any
     Python decode, inside whole-stage codegen. Matches the containers
-    this engine decodes (png/jpeg/gif/webp/wav/y4m/mp3) plus
+    this engine decodes (png/jpeg/gif/webp/flac/wav/y4m/mp3) plus
     'unknown'; RIFF is disambiguated on bytes 9-12, MP3 on either an
     ID3v2 prefix or a raw 11-bit frame sync."""
     head = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 12)")))
@@ -1092,6 +1225,7 @@ def sniff_format_col(payload_col: str = "payload"):
         .when(head.startswith("474946383761") | head.startswith("474946383961"), "gif")
         .when(head.startswith("52494646") & (riff_kind == "57454250"), "webp")
         .when(head.startswith("52494646") & (riff_kind == "57415645"), "wav")
+        .when(head.startswith("664C6143"), "flac")  # "fLaC"
         .when(head.startswith("595556344D504547"), "y4m")  # "YUV4MPEG"
         .when(head.startswith("494433") | head.rlike("^FF[EF]"), "mp3")
         .otherwise("unknown")
