@@ -560,3 +560,45 @@ def incremental_dedup(
             .alias("verdict"),
         )
     )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    cap: int = 16,
+) -> DataFrame:
+    """Per-band LSH bucket audit — the observability face of banded
+    dedup at volume. For each band: bucket count, the largest bucket,
+    the candidate-pair volume the band would generate
+    (sum of C(size, 2)), and how many buckets exceed ``cap`` (the
+    size at which minhash_lsh_pairs' max_bucket_size would truncate).
+    An operator reads this BEFORE running pair generation on a new
+    corpus: a hot bucket (boilerplate shingles, empty docs) shows up
+    here as max_bucket/pair-volume blowup while the run is still one
+    cheap aggregation, not a quadratic join.
+
+    Scale shape: signature + band keys are map-only; one exchange
+    keyed (band, bucket) with map-side partial counts; the band
+    rollup rides the same key prefix. No pairs are ever materialized.
+    """
+    keyed = with_minhash_signature(ensure_parallelism(docs), text_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_keys(F.col("sig"))).alias("band", "bucket"),
+    )
+    sizes = keyed.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+            F.sum(F.when(F.col("sz") > cap, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cap"),
+        )
+    )

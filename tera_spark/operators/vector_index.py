@@ -69,6 +69,10 @@ class VectorIndex:
         self.residual = bool(meta.get("residual", False))
         # indexes built before the refinement store can't re-rank
         self.has_rerank_store = bool(meta.get("rerank", False))
+        # corpus size at build time (selectivity denominator for the
+        # adaptive-nprobe rule); pre-round-7 indexes lack it and fall
+        # back to a one-time codes count
+        self.n_vectors = meta.get("n_vectors")
 
     # -- build / load --------------------------------------------------
     @classmethod
@@ -145,12 +149,14 @@ class VectorIndex:
                 lambda x: x.cast("float"),
             ).alias("vec"),
         ).write.mode("overwrite").partitionBy("cluster").parquet(str(p / "vectors"))
+        n_vectors = residuals.count()  # cached: a metadata-cheap pass
         residuals.unpersist()
         meta = {
             "centroids": centroids,
             "codebook": codebook,
             "residual": True,
             "rerank": True,
+            "n_vectors": n_vectors,
         }
         (p / "meta.json").write_text(json.dumps(meta))
         return cls(spark, path, meta)
@@ -172,6 +178,7 @@ class VectorIndex:
         vec_col: str = "embedding",
         allowed: DataFrame | None = None,
         allowed_id_col: str = "vec_id",
+        brute_limit: int = 10_000,
     ) -> DataFrame:
         """IVF-PQ search with exact re-rank.
 
@@ -180,11 +187,31 @@ class VectorIndex:
         predicate — language, license, dedup survivor set) that is
         semi-joined against the codes table BEFORE ADC scoring. This
         is pre-filtering: every one of the k results satisfies the
-        predicate and ranks are full-recall against the filtered
-        corpus — post-filtering (search then drop) under-fills k
-        whenever the predicate is selective. Catalyst picks broadcast
-        for a small allow-list and a shuffle join for a wide one; the
-        codes table itself still never shuffles.
+        predicate and no result is dropped after ranking — unlike
+        post-filtering (search then drop), which under-fills k under
+        selective predicates. Recall against the filtered corpus is
+        bounded by the probed cells, and a SELECTIVE allow-list is
+        exactly where cell ranking stops being informative (the
+        nearest allowed vectors may sit in far cells), so the filter
+        adapts on two axes:
+
+        * ``n_allowed <= brute_limit`` (and a refinement store
+          exists): skip IVF entirely and exact-score the filtered
+          refinement store — FULL recall by construction, and cheap
+          because cost is O(n_allowed x queries), not corpus-sized.
+          ``adc_d2`` equals the exact ``d2`` on this path.
+        * otherwise the probe count scales inversely with selectivity:
+          nprobe_eff = min(k_coarse, ceil(nprobe x n_total /
+          n_allowed)) — a 1% filter probes everything, a 50% filter
+          doubles the probes. Extra probes are nearly free here
+          because ADC only scores ALLOWED rows (the semi-join runs
+          before scoring); what grows is scan breadth, not distance
+          math. Measured recall@10 vs selectivity: SCALE.md
+          §"Filtered ANN".
+
+        Catalyst picks broadcast for a small allow-list and a shuffle
+        join for a wide one; the codes table itself still never
+        shuffles.
 
         ``nprobe=None`` autotunes to ceil(sqrt(k_coarse)) (clamped to
         k_coarse) — the √k probe rule keeps the scanned fraction
@@ -207,6 +234,18 @@ class VectorIndex:
             nprobe = min(max(2, math.isqrt(len(self.centroids) - 1) + 1), len(self.centroids))
         if rerank is not None:
             rerank = max(rerank, k)  # C >= k: the refine set must cover the answer
+        ids = None
+        if allowed is not None:
+            ids = allowed.select(F.col(allowed_id_col).alias("id")).distinct()
+            n_allowed = ids.count()  # one tiny job; the list is id-only
+            if self.has_rerank_store and n_allowed <= brute_limit:
+                out = self._brute_filtered(
+                    queries, ids, k=k, id_col=id_col, vec_col=vec_col
+                )
+                if rerank is None:  # keep the raw-ADC path's 4-col schema
+                    out = out.select("q_id", "v_id", "adc_d2", "rank")
+                return out
+            nprobe = self._effective_nprobe(nprobe, n_allowed)
         queries = _l2_normalize(queries, vec_col)
         m = len(self.codebook)
         d_sub = len(self.codebook[0][0])
@@ -264,8 +303,7 @@ class VectorIndex:
             F.array(*[qtab_for(j, base) for j in range(m)]).alias("qtab"),
         )
         codes = self.spark.read.parquet(str(self.path / "codes"))
-        if allowed is not None:
-            ids = allowed.select(F.col(allowed_id_col).alias("id")).distinct()
+        if ids is not None:
             codes = codes.join(ids, "id", "left_semi")
         scored = self._adc_scores(codes, q)
         wr = W.partitionBy("q_id").orderBy("adc_d2", "v_id")
@@ -306,6 +344,71 @@ class VectorIndex:
             rescored.withColumn("rank", F.row_number().over(we))
             .filter(F.col("rank") <= k)
             .select("q_id", "v_id", "adc_d2", "d2", F.col("rank").cast("long").alias("rank"))
+        )
+
+    def _effective_nprobe(self, nprobe: int, n_allowed: int) -> int:
+        """Inverse-selectivity probe widening for filtered search:
+        nprobe / (n_allowed / n_total), clamped to [nprobe, k_coarse].
+        Cheap by construction — ADC scores only allowed rows, so wider
+        probing adds scan breadth, not distance math."""
+        import math
+
+        n_total = self.n_vectors
+        if n_total is None:  # pre-round-7 index: count codes once
+            n_total = self.spark.read.parquet(str(self.path / "codes")).count()
+            self.n_vectors = n_total
+        if n_allowed <= 0:
+            return len(self.centroids)
+        scaled = math.ceil(nprobe * n_total / n_allowed)
+        return min(len(self.centroids), max(nprobe, scaled))
+
+    def _brute_filtered(
+        self, queries: DataFrame, ids: DataFrame, *, k: int, id_col: str, vec_col: str
+    ) -> DataFrame:
+        """Exact search over the FILTERED refinement store — the
+        small-allow-list fallback. Full recall by construction: every
+        allowed vector is scored with exact L2 on the stored
+        (normalized float32) vectors; no probe can miss. Shape:
+        allow-list semi-join prunes the store, queries broadcast onto
+        it (BroadcastNestedLoopJoin — never a shuffle of the store),
+        one candidate-sized window ranks. Same output schema as the
+        re-rank path, with adc_d2 = d2 (there is no ADC stage)."""
+        from pyspark.sql import Window as W
+
+        refine = (
+            self.spark.read.parquet(str(self.path / "vectors"))
+            .join(ids, "id", "left_semi")
+            .select(F.col("id").alias("v_id"), F.col("vec").alias("r_vec"))
+        )
+        qv = _l2_normalize(queries, vec_col).select(
+            F.col(id_col).alias("q_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("q_vec"),
+        )
+        diff = F.zip_with(
+            F.col("q_vec"), F.col("r_vec"), lambda x, y: x - y.cast("double")
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(diff, diff, lambda x, y: x * y), F.lit(0.0), lambda a, p: a + p
+            ),
+            6,
+        )
+        scored = (
+            refine.crossJoin(F.broadcast(qv))
+            .filter(F.col("v_id") != F.col("q_id"))
+            .select("q_id", "v_id", d2.alias("d2"))
+        )
+        w = W.partitionBy("q_id").orderBy("d2", "v_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "q_id",
+                "v_id",
+                F.col("d2").alias("adc_d2"),
+                "d2",
+                F.col("rank").cast("long").alias("rank"),
+            )
         )
 
     def _adc_scores(self, codes: DataFrame, q: DataFrame) -> DataFrame:

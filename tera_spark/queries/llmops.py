@@ -3943,6 +3943,179 @@ def ann_filtered_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS id, 64 + (n_chars % 96) AS cnt,
+             [8000, 16000, 32000][(doc_id % 3) + 1] AS rate,
+             CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS ch
+      FROM documents WHERE doc_id % 9 = 2
+    ),
+    s AS (
+      SELECT id, cnt, rate, ch,
+             ((id*31 + i*17) % 2048) - 1024 AS l,
+             CASE WHEN ch = 2 THEN ((id*13 + i*29) % 2048) - 1024
+                  ELSE 0 END AS r
+      FROM m, unnest(range(0, cnt)) AS t(i)
+    )
+    SELECT cast(id AS bigint) AS doc_id,
+           cast(any_value(rate) AS int) AS sample_rate,
+           cast(any_value(ch) AS int) AS channels,
+           cast(any_value(cnt) AS bigint) AS n_samples,
+           cast((any_value(cnt) + 63) // 64 AS bigint) AS n_frames,
+           cast(any_value(cnt) * 1000 // any_value(rate) AS bigint)
+             AS duration_ms,
+           cast(sum(l) + sum(r) AS bigint) AS sample_sum,
+           cast(sum(l*l) + sum(r*r) AS bigint) AS energy
+    FROM s GROUP BY id
+    """,
+)
+def multimodal_flac_features(spark: SparkSession, sf: str) -> DataFrame:
+    """The lossless audio tier decoded for REAL — a full FLAC
+    bitstream decoder (operators/flac.py: STREAMINFO, UTF-8 frame
+    numbers, CRC-8/CRC-16, CONSTANT/VERBATIM/FIXED/LPC subframes,
+    Rice partitions, mid/side stereo, STREAMINFO MD5 over the PCM).
+    Fixtures rotate subframe modes and stereo by doc_id (synth_flac_
+    media's FLAC_* formulas), so every decode path carries traffic;
+    the oracle replays the sample formulas, frame count, and energy
+    as integer SQL — a single wrong sample anywhere fails the MD5
+    check first and the hash match second."""
+    from tera_spark.operators.multimodal import (
+        extract_flac_features,
+        synth_flac_media,
+    )
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 9 == 2)
+    feats = extract_flac_features(synth_flac_media(docs))
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "n_frames",
+        "duration_ms",
+        "sample_sum",
+        "energy",
+    )
+
+
+_SQL_EMB_NORM2 = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "{v}[i]::double * {v}[i]::double), (x, y) -> x + y)"
+)
+
+
+@query(
+    "ann_filtered_selective",
+    f"""
+    WITH nrm AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               embedding[i]::double /
+               greatest(sqrt({_SQL_EMB_NORM2.format(v='embedding')}), 1e-12))
+               AS nv
+      FROM embeddings
+    ),
+    store AS (  -- the refinement store: normalized, float32-quantized
+      SELECT vec_id AS v_id,
+             list_transform(nv, x -> x::float) AS rv
+      FROM nrm WHERE vec_id % 20 = 7
+    ),
+    q AS (SELECT vec_id AS q_id, nv AS qv FROM nrm WHERE vec_id < 8),
+    d AS (
+      SELECT q.q_id, s.v_id,
+             round(list_reduce(list_transform(range(1, 65), i ->
+               (q.qv[i] - s.rv[i]::double) * (q.qv[i] - s.rv[i]::double)),
+               (x, y) -> x + y), 6) AS d2
+      FROM store s, q WHERE s.v_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, v_id, d2,
+             row_number() OVER (PARTITION BY q_id ORDER BY d2, v_id) AS rank
+      FROM d
+    )
+    SELECT cast(q_id AS bigint) AS q_id, cast(v_id AS bigint) AS v_id,
+           d2, cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_filtered_selective(spark: SparkSession, sf: str) -> DataFrame:
+    """SELECTIVE metadata-filtered search through the persisted
+    IVF-PQ index — the failure mode pre-filtered IVF is known for
+    (a 5% allow-list concentrated in unprobed cells) and the round-7
+    mitigation: VectorIndex.topk(allowed=...) counts the allow-list
+    and, below brute_limit, bypasses probing entirely to exact-score
+    the FILTERED refinement store (full recall by construction; cost
+    O(allowed x queries), not corpus-sized). Above the limit the
+    probe count scales inversely with selectivity. This row drives
+    the real index artifact end-to-end — build (or per-app-scratch
+    reuse), refinement-store write, allow-list semi-join, fallback
+    ranking — and the oracle replays the store's exact arithmetic:
+    L2-normalize in double, quantize to float32 (the store's format),
+    exact L2 in double, round 6, rank by (d2, v_id)."""
+    import tempfile
+    from pathlib import Path
+
+    from tera_spark.operators.vector_index import VectorIndex
+
+    emb = load(spark, sf, "embeddings")
+    scratch = Path(tempfile.gettempdir()) / (
+        "tera_spark_vecidx_"
+        + spark.sparkContext.applicationId
+        + "_"
+        + Path(sf).name
+    )
+    if (scratch / "meta.json").exists():
+        idx = VectorIndex.load(spark, str(scratch))
+    else:
+        idx = VectorIndex.build(
+            emb, str(scratch), k_coarse=4, m=8, k_codes=16, iters=1
+        )
+    qs = emb.filter(F.col("vec_id") < 8)
+    allowed = emb.filter(F.col("vec_id") % 20 == 7).select("vec_id")
+    hits = idx.topk(qs, k=5, allowed=allowed)  # 25 ids -> brute fallback
+    return hits.select("q_id", "v_id", "d2", "rank")
+
+
+@query(
+    "dedup_cluster_dashboard",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, i - 1 AS band, ks[i] AS bucket
+      FROM (SELECT doc_id, {X.sql_band_keys(X.sql_minhash_signature('text'))} AS ks
+            FROM documents),
+           unnest(range(1, {X.N_BANDS} + 1)) AS u(i)
+    ),
+    sizes AS (
+      SELECT band, bucket, count(*) AS sz FROM keyed GROUP BY band, bucket
+    )
+    SELECT cast(band AS bigint) AS band,
+           cast(count(*) AS bigint) AS n_buckets,
+           cast(sum(sz) AS bigint) AS n_docs,
+           cast(max(sz) AS bigint) AS max_bucket,
+           cast(sum(sz * (sz - 1) // 2) AS bigint) AS candidate_pairs,
+           cast(sum(CASE WHEN sz > 16 THEN 1 ELSE 0 END) AS bigint)
+             AS n_over_cap
+    FROM sizes GROUP BY band
+    """,
+)
+def dedup_cluster_dashboard(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-band LSH bucket audit (operators/dedup.lsh_bucket_stats) —
+    what an operator reads BEFORE generating pairs on a new corpus:
+    bucket counts, the largest bucket, the candidate-pair volume each
+    band would emit (sum C(size,2)), and how many buckets exceed the
+    pair-generation cap. A boilerplate/empty-doc hot bucket shows up
+    as max_bucket/pair-volume blowup while the run is still one cheap
+    aggregation, never a quadratic join. The oracle replays the exact
+    minhash signature and band-key md5s (shared constants in
+    functions/text.py), so every bucket boundary is pinned."""
+    from tera_spark.operators.dedup import lsh_bucket_stats
+
+    docs = load(spark, sf, "documents")
+    return lsh_bucket_stats(docs, cap=16)
+
+
+@query(
     "pipeline_media_curation",
     """
     WITH png AS (

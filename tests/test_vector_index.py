@@ -146,3 +146,53 @@ def test_filtered_search_prefilters_at_codes_scan(spark, tmp_path):
     for r in post:
         per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
     assert any(v < 5 for v in per_q.values()) or len(per_q) < 10
+
+
+def test_selective_filter_takes_brute_fallback_full_recall(spark, tmp_path):
+    """A 5% allow-list is the known pre-filtered-IVF failure mode
+    (nearest allowed vectors may sit in unprobed cells). Below
+    brute_limit the index must bypass probing and exact-score the
+    filtered refinement store — full recall against the exact twin
+    regardless of where the allowed ids landed in the clustering."""
+    emb = _emb(spark)
+    idx = VectorIndex.build(emb, str(tmp_path / "vib"), k_coarse=4, m=8, k_codes=16, iters=1)
+    qs = emb.filter(F.col("vec_id") < 8)
+    allowed = emb.filter(F.col("vec_id") % 20 == 7).select("vec_id")
+    got = idx.topk(qs, k=5, nprobe=1, allowed=allowed)  # nprobe=1 would starve IVF
+    rows = got.collect()
+    allowed_ids = {r.vec_id for r in allowed.collect()}
+    assert rows and all(r.v_id in allowed_ids for r in rows)
+    exact = cosine_topk(emb.join(allowed, "vec_id", "left_semi"), qs, k=5)
+    want, have = {}, {}
+    for r in exact.collect():
+        want.setdefault(r.q_id, set()).add(r.v_id)
+    for r in rows:
+        have.setdefault(r.q_id, set()).add(r.v_id)
+    assert have == want  # recall 1.0 per query
+    # fallback path reports exact distances in both score columns
+    assert all(abs(r.adc_d2 - r.d2) < 1e-12 for r in rows)
+
+
+def test_effective_nprobe_scales_inverse_selectivity(spark, tmp_path):
+    emb = _emb(spark)
+    idx = VectorIndex.build(emb, str(tmp_path / "vin"), k_coarse=4, m=4, k_codes=4, iters=1)
+    assert idx.n_vectors == 500
+    assert idx._effective_nprobe(2, 500) == 2  # unselective: unchanged
+    assert idx._effective_nprobe(2, 250) == 4  # 50% -> doubled
+    assert idx._effective_nprobe(2, 5) == 4    # 1% -> clamped to k_coarse
+    assert idx._effective_nprobe(2, 0) == 4    # empty list: probe all
+
+
+def test_filtered_above_brute_limit_widens_to_full_probe(spark, tmp_path):
+    """Past brute_limit the IVF path must widen nprobe inversely with
+    selectivity — at this scale that means probing every cell, so the
+    result set equals the exact filtered twin."""
+    emb = _emb(spark)
+    idx = VectorIndex.build(emb, str(tmp_path / "viw"), k_coarse=4, m=16, k_codes=64, iters=2)
+    qs = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("vec_id") % 10 == 3).select("vec_id")  # 50 ids
+    got = idx.topk(qs, k=5, nprobe=1, rerank=1000, allowed=allowed, brute_limit=10)
+    exact = cosine_topk(emb.join(allowed, "vec_id", "left_semi"), qs, k=5)
+    want = {(r.q_id, r.rank): r.v_id for r in exact.collect()}
+    have = {(r.q_id, r.rank): r.v_id for r in got.collect()}
+    assert have == want
