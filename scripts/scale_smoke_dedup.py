@@ -57,10 +57,24 @@ def main() -> None:
     docs = docs.repartition(32).cache()
     n = docs.count()  # materialize corpus outside the timed section
 
-    from tera_spark.operators.dedup import verified_near_duplicates
+    from tera_spark.operators.dedup import lsh_bucket_stats, verified_near_duplicates
+
+    # bucket audit FIRST (the dashboard an operator reads before pair
+    # generation): proves the pair volume is bucket-bounded — candidate
+    # pairs grow with bucket sizes, never with n² — and measures the
+    # cap hit rate the capped run below will incur
+    cap = 64
+    t0 = time.monotonic()
+    audit = {
+        r["band"]: r.asDict() for r in lsh_bucket_stats(docs, cap=cap).collect()
+    }
+    audit_s = time.monotonic() - t0
+    cand_total = sum(a["candidate_pairs"] for a in audit.values())
+    over_cap = sum(a["n_over_cap"] for a in audit.values())
+    n_buckets = sum(a["n_buckets"] for a in audit.values())
 
     t0 = time.monotonic()
-    pairs = verified_near_duplicates(docs, threshold=0.7)
+    pairs = verified_near_duplicates(docs, threshold=0.7, max_bucket_size=cap)
     n_pairs = pairs.count()
     dt = time.monotonic() - t0
 
@@ -75,6 +89,16 @@ def main() -> None:
                 "recall_lower_bound": round(min(n_pairs / planted, 1.0), 4),
                 "wall_s": round(dt, 1),
                 "docs_per_s": round(n / dt),
+                "bucket_audit": {
+                    "audit_s": round(audit_s, 1),
+                    "cap": cap,
+                    "n_buckets": n_buckets,
+                    "max_bucket": max(a["max_bucket"] for a in audit.values()),
+                    "candidate_pairs": cand_total,
+                    "candidate_pairs_per_doc": round(cand_total / n, 3),
+                    "buckets_over_cap": over_cap,
+                    "over_cap_rate": round(over_cap / max(n_buckets, 1), 6),
+                },
             }
         )
     )
