@@ -42,6 +42,7 @@ class MediaTriage:
     def fold(self, batch: DataFrame, epoch_id: int = 0) -> None:
         """Sniff + walk this epoch's assets; overwrite-on-replay."""
         from tera_spark.operators.multimodal import (
+            extract_flac_features,
             extract_mp3_metadata,
             sniff_formats,
         )
@@ -49,15 +50,25 @@ class MediaTriage:
         sniffed = sniff_formats(batch).withColumn(
             "n_bytes", F.coalesce(F.length("payload"), F.lit(0)).cast("long")
         )
-        # the deep walk runs only on the format that has one; everything
-        # it rejects under the typed-error contract is quarantined
-        bad = (
+        # the deep walks run only on the formats that have one;
+        # everything they reject under the typed-error contract is
+        # quarantined. MP3 walks the container; FLAC decodes samples
+        # (so its quarantine also catches CRC/MD5-corrupt streams).
+        bad_mp3 = (
             extract_mp3_metadata(
                 sniffed.filter(F.col("format") == "mp3"), on_error="quarantine"
             )
             .filter(F.col("n_frames") == -1)
             .select("asset_id", "n_bytes")
         )
+        bad_flac = (
+            extract_flac_features(
+                sniffed.filter(F.col("format") == "flac"), on_error="quarantine"
+            )
+            .filter(F.col("n_samples") == -1)
+            .select("asset_id", "n_bytes")
+        )
+        bad = bad_mp3.unionByName(bad_flac)
         qpath = self.root / "quarantine" / f"epoch={epoch_id}"
         bad.write.mode("overwrite").parquet(str(qpath))
         # the census join reads the JUST-WRITTEN quarantine partition

@@ -121,3 +121,54 @@ def test_media_triage_walks_mp3_once_per_epoch(spark, tmp_path, monkeypatch):
     census = {r["format"]: r for r in tri.census().collect()}
     assert census["mp3"]["n_quarantined"] == 1
     assert census["mp3"]["n_assets"] == 2
+
+
+def test_lsh_bucket_stats_surfaces_hot_bucket(spark):
+    """A boilerplate corpus (many identical docs) must show up as a
+    single hot bucket per band with quadratic candidate-pair volume —
+    the condition the dashboard exists to catch BEFORE pair
+    generation."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.dedup import lsh_bucket_stats
+
+    n_hot = 40
+    docs = spark.range(n_hot + 10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, F.lit("same boilerplate text repeated all over"))
+        .otherwise(F.concat(F.lit("unique text number "), F.col("id").cast("string"),
+                            F.lit(" with words beyond any shared shingle window")))
+        .alias("text"),
+    )
+    rows = {r.band: r for r in lsh_bucket_stats(docs, cap=16).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert r.max_bucket >= n_hot
+        assert r.n_over_cap >= 1
+        assert r.candidate_pairs >= n_hot * (n_hot - 1) // 2
+
+
+def test_media_triage_quarantines_corrupt_flac(spark, tmp_path):
+    """FLAC joined the triage deep walk: a stream whose frame CRC (or
+    PCM MD5) is corrupt lands in quarantine; the intact one counts
+    clean. MP3 routing is unaffected."""
+    from tera_spark.operators.flac import encode_flac
+    from tera_spark.streaming.media_triage import MediaTriage
+
+    good = encode_flac([[((i * 17) % 200) - 100 for i in range(96)]], 8000)
+    corrupt = bytearray(good)
+    corrupt[-10] ^= 0xFF  # inside the last frame: CRC-16 must trip
+    rows = [
+        (1, bytearray(good)),
+        (2, corrupt),
+        (3, bytearray(encode_mp3([(9, 0)] * 2, 0))),
+    ]
+    batch = spark.createDataFrame(rows, "asset_id long, payload binary")
+    tri = MediaTriage(spark, str(tmp_path / "triage_flac"))
+    tri.fold(batch, epoch_id=0)
+    census = {r["format"]: r for r in tri.census().collect()}
+    assert census["flac"]["n_assets"] == 2
+    assert census["flac"]["n_quarantined"] == 1
+    assert census["mp3"]["n_quarantined"] == 0
+    q = {r.asset_id for r in tri.quarantine().collect()}
+    assert q == {2}
