@@ -1,55 +1,73 @@
-"""MPEG-1 Layer III (MP3) container metadata: the frame-header walk.
+"""MP3 (Layer III) container metadata: the frame-header walk.
 
 A 100 TB crawl triages audio on container metadata — duration,
 bitrate mode, sample rate, tag overhead — long before it spends
 cycles decoding samples. This module makes that metadata tier REAL
 and exact for MP3: ID3v2 skip (syncsafe size), frame-sync walk with
-the MPEG-1 Layer III bitrate/sample-rate tables and padding
-arithmetic, Xing/Info VBR-tag detection in the first frame, and the
-trailing 128-byte ID3v1 tag. The full hybrid-filterbank *sample*
-decode stays a documented stub (`multimodal.decode_audio`) — the
-container walk never needs it.
+the Layer III bitrate/sample-rate tables for all three MPEG versions
+(1 / 2 / 2.5 — version-specific frame-size coefficient, samples per
+frame, and side-info widths) and padding arithmetic, Xing/Info
+VBR-tag detection in the first frame (at the version- and
+channel-mode-correct offset), and the trailing 128-byte ID3v1 tag.
+The hybrid-filterbank *sample* decode is a documented permanent
+non-goal (SURVEY.md §2.7) — the container walk never needs it, and
+sample-level analysis runs on the lossless tier (WAV/µ-law/FLAC).
 
 Reference parity: tera stores opaque byte values (README.md:31);
 media triage is north-star LLM-pipeline surface, not reference
-surface. Header layout and tables follow the public MPEG-1 audio
-spec (ISO/IEC 11172-3).
+surface. Header layout and tables follow the public MPEG audio
+specs (ISO/IEC 11172-3, 13818-3).
 
 Corruption contract: like the other codecs, every parse failure is a
 TYPED error — ValueError for corrupt streams (lost sync, reserved
-indices, truncated frames, trailing garbage), NotImplementedError for
-valid-but-unsupported variants (MPEG-2/2.5, Layer I/II, free-format
-bitrate) — so `extract_features`-style on_error policies can rely on
-one contract.
+version/indices, mid-stream version change, truncated frames,
+trailing garbage), NotImplementedError for valid-but-unsupported
+variants (Layer I/II, free-format bitrate) — so
+`extract_features`-style on_error policies can rely on one contract.
 """
 
 from __future__ import annotations
 
-# MPEG-1 Layer III bitrate table (kbps), header index 1..14.
-# Index 0 = free format (unsupported), 15 = invalid.
+# Layer III bitrate tables (kbps), header index 1..14, by MPEG
+# version. Index 0 = free format (unsupported), 15 = invalid.
 BITRATE_KBPS = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-                160, 192, 224, 256, 320)
-# MPEG-1 sample rates, header index 0..2 (3 = reserved).
-SAMPLE_RATES = (44100, 48000, 32000)
-SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+                160, 192, 224, 256, 320)  # MPEG-1
+BITRATE_KBPS_V2 = (None, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                   96, 112, 128, 144, 160)  # MPEG-2 and 2.5
+# Sample rates by header index 0..2 (3 = reserved), per version.
+SAMPLE_RATES = (44100, 48000, 32000)         # MPEG-1
+SAMPLE_RATES_V2 = (22050, 24000, 16000)      # MPEG-2
+SAMPLE_RATES_V25 = (11025, 12000, 8000)      # MPEG-2.5
+SAMPLES_PER_FRAME = 1152      # MPEG-1 Layer III
+SAMPLES_PER_FRAME_V2 = 576    # MPEG-2/2.5 Layer III
 
-# Side-info size for MPEG-1 is 32 bytes for stereo/joint/dual and 17
-# for mono, after the 4-byte header; real encoders place the Xing/Info
-# tag right after it — so the probe offset depends on the first
-# frame's channel-mode bits (header byte 3, top two bits; 0b11 = mono).
-_SIDE_INFO_STEREO = 32
-_SIDE_INFO_MONO = 17
+# header version bits (byte 1, bits 4-3) -> (label, bitrates, rates,
+# samples/frame, frame-size coefficient, side-info stereo/mono)
+_VERSIONS = {
+    0b11: ("1", BITRATE_KBPS, SAMPLE_RATES, 1152, 144_000, 32, 17),
+    0b10: ("2", BITRATE_KBPS_V2, SAMPLE_RATES_V2, 576, 72_000, 17, 9),
+    0b00: ("2.5", BITRATE_KBPS_V2, SAMPLE_RATES_V25, 576, 72_000, 17, 9),
+}
+
+# Side info follows the 4-byte header; real encoders place the
+# Xing/Info tag right after it — so the probe offset depends on the
+# version AND the frame's channel-mode bits (byte 3 top two bits;
+# 0b11 = mono): MPEG-1 32/17 bytes, MPEG-2/2.5 17/9.
 
 
-def _vbr_tag_offset(channel_mode: int) -> int:
-    return 4 + (_SIDE_INFO_MONO if channel_mode == 3 else _SIDE_INFO_STEREO)
+def _vbr_tag_offset(version_bits: int, channel_mode: int) -> int:
+    _, _, _, _, _, si_stereo, si_mono = _VERSIONS[version_bits]
+    return 4 + (si_mono if channel_mode == 3 else si_stereo)
 
 _ID3V1_LEN = 128
 
 
-def frame_length(kbps: int, sample_rate: int, padding: int) -> int:
-    """MPEG-1 Layer III frame size in bytes (spec: 144*bitrate/rate)."""
-    return 144_000 * kbps // sample_rate + padding
+def frame_length(
+    kbps: int, sample_rate: int, padding: int, *, coeff: int = 144_000
+) -> int:
+    """Layer III frame size in bytes (spec: coeff*bitrate/rate; coeff
+    is 144*1000 for MPEG-1, 72*1000 for MPEG-2/2.5)."""
+    return coeff * kbps // sample_rate + padding
 
 
 def _syncsafe(n: int) -> bytes:
@@ -65,38 +83,44 @@ def encode_mp3(
     id3v1: bool = False,
     vbr_tag: bytes | None = None,
     channel_mode: int = 0,
+    version: str = "1",
 ) -> bytes:
-    """Assemble a real MPEG-1 Layer III stream for fixtures.
+    """Assemble a real Layer III stream for fixtures.
 
     ``frames`` is a list of (bitrate_index 1..14, padding 0/1); each
     frame is a spec-exact header plus deterministic filler. When
     ``id3v2_payload`` is not None an ID3v2.4 tag of that payload size
     precedes the audio; ``id3v1`` appends the legacy 128-byte trailer;
     ``vbr_tag`` (b"Xing"/b"Info") lands at the encoder-standard offset
-    in the first frame — after the 32-byte (stereo) or 17-byte (mono)
-    side info, per ``channel_mode`` (0 stereo, 1 joint, 2 dual,
-    3 mono).
+    in the first frame — right after the side info, whose size depends
+    on ``version`` ("1", "2", "2.5") and ``channel_mode`` (0 stereo,
+    1 joint, 2 dual, 3 mono): 32/17 bytes for MPEG-1, 17/9 for
+    MPEG-2/2.5.
     """
     if not 0 <= channel_mode <= 3:
         raise ValueError("channel_mode must be 0..3")
+    vbits = {"1": 0b11, "2": 0b10, "2.5": 0b00}.get(version)
+    if vbits is None:
+        raise ValueError(f"version must be 1|2|2.5, got {version!r}")
+    _, bitrates, rates, _, coeff, _, _ = _VERSIONS[vbits]
     out = bytearray()
     if id3v2_payload is not None:
         out += b"ID3\x04\x00\x00" + _syncsafe(id3v2_payload)
         out += bytes(i % 0x7F for i in range(id3v2_payload))
-    rate = SAMPLE_RATES[sample_rate_idx]
+    rate = rates[sample_rate_idx]
     for fno, (bri, pad) in enumerate(frames):
         if not 1 <= bri <= 14:
             raise ValueError(f"bitrate index {bri} out of encodable range")
-        flen = frame_length(BITRATE_KBPS[bri], rate, pad)
+        flen = frame_length(bitrates[bri], rate, pad, coeff=coeff)
         hdr = bytes((
             0xFF,
-            0xFB,  # sync + MPEG-1 + Layer III + no CRC
+            0xE0 | (vbits << 3) | 0x02 | 0x01,  # sync + version + Layer III + no CRC
             (bri << 4) | (sample_rate_idx << 2) | (pad << 1),
             channel_mode << 6,  # channel mode, no mode ext/flags
         ))
         body = bytearray((fno * 29 + i * 7) % 256 for i in range(flen - 4))
         if fno == 0 and vbr_tag is not None:
-            off = _vbr_tag_offset(channel_mode) - 4
+            off = _vbr_tag_offset(vbits, channel_mode) - 4
             body[off:off + 4] = vbr_tag
         out += hdr + bytes(body)
     if id3v1:
@@ -107,10 +131,11 @@ def encode_mp3(
 def parse_mp3(payload: bytes) -> dict:
     """Walk an MP3 stream's frame headers; return container metadata.
 
-    Returns ``{n_frames, sample_rate, duration_ms, mode ('cbr'|'vbr'),
-    avg_kbps, id3v2_bytes, has_id3v1, vbr_tag (''|'Xing'|'Info')}``.
-    Raises ValueError on corrupt streams and NotImplementedError on
-    valid-but-unsupported MPEG variants (see module docstring).
+    Returns ``{version ('1'|'2'|'2.5'), n_frames, sample_rate,
+    duration_ms, mode ('cbr'|'vbr'), avg_kbps, id3v2_bytes, has_id3v1,
+    vbr_tag (''|'Xing'|'Info')}``. Raises ValueError on corrupt
+    streams and NotImplementedError on valid-but-unsupported variants
+    (see module docstring).
     """
     n = len(payload)
     pos = 0
@@ -140,15 +165,21 @@ def parse_mp3(payload: bytes) -> dict:
     kbps_seen: set[int] = set()
     sample_rate = 0
     vbr_tag = ""
+    stream_vbits = None
     while pos < end:
         if end - pos < 4:
             raise ValueError(f"corrupt mp3: {end - pos} trailing bytes at offset {pos}")
         b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"corrupt mp3: lost frame sync at offset {pos}")
-        version = (b1 >> 3) & 0x3
-        if version != 0x3:
-            raise NotImplementedError("MPEG-2/2.5 audio not supported")
+        vbits = (b1 >> 3) & 0x3
+        if vbits == 0b01:
+            raise ValueError(f"corrupt mp3: reserved MPEG version at offset {pos}")
+        if stream_vbits is None:
+            stream_vbits = vbits
+        elif vbits != stream_vbits:
+            raise ValueError(f"corrupt mp3: MPEG version change at offset {pos}")
+        _label, bitrates, rates, spf, coeff, _, _ = _VERSIONS[vbits]
         layer = (b1 >> 1) & 0x3
         if layer != 0x1:
             raise NotImplementedError("only Layer III supported")
@@ -160,20 +191,21 @@ def parse_mp3(payload: bytes) -> dict:
         sri = (b2 >> 2) & 0x3
         if sri == 3:
             raise ValueError(f"corrupt mp3: reserved sample-rate index at offset {pos}")
-        rate = SAMPLE_RATES[sri]
+        rate = rates[sri]
         if sample_rate and rate != sample_rate:
             raise ValueError(f"corrupt mp3: sample rate change at offset {pos}")
         sample_rate = rate
         pad = (b2 >> 1) & 0x1
-        kbps = BITRATE_KBPS[bri]
-        flen = frame_length(kbps, rate, pad)
+        kbps = bitrates[bri]
+        flen = frame_length(kbps, rate, pad, coeff=coeff)
         if pos + flen > end:
             raise ValueError(f"corrupt mp3: truncated frame at offset {pos}")
         if n_frames == 0:
-            # mono streams carry 17 bytes of side info vs 32 for
-            # stereo/joint/dual — the Xing/Info probe must follow the
-            # channel-mode bits or mono VBR tags are silently missed
-            toff = _vbr_tag_offset(payload[pos + 3] >> 6)
+            # the Xing/Info probe must follow the side-info size —
+            # version- and channel-mode-dependent (mono MPEG-1 = 17
+            # bytes, MPEG-2/2.5 = 17/9) — or VBR tags are silently
+            # missed on everything but stereo MPEG-1
+            toff = _vbr_tag_offset(vbits, payload[pos + 3] >> 6)
             tag = bytes(payload[pos + toff:pos + toff + 4])
             if tag in (b"Xing", b"Info"):
                 vbr_tag = tag.decode("ascii")
@@ -184,10 +216,12 @@ def parse_mp3(payload: bytes) -> dict:
 
     if n_frames == 0:
         raise ValueError("corrupt mp3: no audio frames")
+    spf = _VERSIONS[stream_vbits][3]
     return {
+        "version": _VERSIONS[stream_vbits][0],
         "n_frames": n_frames,
         "sample_rate": sample_rate,
-        "duration_ms": n_frames * SAMPLES_PER_FRAME * 1000 // sample_rate,
+        "duration_ms": n_frames * spf * 1000 // sample_rate,
         "mode": "vbr" if len(kbps_seen) > 1 else "cbr",
         "avg_kbps": kbps_sum // n_frames,
         "id3v2_bytes": id3v2_bytes,

@@ -69,9 +69,21 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
-def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass
+# (PNG spec starting_col/row + col/row_increment tables)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_gray(
+    width: int, height: int, pixels: bytes, *, interlace: bool = False
+) -> bytes:
     """Minimal real PNG encoder: 8-bit grayscale, filter 0 scanlines,
-    one zlib-deflated IDAT. Round-trips through any PNG decoder."""
+    one zlib-deflated IDAT. ``interlace=True`` emits a spec-exact
+    Adam7 stream (each pass its own filtered scanline run).
+    Round-trips through any PNG decoder."""
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
 
@@ -83,10 +95,19 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
-    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            for y in range(y0, height, dy):
+                line = bytes(pixels[y * width + x] for x in range(x0, width, dx))
+                if line:
+                    raw += b"\x00" + line
+        raw = bytes(raw)
+    else:
+        raw = b"".join(
+            b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+        )
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -98,43 +119,19 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
 
 
-def decode_png(payload: bytes) -> dict:
-    """Real stdlib PNG decode: chunk walk, zlib inflate, and full
-    scanline unfiltering (filter types 0-4 incl. Paeth). Supports
-    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced. Returns
-    {width, height, channels, pixels} with pixels as the raw
-    channel-interleaved bytes."""
-    if payload[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, [], None
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + ln]
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
-            if w * h > MAX_DECODE_PIXELS:
-                raise ValueError(f"PNG dimensions {w}x{h} exceed the decode cap")
-            if depth != 8 or ctype not in _PNG_CHANNELS:
-                raise NotImplementedError(f"PNG depth={depth} color_type={ctype}")
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
-            meta = (w, h, _PNG_CHANNELS[ctype])
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if meta is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, ch = meta
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+def _png_unfilter(raw: bytes, off: int, w_px: int, h: int, ch: int) -> tuple[bytes, int]:
+    """Unfilter ``h`` scanlines of a ``w_px``-pixel-wide (sub)image
+    starting at byte ``off`` of the inflated stream (filter types 0-4
+    incl. Paeth). Returns (pixels, next offset)."""
+    stride = w_px * ch
     out = bytearray()
     prev = bytes(stride)
-    for y in range(h):
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        ftype = raw[y * (stride + 1)]
+    for _ in range(h):
+        if off + 1 + stride > len(raw):
+            raise ValueError("corrupt PNG: inflated stream shorter than scanlines")
+        ftype = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
         for x in range(stride):
             a = row[x - ch] if x >= ch else 0  # left (already unfiltered)
             b = prev[x]  # up
@@ -154,6 +151,59 @@ def decode_png(payload: bytes) -> dict:
                 raise ValueError(f"bad PNG filter type {ftype}")
         prev = bytes(row)
         out += row
+    return bytes(out), off
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real stdlib PNG decode: chunk walk, zlib inflate, full scanline
+    unfiltering (filter types 0-4 incl. Paeth), and Adam7 de-interlace
+    (each pass unfiltered as its own sub-image, then scattered on the
+    pass grid). Supports 8-bit gray / gray+alpha / RGB / RGBA.
+    Returns {width, height, channels, pixels} with pixels as the raw
+    channel-interleaved bytes."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    interlace = 0
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(f"PNG dimensions {w}x{h} exceed the decode cap")
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG depth={depth} color_type={ctype}")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            meta = (w, h, _PNG_CHANNELS[ctype])
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        pixels, _ = _png_unfilter(raw, 0, w, h, ch)
+        return {"width": w, "height": h, "channels": ch, "pixels": pixels}
+    # Adam7: seven independently-filtered sub-images, scattered back
+    out = bytearray(w * h * ch)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        if pw == 0 or ph == 0:
+            continue  # pass empty for these dimensions
+        sub, off = _png_unfilter(raw, off, pw, ph, ch)
+        for j in range(ph):
+            for i in range(pw):
+                dst = ((y0 + j * dy) * w + (x0 + i * dx)) * ch
+                src = (j * pw + i) * ch
+                out[dst : dst + ch] = sub[src : src + ch]
     return {"width": w, "height": h, "channels": ch, "pixels": bytes(out)}
 
 

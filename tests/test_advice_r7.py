@@ -172,3 +172,62 @@ def test_media_triage_quarantines_corrupt_flac(spark, tmp_path):
     assert census["mp3"]["n_quarantined"] == 0
     q = {r.asset_id for r in tri.quarantine().collect()}
     assert q == {2}
+
+
+# ------------------------- round-7 codec-stub closures (PNG Adam7)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 3), (7, 5), (8, 8), (17, 13), (64, 48)])
+def test_png_adam7_roundtrip_matches_progressive(w, h):
+    """An Adam7-interlaced encode of the same plane must decode to the
+    bit-identical pixel buffer as the progressive encode — including
+    dimensions where several passes are empty (1x1, 3x3)."""
+    from tera_spark.operators.multimodal import decode_png, encode_png_gray
+
+    pixels = bytes((x * 31 + 7) % 256 for x in range(w * h))
+    plain = decode_png(encode_png_gray(w, h, pixels))
+    inter = decode_png(encode_png_gray(w, h, pixels, interlace=True))
+    assert plain["pixels"] == pixels
+    assert inter == plain
+
+
+def test_png_bad_interlace_method_is_corrupt():
+    import struct
+
+    from tera_spark.operators.multimodal import decode_png, encode_png_gray
+
+    p = bytearray(encode_png_gray(4, 4, bytes(16)))
+    # IHDR body starts at 16; interlace byte is its 13th byte
+    p[16 + 12] = 2
+    # fix the IHDR CRC so the interlace check is what fires
+    import zlib as _z
+
+    body = bytes(p[12:16]) + bytes(p[16:29])
+    p[29:33] = struct.pack(">I", _z.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(p))
+
+
+def test_png_interlaced_truncated_stream_is_corrupt():
+    from tera_spark.operators.multimodal import decode_png, encode_png_gray
+    import struct
+    import zlib as _z
+
+    good = encode_png_gray(16, 16, bytes(range(256)), interlace=True)
+    # re-deflate a truncated scanline stream under a valid chunk CRC
+    raw_pix = bytes(range(256))
+    # craft: reuse encoder but chop the inflated stream by hand
+    ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 1)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+    # steal the real interlaced stream, drop its last 40 inflated bytes
+    # (layout: 8 magic + 25 IHDR chunk + 8 IDAT len/tag .. body .. 4 crc + 12 IEND)
+    full = _z.decompress(good[8 + 25 + 8 : -12 - 4])
+    short = _z.compress(full[:-40], 6)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_png(bad)

@@ -70,7 +70,10 @@ def test_id3v2_syncsafe_size_skipped():
     [
         (lambda p: p[:10], ValueError),  # frames truncated away entirely
         (lambda p: b"\x00" + p[1:], ValueError),  # lost sync
-        (lambda p: p[:1] + bytes([p[1] & ~0x08]) + p[2:], NotImplementedError),  # MPEG-2
+        # flipping frame 1 to MPEG-2 changes its frame-size arithmetic:
+        # the walk (which now SUPPORTS MPEG-2) desyncs at frame 2 or
+        # trips the mid-stream version-change check — corrupt either way
+        (lambda p: p[:1] + bytes([p[1] & ~0x08]) + p[2:], ValueError),
         (lambda p: p[:1] + bytes([(p[1] & ~0x06) | 0x06]) + p[2:], NotImplementedError),  # Layer I
         (lambda p: p[:2] + bytes([0x0F << 4 | (p[2] & 0x0F)]) + p[3:], ValueError),  # bad bitrate
         (lambda p: p[:2] + bytes([p[2] & 0x0F]) + p[3:], NotImplementedError),  # free format
@@ -237,3 +240,39 @@ try:
             pass
 except ImportError:  # hypothesis not in the container: plain tests above cover the spec
     pass
+
+
+@pytest.mark.parametrize("version,rate0,spf", [("2", 22050, 576), ("2.5", 11025, 576)])
+def test_mpeg2_and_25_walk(version, rate0, spf):
+    """MPEG-2/2.5 Layer III: version-specific bitrate table, frame-size
+    coefficient (72000), samples per frame (576), and side-info-aware
+    VBR-tag offsets."""
+    p = encode_mp3([(9, 0)] * 4, 0, version=version, vbr_tag=b"Xing")
+    m = parse_mp3(p)
+    assert m["version"] == version
+    assert m["sample_rate"] == rate0
+    assert m["n_frames"] == 4
+    assert m["duration_ms"] == 4 * spf * 1000 // rate0
+    assert m["avg_kbps"] == 80  # V2 table index 9
+    assert m["vbr_tag"] == "Xing"
+
+
+def test_mpeg2_mono_vbr_tag_offset():
+    """MPEG-2 mono side info is 9 bytes — the smallest probe offset."""
+    p = encode_mp3([(9, 0)] * 2, 1, version="2", vbr_tag=b"Info", channel_mode=3)
+    m = parse_mp3(p)
+    assert m["vbr_tag"] == "Info" and m["sample_rate"] == 24000
+
+
+def test_reserved_version_bits_are_corrupt():
+    p = bytearray(encode_mp3([(9, 0)] * 2, 0))
+    p[1] = (p[1] & ~0x18) | 0x08  # version bits 0b01 = reserved
+    with pytest.raises(ValueError, match="reserved MPEG version"):
+        parse_mp3(bytes(p))
+
+
+def test_mixed_version_stream_is_corrupt():
+    a = encode_mp3([(9, 0)], 0, version="2")
+    b = encode_mp3([(9, 0)], 0, version="2.5")
+    with pytest.raises(ValueError):
+        parse_mp3(a + b)
