@@ -267,10 +267,16 @@ def decode_jpeg(payload: bytes) -> dict:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qt[tq] = list(body[i + 1 : i + 65])
-                i += 65
+                if pq == 0:
+                    qt[tq] = list(body[i + 1 : i + 65])
+                    i += 65
+                elif pq == 1:  # 16-bit table (extended-precision DQT)
+                    if i + 129 > len(body):
+                        raise ValueError("torn 16-bit quant table")
+                    qt[tq] = list(struct.unpack(">64H", body[i + 1 : i + 129]))
+                    i += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
         elif marker == 0xC0:  # SOF0 baseline
             if body[0] != 8:
                 raise NotImplementedError("non-8-bit precision")
@@ -402,14 +408,18 @@ def _decode_block(r: _BitReader, dc: _HuffDecoder, ac: _HuffDecoder):
 # --- encoder (fixture tier: grayscale or 4:2:0 color, flat quant) ------
 
 
-def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, pixels: bytes, *, wide_dqt: bool = False
+) -> bytes:
     """Baseline grayscale JPEG. Block-constant inputs round-trip
     exactly (see module docstring); arbitrary inputs round-trip within
-    normal quantization error."""
+    normal quantization error. ``wide_dqt=True`` stores the SAME flat
+    table in 16-bit (Pq=1) DQT form — the extended-precision variant
+    some real encoders emit even in baseline-marked files."""
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
     img = _np.frombuffer(bytes(pixels), dtype=_np.uint8).reshape(height, width)
-    return _encode(width, height, [(img, 1, 1, 0, 0, 0)], n_comp=1)
+    return _encode(width, height, [(img, 1, 1, 0, 0, 0)], n_comp=1, wide_dqt=wide_dqt)
 
 
 def encode_jpeg_ycbcr420(width: int, height: int, y: bytes, cb_flat: int = 128, cr_flat: int = 128) -> bytes:
@@ -430,7 +440,7 @@ def encode_jpeg_ycbcr420(width: int, height: int, y: bytes, cb_flat: int = 128, 
     )
 
 
-def _encode(width, height, comps, *, n_comp):
+def _encode(width, height, comps, *, n_comp, wide_dqt: bool = False):
     """comps: list of (plane, h, v, tq, dc_table, ac_table)."""
     if _np is None:  # pragma: no cover
         raise NotImplementedError("JPEG encode needs numpy")
@@ -445,9 +455,14 @@ def _encode(width, height, comps, *, n_comp):
     mcuy = -(-height // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT (table 0; table 1 for chroma when present)
+    # DQT (table 0; table 1 for chroma when present); wide_dqt stores
+    # the same values as a 16-bit (Pq=1) table
     for tq in sorted({c[3] for c in comps}):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(FLAT_Q)
+        if wide_dqt:
+            out += b"\xff\xdb" + struct.pack(">HB", 131, 0x10 | tq)
+            out += struct.pack(">64H", *FLAT_Q)
+        else:
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(FLAT_Q)
     # SOF0
     sof = struct.pack(">BHHB", 8, height, width, n_comp)
     for i, (_, h, v, tq, _, _) in enumerate(comps):

@@ -231,3 +231,35 @@ def test_png_interlaced_truncated_stream_is_corrupt():
            + chunk(b"IDAT", short) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="corrupt PNG"):
         decode_png(bad)
+
+
+def test_jpeg_16bit_dqt_round_trip():
+    """Extended-precision (Pq=1) quant tables decode identically to the
+    8-bit form when the values are equal — the variant some encoders
+    emit in baseline-marked files."""
+    from tera_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    pixels = bytes(((x % 8 >= 4) * 96 + 64) for x in range(16 * 16))
+    narrow = decode_jpeg(encode_jpeg_gray(16, 16, pixels))
+    wide = decode_jpeg(encode_jpeg_gray(16, 16, pixels, wide_dqt=True))
+    assert wide == narrow
+
+
+def test_jpeg_bad_dqt_precision_is_corrupt():
+    from tera_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    p = bytearray(encode_jpeg_gray(8, 8, bytes([100] * 64)))
+    dqt = p.find(b"\xff\xdb")
+    p[dqt + 4] = 0x20 | (p[dqt + 4] & 0x0F)  # Pq=2: not a thing
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(p))
+
+
+def test_jpeg_torn_wide_dqt_is_corrupt():
+    from tera_spark.operators.jpeg import decode_jpeg, encode_jpeg_gray
+
+    p = bytearray(encode_jpeg_gray(8, 8, bytes([100] * 64), wide_dqt=True))
+    dqt = p.find(b"\xff\xdb")
+    p[dqt + 2 : dqt + 4] = (67).to_bytes(2, "big")  # lie: 8-bit-sized segment
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(p))
