@@ -100,6 +100,25 @@ def main():
     # 4. Scene cuts (real Y4M decode + frame diffs)
     timed("scene_cuts", scene_cuts(synth_y4m_media(d)), N)
 
+    # 5. FLAC full decode (round 7): every sample reconstructed through
+    #    the FIXED/LPC/mid-side paths AND verified against frame CRCs +
+    #    the STREAMINFO MD5 — the heaviest per-byte stage by design
+    from tera_spark.operators.multimodal import (
+        extract_flac_features,
+        synth_flac_media,
+    )
+
+    flac = extract_flac_features(synth_flac_media(d))
+    dt = timed("flac_decode", flac, N)
+    agg = flac.agg(
+        F.sum("n_samples").alias("samples"), F.sum("n_bytes").alias("bytes")
+    ).collect()[0]
+    print(
+        f"  ({agg['samples']:,} samples decoded+MD5-verified, "
+        f"{agg['bytes'] / 1e6:.0f} MB of stream, "
+        f"{agg['samples'] / dt / 1e6:.2f} M samples/s)"
+    )
+
 
 if __name__ == "__main__":
     main()
