@@ -199,12 +199,16 @@ class PosixLinkArbiter(SlotArbiter):
             return True
 
     def release(self, p: Path, holder: str) -> None:
-        """The check->unlink gap can, in principle, delete a record an
-        expiry takeover just installed (requires this holder to have
-        exceeded its ttl — the documented takeover window). That
-        corner degrades slot ORDERING only, never safety: seq windows
-        come from the reservation counter and can never interleave,
-        and uncommitted windows stay gap-masked."""
+        """Conditional on the record naming ``holder``. A FOREIGN
+        takeover record can never be deleted here: takeovers always
+        publish a HIGHER generation under the taker's holder id, the
+        names are create-exclusive, and this unlink targets only a
+        generation whose record was read as ours. The residual
+        check->unlink corner is same-holder only — a stale release
+        (e.g. an old thread of this process) can delete our own newer
+        renewal record — which degrades slot ORDERING only, never
+        safety: seq windows come from the reservation counter and can
+        never interleave, and uncommitted windows stay gap-masked."""
         st = self.state(p)
         if st is None:
             return
