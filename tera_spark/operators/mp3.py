@@ -18,11 +18,18 @@ media triage is north-star LLM-pipeline surface, not reference
 surface. Header layout and tables follow the public MPEG audio
 specs (ISO/IEC 11172-3, 13818-3).
 
+Free-format streams (bitrate index 0) are supported: the constant
+frame size is discovered once by scanning for the next valid sync
+with identical version/layer/rate bits, held for every frame, and
+the bitrate derived by inverting the spec arithmetic; mixing
+free-format and headered frames is corrupt per the constant-size
+contract.
+
 Corruption contract: like the other codecs, every parse failure is a
 TYPED error — ValueError for corrupt streams (lost sync, reserved
 version/indices, mid-stream version change, truncated frames,
-trailing garbage), NotImplementedError for valid-but-unsupported
-variants (Layer I/II, free-format bitrate) — so
+trailing garbage, mixed free/headered frames), NotImplementedError
+for valid-but-unsupported variants (Layer I/II) — so
 `extract_features`-style on_error policies can rely on one contract.
 """
 
@@ -84,6 +91,7 @@ def encode_mp3(
     vbr_tag: bytes | None = None,
     channel_mode: int = 0,
     version: str = "1",
+    free_format_flen: int | None = None,
 ) -> bytes:
     """Assemble a real Layer III stream for fixtures.
 
@@ -95,7 +103,11 @@ def encode_mp3(
     in the first frame — right after the side info, whose size depends
     on ``version`` ("1", "2", "2.5") and ``channel_mode`` (0 stereo,
     1 joint, 2 dual, 3 mono): 32/17 bytes for MPEG-1, 17/9 for
-    MPEG-2/2.5.
+    MPEG-2/2.5. ``free_format_flen`` emits a FREE-FORMAT stream
+    instead: every frame has bitrate index 0 and that exact byte
+    length (the spec's constant-size contract); the frames list then
+    only sets the count, and filler avoids 0xFF so the decoder's
+    sync scan has no false positives to reject.
     """
     if not 0 <= channel_mode <= 3:
         raise ValueError("channel_mode must be 0..3")
@@ -109,16 +121,22 @@ def encode_mp3(
         out += bytes(i % 0x7F for i in range(id3v2_payload))
     rate = rates[sample_rate_idx]
     for fno, (bri, pad) in enumerate(frames):
-        if not 1 <= bri <= 14:
-            raise ValueError(f"bitrate index {bri} out of encodable range")
-        flen = frame_length(bitrates[bri], rate, pad, coeff=coeff)
+        if free_format_flen is not None:
+            if free_format_flen < 24:
+                raise ValueError("free-format frame too small")
+            bri, pad, flen = 0, 0, free_format_flen
+        else:
+            if not 1 <= bri <= 14:
+                raise ValueError(f"bitrate index {bri} out of encodable range")
+            flen = frame_length(bitrates[bri], rate, pad, coeff=coeff)
         hdr = bytes((
             0xFF,
             0xE0 | (vbits << 3) | 0x02 | 0x01,  # sync + version + Layer III + no CRC
             (bri << 4) | (sample_rate_idx << 2) | (pad << 1),
             channel_mode << 6,  # channel mode, no mode ext/flags
         ))
-        body = bytearray((fno * 29 + i * 7) % 256 for i in range(flen - 4))
+        fmod = 255 if free_format_flen is not None else 256  # %255 never yields 0xFF
+        body = bytearray((fno * 29 + i * 7) % fmod for i in range(flen - 4))
         if fno == 0 and vbr_tag is not None:
             off = _vbr_tag_offset(vbits, channel_mode) - 4
             body[off:off + 4] = vbr_tag
@@ -166,6 +184,7 @@ def parse_mp3(payload: bytes) -> dict:
     sample_rate = 0
     vbr_tag = ""
     stream_vbits = None
+    free_flen: int | None = None
     while pos < end:
         if end - pos < 4:
             raise ValueError(f"corrupt mp3: {end - pos} trailing bytes at offset {pos}")
@@ -184,8 +203,6 @@ def parse_mp3(payload: bytes) -> dict:
         if layer != 0x1:
             raise NotImplementedError("only Layer III supported")
         bri = b2 >> 4
-        if bri == 0:
-            raise NotImplementedError("free-format bitrate not supported")
         if bri == 15:
             raise ValueError(f"corrupt mp3: invalid bitrate index at offset {pos}")
         sri = (b2 >> 2) & 0x3
@@ -196,8 +213,44 @@ def parse_mp3(payload: bytes) -> dict:
             raise ValueError(f"corrupt mp3: sample rate change at offset {pos}")
         sample_rate = rate
         pad = (b2 >> 1) & 0x1
-        kbps = bitrates[bri]
-        flen = frame_length(kbps, rate, pad, coeff=coeff)
+        if bri == 0:
+            # FREE FORMAT: bitrate index 0 means the (constant) frame
+            # size is not in the header — discover it once by scanning
+            # for the next header with identical version/layer/rate/
+            # free-format bits, then hold every frame to it (the
+            # spec's constant-size contract)
+            if n_frames == 0:
+                free_flen = None
+                q = pos + 24  # smallest plausible frame
+                while q + 4 <= end:
+                    # next VALID sync with identical version/layer/rate
+                    # bytes (any bitrate index — a headered frame here
+                    # means the stream is NOT constant-size free format
+                    # and fails the mixed-stream check below)
+                    if (
+                        payload[q] == 0xFF
+                        and payload[q + 1] == b1
+                        and (payload[q + 2] >> 4) != 15
+                        and ((payload[q + 2] >> 2) & 0x3) == sri
+                    ):
+                        free_flen = q - pos
+                        break
+                    q += 1
+                if free_flen is None:
+                    free_flen = end - pos  # single-frame stream
+            elif free_flen is None:
+                raise ValueError(
+                    f"corrupt mp3: free-format frame in a headered stream at offset {pos}"
+                )
+            kbps = free_flen * rate // coeff  # derived, spec arithmetic inverted
+            flen = free_flen
+        else:
+            if n_frames and free_flen is not None:
+                raise ValueError(
+                    f"corrupt mp3: headered frame in a free-format stream at offset {pos}"
+                )
+            kbps = bitrates[bri]
+            flen = frame_length(kbps, rate, pad, coeff=coeff)
         if pos + flen > end:
             raise ValueError(f"corrupt mp3: truncated frame at offset {pos}")
         if n_frames == 0:

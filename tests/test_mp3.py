@@ -76,7 +76,10 @@ def test_id3v2_syncsafe_size_skipped():
         (lambda p: p[:1] + bytes([p[1] & ~0x08]) + p[2:], ValueError),
         (lambda p: p[:1] + bytes([(p[1] & ~0x06) | 0x06]) + p[2:], NotImplementedError),  # Layer I
         (lambda p: p[:2] + bytes([0x0F << 4 | (p[2] & 0x0F)]) + p[3:], ValueError),  # bad bitrate
-        (lambda p: p[:2] + bytes([p[2] & 0x0F]) + p[3:], NotImplementedError),  # free format
+        # flipping frame 1 to free-format makes the sync scan land on
+        # frame 2's HEADERED sync — a mixed stream, corrupt by the
+        # constant-size free-format contract
+        (lambda p: p[:2] + bytes([p[2] & 0x0F]) + p[3:], ValueError),
         (lambda p: p[:2] + bytes([(p[2] & ~0x0C) | 0x0C]) + p[3:], ValueError),  # reserved rate
         (lambda p: p[:-5], ValueError),  # truncated final frame
         (lambda p: p + b"\x01\x02", ValueError),  # trailing garbage
@@ -276,3 +279,44 @@ def test_mixed_version_stream_is_corrupt():
     b = encode_mp3([(9, 0)], 0, version="2.5")
     with pytest.raises(ValueError):
         parse_mp3(a + b)
+
+
+def test_free_format_multi_frame_walk():
+    """Free format (bitrate index 0): constant frame size discovered
+    by the sync scan, bitrate derived by inverting the spec formula."""
+    p = encode_mp3([(0, 0)] * 5, 0, free_format_flen=500)
+    m = parse_mp3(p)
+    assert m["n_frames"] == 5
+    assert m["sample_rate"] == 44100
+    assert m["mode"] == "cbr"
+    assert m["avg_kbps"] == 500 * 44100 // 144_000  # derived = 153
+    assert len(p) == 5 * 500
+
+
+def test_free_format_single_frame_and_tags():
+    p = encode_mp3([(0, 0)], 1, free_format_flen=300, id3v1=True,
+                   vbr_tag=b"Info")
+    m = parse_mp3(p)
+    assert m["n_frames"] == 1
+    assert m["has_id3v1"] and m["vbr_tag"] == "Info"
+    assert m["sample_rate"] == 48000
+
+
+def test_free_format_mpeg2_walk():
+    p = encode_mp3([(0, 0)] * 3, 2, free_format_flen=120, version="2")
+    m = parse_mp3(p)
+    assert m["version"] == "2" and m["n_frames"] == 3
+    assert m["avg_kbps"] == 120 * 16000 // 72_000
+
+
+def test_free_format_truncated_is_corrupt():
+    p = encode_mp3([(0, 0)] * 3, 0, free_format_flen=400)
+    with pytest.raises(ValueError):
+        parse_mp3(p[:-7])
+
+
+def test_headered_frame_inside_free_stream_is_corrupt():
+    free = encode_mp3([(0, 0)] * 2, 0, free_format_flen=400)
+    headered = encode_mp3([(9, 0)], 0)
+    with pytest.raises(ValueError, match="headered frame"):
+        parse_mp3(free + headered)
