@@ -38,32 +38,11 @@ def _registry():
 # All entries pass the identical local DuckDB gate at sf0.01
 # (tests/test_oracle_parity.py) regardless of position.
 _DRIVER_PRIORITY = [
-    # NEW in round 7 — needs a first driver row
-    "multimodal_flac_features", "text_compression_ratio",
-    "ann_filtered_selective", "dedup_cluster_dashboard",
-    # last driver-green in round 3 (oldest — all 36 fit in the sample)
-    "dedup_components", "dedup_containment_pairs", "dedup_edit_distance",
-    "dedup_embedding_cosine", "dedup_incremental_batch",
-    "dedup_lsh_verified", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_simhash", "doc_bpe_token_stats", "doc_fingerprint_rolling",
-    "doc_token_stats", "graph_pagerank_neardup",
-    "multimodal_audio_features", "multimodal_features",
-    "multimodal_frame_plan", "multimodal_resize", "pipeline_decontaminate",
-    "pipeline_dedup_drop_list", "pipeline_doc_chunking",
-    "pipeline_dsir_importance", "pipeline_leakage_safe_split",
-    "pipeline_token_packing", "pipeline_weighted_interleave",
-    "sample_stratified_deterministic", "sample_weighted_reservoir",
-    "text_bpe_pair_counts", "text_language_id", "text_pii_redaction",
-    "text_pmi_collocations", "text_quality_score", "text_tfidf_bm25",
-    "text_tokenizer_fertility", "text_unigram_surprisal",
-    "text_vocab_profile", "text_zipf_slope",
-    # last driver-green in round 4
-    "ann_centroid_outliers", "ann_kmeans_clusters", "ann_pq_topk",
-    "cell_addint64_merge", "cell_filter_if_missing",
-    "cell_hash_key_batch_get", "dedup_cross_source_matrix",
-    "dedup_repeated_ngram_spans", "dedup_semantic_drop_list",
-    "dedup_span_removal", "events_ab_test_lift", "events_anomaly_zscore",
-    "events_bot_regularity", "events_churn_risk", "events_dau_mau_stickiness",
+    # NEW in round 8 — needs a first driver row
+    "dedup_lsh_storage_mode",
+    # last driver-green in round 4 (oldest)
+    "events_ab_test_lift", "events_anomaly_zscore", "events_bot_regularity",
+    "events_churn_risk", "events_dau_mau_stickiness",
     "events_dedup_latest_props", "events_equidepth_histogram",
     "events_hourly_seasonality", "events_json_props",
     "events_k_anonymity_audit", "events_ohlc_bars",
@@ -90,14 +69,15 @@ _DRIVER_PRIORITY = [
     "events_funnel_3step", "events_m4_downsample",
     "events_range_join_windows", "events_retention_cohorts",
     "events_sessionize", "events_sliding_window",
-    "events_theta_purchaser_overlap", "events_tumbling_window", "kv_lww_scan",
-    "kv_ttl_scan", "multimodal_gif_features", "multimodal_jpeg_features",
-    "multimodal_mulaw_audio", "multimodal_phash_dups",
-    "multimodal_video_frames", "pipeline_classifier_calibration",
-    "pipeline_quality_classifier", "q13_cust_order_distribution",
-    "q18_large_volume_customer", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q_grouping_sets",
-    "q_topk_per_group", "q_window_running_total", "text_bigram_surprisal",
+    "events_theta_purchaser_overlap", "events_tumbling_window",
+    "kv_lww_scan", "kv_ttl_scan", "multimodal_gif_features",
+    "multimodal_jpeg_features", "multimodal_mulaw_audio",
+    "multimodal_phash_dups", "multimodal_video_frames",
+    "pipeline_classifier_calibration", "pipeline_quality_classifier",
+    "q13_cust_order_distribution", "q18_large_volume_customer",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q_grouping_sets", "q_topk_per_group",
+    "q_window_running_total", "text_bigram_surprisal",
     "text_lm_persisted_score", "text_perplexity_buckets",
     "text_redundancy_stats", "text_signal_spearman",
     # last driver-green in round 6
@@ -120,6 +100,28 @@ _DRIVER_PRIORITY = [
     "q_cube_agg", "q_distinct_agg", "q_percentile_profile", "q_pivot_status",
     "q_rollup_revenue", "q_semi_anti_join", "q_set_ops", "q_sql_surface",
     "sec_index_lookup", "text_gopher_rules",
+    # last driver-green in round 7
+    "ann_centroid_outliers", "ann_filtered_selective", "ann_kmeans_clusters",
+    "ann_pq_topk", "cell_addint64_merge", "cell_filter_if_missing",
+    "cell_hash_key_batch_get", "dedup_cluster_dashboard", "dedup_components",
+    "dedup_containment_pairs", "dedup_cross_source_matrix",
+    "dedup_edit_distance", "dedup_embedding_cosine",
+    "dedup_incremental_batch", "dedup_lsh_verified",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "dedup_repeated_ngram_spans", "dedup_semantic_drop_list",
+    "dedup_simhash", "dedup_span_removal", "doc_bpe_token_stats",
+    "doc_fingerprint_rolling", "doc_token_stats", "graph_pagerank_neardup",
+    "multimodal_audio_features", "multimodal_features",
+    "multimodal_flac_features", "multimodal_frame_plan", "multimodal_resize",
+    "pipeline_decontaminate", "pipeline_dedup_drop_list",
+    "pipeline_doc_chunking", "pipeline_dsir_importance",
+    "pipeline_leakage_safe_split", "pipeline_token_packing",
+    "pipeline_weighted_interleave", "sample_stratified_deterministic",
+    "sample_weighted_reservoir", "text_bpe_pair_counts",
+    "text_compression_ratio", "text_language_id", "text_pii_redaction",
+    "text_pmi_collocations", "text_quality_score", "text_tfidf_bm25",
+    "text_tokenizer_fertility", "text_unigram_surprisal",
+    "text_vocab_profile", "text_zipf_slope",
 ]
 
 # Rows-only queries (no DuckDB oracle possible) are ordered dead last

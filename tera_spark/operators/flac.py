@@ -324,7 +324,11 @@ def encode_flac(
             raise ValueError("sample out of range for bps")
 
     md5 = hashlib.md5()
-    width = bps // 8
+    # RFC 9639 §9.1.1: MD5 runs over PCM packed to ceil(bps/8) bytes
+    # (byte-aligned), little-endian signed — bps//8 truncates for the
+    # 12/20-bit depths the sample-size code map supports and overflows
+    # int.to_bytes on in-range samples
+    width = (bps + 7) // 8
     for i in range(n):
         for c in channels:
             md5.update(
@@ -600,7 +604,7 @@ def decode_flac(payload: bytes) -> tuple[dict, list[list[int]]]:
         raise ValueError("corrupt flac: decoded sample count mismatch")
     if info["md5"] != "0" * 32:
         md5 = hashlib.md5()
-        width = info["bps"] // 8
+        width = (info["bps"] + 7) // 8  # RFC 9639 byte-aligned packing
         for i in range(len(chans[0])):
             for c in chans:
                 md5.update(int(c[i]).to_bytes(width, "little", signed=True))

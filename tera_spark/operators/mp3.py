@@ -220,22 +220,49 @@ def parse_mp3(payload: bytes) -> dict:
             # free-format bits, then hold every frame to it (the
             # spec's constant-size contract)
             if n_frames == 0:
+                # a sync-looking byte pair can occur by COINCIDENCE in
+                # the first frame's payload, so a candidate boundary is
+                # only trusted when the boundary IT implies also parses
+                # as a same-stream sync (or lands exactly at stream
+                # end). Free-format candidates (bitrate index 0) imply
+                # the next boundary at q + (q - pos); headered
+                # candidates (a mixed — corrupt — stream) imply it at
+                # q + their own header's frame length. A verified free
+                # candidate always wins: a coincidence that slips past
+                # one check cannot also beat the true boundary.
+                def _sync_at(at: int) -> bool:
+                    return (
+                        at + 4 <= end
+                        and payload[at] == 0xFF
+                        and payload[at + 1] == b1
+                        and (payload[at + 2] >> 4) != 15
+                        and ((payload[at + 2] >> 2) & 0x3) == sri
+                    )
+
                 free_flen = None
+                mixed_at: int | None = None
                 q = pos + 24  # smallest plausible frame
                 while q + 4 <= end:
-                    # next VALID sync with identical version/layer/rate
-                    # bytes (any bitrate index — a headered frame here
-                    # means the stream is NOT constant-size free format
-                    # and fails the mixed-stream check below)
-                    if (
-                        payload[q] == 0xFF
-                        and payload[q + 1] == b1
-                        and (payload[q + 2] >> 4) != 15
-                        and ((payload[q + 2] >> 2) & 0x3) == sri
-                    ):
-                        free_flen = q - pos
-                        break
+                    if _sync_at(q):
+                        c_bri = payload[q + 2] >> 4
+                        if c_bri == 0:
+                            nxt = q + (q - pos)
+                            if nxt == end or _sync_at(nxt):
+                                free_flen = q - pos
+                                break
+                        elif mixed_at is None:
+                            c_pad = (payload[q + 2] >> 1) & 0x1
+                            nxt = q + frame_length(
+                                bitrates[c_bri], rate, c_pad, coeff=coeff
+                            )
+                            if nxt == end or _sync_at(nxt):
+                                mixed_at = q
                     q += 1
+                if free_flen is None and mixed_at is not None:
+                    # verified HEADERED frame after a free-format one:
+                    # hold the walk to that boundary so the
+                    # mixed-stream check below reports it
+                    free_flen = mixed_at - pos
                 if free_flen is None:
                     free_flen = end - pos  # single-frame stream
             elif free_flen is None:

@@ -454,7 +454,13 @@ def compression_ratio(
         *keep,
         raw.alias("n_bytes"),
         _comp(t).alias("comp_bytes"),
-    ).withColumn("ratio", F.when(F.col("n_bytes") == 0, F.lit(1.0)).otherwise(
+    ).withColumn("ratio", F.when(
+        # NULL text: octet_length(NULL) is NULL, so an == 0 test alone
+        # skips the guard and the ratio silently goes NULL; the kernel
+        # maps falsy text to comp_bytes=0, so pin ratio to the same 1.0
+        # the empty-string branch gets
+        F.col("n_bytes").isNull() | (F.col("n_bytes") == 0), F.lit(1.0)
+    ).otherwise(
         F.floor(F.col("comp_bytes") / F.col("n_bytes") * 1_000_000).cast("double")
         / 1_000_000
     ))

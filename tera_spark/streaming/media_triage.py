@@ -80,8 +80,14 @@ class MediaTriage:
             .parquet(str(qpath))
             .select("asset_id", F.lit(1).alias("quarantined"))
         )
+        # no broadcast hint: the quarantine side is usually tiny, but a
+        # pathological epoch (most assets corrupt) makes bad_ids
+        # corpus-sized and a FORCED broadcast would blow the broadcast
+        # memory limit and fail the epoch — the parquet read-back has
+        # real size stats, so Catalyst picks broadcast exactly when the
+        # partition is under the threshold
         census = (
-            sniffed.join(F.broadcast(bad_ids), "asset_id", "left")
+            sniffed.join(bad_ids, "asset_id", "left")
             .groupBy("format")
             .agg(
                 F.count("*").cast("long").alias("n_assets"),
