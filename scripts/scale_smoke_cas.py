@@ -22,8 +22,14 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-_ARGS = [a for a in sys.argv[1:] if a != "storm"]
-STORM = "storm" in sys.argv[1:]
+_RAW = sys.argv[1:]
+ARBITER = "posix"
+if "--arbiter" in _RAW:
+    i = _RAW.index("--arbiter")
+    ARBITER = _RAW[i + 1]
+    _RAW = _RAW[:i] + _RAW[i + 2:]
+_ARGS = [a for a in _RAW if a != "storm"]
+STORM = "storm" in _RAW
 N_PROCS = int(_ARGS[0]) if _ARGS else 4
 BATCHES = int(_ARGS[1]) if len(_ARGS) > 1 else 6
 ROWS_PER_BATCH = 50
@@ -32,30 +38,52 @@ ROWS_PER_BATCH = 50
 def run_storm(n_procs: int, rounds: int) -> dict:
     """Takeover storm (round-6 task): ``n_procs`` OS processes race
     ONE expired claim slot per round, barrier-released together. The
-    rename-aside arbiter must yield EXACTLY one winner per round, under
-    arbitrary interleavings, with no leaked takeover temp files. Pure
-    filesystem — no Spark."""
+    arbiter must yield EXACTLY one winner per round, under arbitrary
+    interleavings, with no leaked takeover temp files. No Spark.
+
+    ``--arbiter cas`` runs the identical storm through CasArbiter with
+    a socket-served conditional-put store (one linearization point
+    shared by all child processes — the cloud-service shape); default
+    is the POSIX hard-link arbiter on a shared tempdir."""
     import tempfile
     import textwrap
 
-    with tempfile.TemporaryDirectory(prefix="cas_storm_") as root:
-        d = Path(root) / "t" / "commits"
-        d.mkdir(parents=True)
-        sync = Path(root) / "sync"
-        sync.mkdir()
-        for k in range(rounds):
-            (d / f"claim-{k}.lock").write_text(
-                json.dumps({"holder": "dead-writer", "expires": 0.0})
+    mgr = cas_addr = None
+    if ARBITER == "cas":
+        from tera_spark.coordination import CasArbiter, connect_cas_store, serve_cas_store
+
+        mgr, cas_addr = serve_cas_store()
+    try:
+        with tempfile.TemporaryDirectory(prefix="cas_storm_") as root:
+            d = Path(root) / "t" / "commits"
+            d.mkdir(parents=True)
+            sync = Path(root) / "sync"
+            sync.mkdir()
+            dead = json.dumps({"holder": "dead-writer", "expires": 0.0})
+            if ARBITER == "cas":
+                seed_store = connect_cas_store(cas_addr)
+                for k in range(rounds):
+                    assert seed_store.put_if(str(d / f"claim-{k}.lock"), dead, None)
+            else:
+                for k in range(rounds):
+                    (d / f"claim-{k}.lock").write_text(dead)
+            arb_setup = (
+                ""
+                if ARBITER != "cas"
+                else f"""
+            from tera_spark.coordination import CasArbiter, connect_cas_store
+            arbiter = CasArbiter(connect_cas_store({tuple(cas_addr)!r}))
+            """
             )
-        child = textwrap.dedent(
-            f"""
+            child = textwrap.dedent(
+                f"""
             import sys, time
             from pathlib import Path
             sys.path.insert(0, {_REPO!r})
             from tera_spark.catalog import Catalog
-
+            arbiter = None{arb_setup}
             wid = sys.argv[1]
-            cat = Catalog(None, {root!r}, writer_id=wid)
+            cat = Catalog(None, {root!r}, writer_id=wid, arbiter=arbiter)
             sync = Path({root!r}) / "sync"
             wins = 0
             for k in range({rounds}):
@@ -66,59 +94,69 @@ def run_storm(n_procs: int, rounds: int) -> dict:
                     wins += 1
             print("WINS", wins, flush=True)
             """
-        )
-        procs = [
-            subprocess.Popen(
-                [sys.executable, "-c", child, f"w{i}"],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
             )
-            for i in range(n_procs)
-        ]
-        t0 = time.perf_counter()
-        for k in range(rounds):
-            deadline = time.time() + 60
-            while (
-                sum((Path(root) / "sync" / f"ready-{k}-w{i}").exists() for i in range(n_procs))
-                < n_procs
-            ):
-                assert time.time() < deadline, "storm children never ready"
-            (Path(root) / "sync" / f"go-{k}").touch()
-        outs = [p.communicate(timeout=300)[0] for p in procs]
-        wall = time.perf_counter() - t0
-        for p, out in zip(procs, outs):
-            if p.returncode != 0:
-                raise RuntimeError(f"storm child failed:\n{out[-2000:]}")
-        wins = sum(int(o.split("WINS")[1].split()[0]) for o in outs)
-        # integrity: one winner per round, claim survives with a live
-        # holder (read through the generation-slot state, not the plain
-        # path — the winner's record is the highest generation)
-        from tera_spark.coordination import PosixLinkArbiter
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, "-c", child, f"w{i}"],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+                for i in range(n_procs)
+            ]
+            t0 = time.perf_counter()
+            for k in range(rounds):
+                deadline = time.time() + 60
+                while (
+                    sum(
+                        (Path(root) / "sync" / f"ready-{k}-w{i}").exists()
+                        for i in range(n_procs)
+                    )
+                    < n_procs
+                ):
+                    assert time.time() < deadline, "storm children never ready"
+                (Path(root) / "sync" / f"go-{k}").touch()
+            outs = [p.communicate(timeout=300)[0] for p in procs]
+            wall = time.perf_counter() - t0
+            for p, out in zip(procs, outs):
+                if p.returncode != 0:
+                    raise RuntimeError(f"storm child failed:\n{out[-2000:]}")
+            wins = sum(int(o.split("WINS")[1].split()[0]) for o in outs)
+            # integrity: one winner per round, claim survives with a live
+            # holder (read through the arbiter's state — the winner's
+            # record is the current generation)
+            if ARBITER == "cas":
+                arb = CasArbiter(connect_cas_store(cas_addr))
+            else:
+                from tera_spark.coordination import PosixLinkArbiter
 
-        arb = PosixLinkArbiter()
-        leaked = list(d.glob("*.dead-*")) + list(d.glob("*.w-*"))
-        holders_ok = True
-        for k in range(rounds):
-            st = arb.state(d / f"claim-{k}.lock")
-            rec = None if st is None else st[1]
-            if (
-                rec is None
-                or rec["holder"] == "dead-writer"
-                or rec["expires"] <= time.time()
-            ):
-                holders_ok = False
-                break
-        return {
-            "mode": "takeover_storm",
-            "n_procs": n_procs,
-            "rounds": rounds,
-            "total_wins": wins,
-            "single_winner_every_round": wins == rounds,
-            "surviving_claims_live": holders_ok,
-            "leaked_temp_files": len(leaked),
-            "wall_s": round(wall, 2),
-        }
+                arb = PosixLinkArbiter()
+            leaked = list(d.glob("*.dead-*")) + list(d.glob("*.w-*"))
+            holders_ok = True
+            for k in range(rounds):
+                st = arb.state(d / f"claim-{k}.lock")
+                rec = None if st is None else st[1]
+                if (
+                    rec is None
+                    or rec["holder"] == "dead-writer"
+                    or rec["expires"] <= time.time()
+                ):
+                    holders_ok = False
+                    break
+            return {
+                "mode": "takeover_storm",
+                "arbiter": ARBITER,
+                "n_procs": n_procs,
+                "rounds": rounds,
+                "total_wins": wins,
+                "single_winner_every_round": wins == rounds,
+                "surviving_claims_live": holders_ok,
+                "leaked_temp_files": len(leaked),
+                "wall_s": round(wall, 2),
+            }
+    finally:
+        if mgr is not None:
+            mgr.shutdown()
 
 
 def _child_cores() -> int:

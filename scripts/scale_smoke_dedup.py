@@ -24,6 +24,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from tera_spark.session import get_spark  # noqa: E402
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+# "storage" (default) writes the fingerprint/band-sig intermediates to
+# Parquet — the deployment shape, heap-independent (5M docs passes at
+# the default 16 GB driver heap). "cache" is the persist() path (needs
+# ~64 GB driver heap at 5M docs; kept for A/B).
+MODE = sys.argv[2] if len(sys.argv) > 2 else "storage"
 WORDS = 80  # tokens per doc
 
 
@@ -73,8 +78,13 @@ def main() -> None:
     over_cap = sum(a["n_over_cap"] for a in audit.values())
     n_buckets = sum(a["n_buckets"] for a in audit.values())
 
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="dedup_smoke_fp_") if MODE == "storage" else None
     t0 = time.monotonic()
-    pairs = verified_near_duplicates(docs, threshold=0.7, max_bucket_size=cap)
+    pairs = verified_near_duplicates(
+        docs, threshold=0.7, max_bucket_size=cap, storage=store
+    )
     n_pairs = pairs.count()
     dt = time.monotonic() - t0
 
@@ -83,6 +93,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "dedup_smoke",
+                "fingerprint_mode": MODE,
+                "driver_mem": __import__("os").environ.get(
+                    "TERA_SPARK_DRIVER_MEM", "16g (default)"
+                ),
                 "n_docs": n,
                 "planted_near_dups": planted,
                 "verified_pairs": n_pairs,

@@ -47,6 +47,22 @@ environment):
   store's generation number replacing the ``.g<k>`` filename suffix;
   ``clear_dead`` is a conditional DELETE on the read generation.
 
+The conditional-put shape IS shipped, as ``CasArbiter``: the full
+claim/renew/takeover/release/GC protocol written against the minimal
+``CasStore`` interface (get / put_if / delete_if / keys — exactly the
+four conditional operations every such service offers). A cloud
+deployment implements ``CasStore`` over its service (a DynamoDB
+conditional write, a GCS if-generation-match PUT) and reuses
+``CasArbiter`` unchanged; the protocol is optimistic-CAS loops, never
+an in-client lock, so it is correct against a REMOTE linearization
+point. Two stores come with it: ``MemoryCasStore`` (one process,
+thread-safe — the seam tests drive the whole lease/commit/heal
+machinery through it) and ``serve_cas_store``/``connect_cas_store``,
+which put a MemoryCasStore behind a socket so separate OS processes
+share one linearization point — the storm harness runs the same 16/32
+process takeover storm against it (``scale_smoke_cas.py storm
+--arbiter cas``), which is the acceptance gate for any new store.
+
 Either backend implements the same four methods; the storm harness
 (scripts/scale_smoke_cas.py) is backend-agnostic and is the
 acceptance gate for any new arbiter.
@@ -248,3 +264,202 @@ class PosixLinkArbiter(SlotArbiter):
             if n.startswith(prefix) and ".w-" not in n:
                 bases.add(n)
         return [d / b for b in sorted(bases)]
+
+
+# --------------------------------------------------------------------------
+# conditional-put backend (the cloud shape)
+# --------------------------------------------------------------------------
+
+
+class CasStore(ABC):
+    """The minimal service boundary a conditional-put arbiter needs —
+    the four operations every CAS-capable store offers (DynamoDB
+    conditional writes, GCS if-generation-match, etcd txn, S3
+    If-None-Match). Keys are opaque strings; values are opaque strings;
+    the GENERATION is the store's own monotone version for a key and is
+    the only thing preconditions compare. Implementations must make
+    each method atomic against the store's linearization point (a
+    remote service call, a locked map, one SQL statement) — the arbiter
+    on top never holds a client-side lock."""
+
+    @abstractmethod
+    def get(self, key: str):
+        """(generation, value) or None for an absent key."""
+
+    @abstractmethod
+    def put_if(self, key: str, value: str, if_gen: int | None) -> bool:
+        """Write iff the precondition holds: ``if_gen=None`` means the
+        key must be ABSENT (If-None-Match / attribute_not_exists);
+        otherwise the key's current generation must equal ``if_gen``
+        (if-generation-match). A successful put bumps the generation."""
+
+    @abstractmethod
+    def delete_if(self, key: str, if_gen: int) -> bool:
+        """Delete iff the key's current generation equals ``if_gen``."""
+
+    @abstractmethod
+    def keys(self, prefix: str) -> list:
+        """Sorted keys with the given prefix (DynamoDB Query /
+        GCS list with prefix)."""
+
+
+class MemoryCasStore(CasStore):
+    """Linearizable conditional-put KV inside one process: the lock is
+    the linearization point. Drives the seam tests and is the template
+    a remote store copies — every method is one atomic round-trip."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._kv: dict = {}
+
+    def get(self, key: str):
+        with self._lock:
+            return self._kv.get(key)
+
+    def put_if(self, key: str, value: str, if_gen: int | None) -> bool:
+        with self._lock:
+            cur = self._kv.get(key)
+            if if_gen is None:
+                if cur is not None:
+                    return False
+                self._kv[key] = (0, value)
+                return True
+            if cur is None or cur[0] != if_gen:
+                return False
+            self._kv[key] = (if_gen + 1, value)
+            return True
+
+    def delete_if(self, key: str, if_gen: int) -> bool:
+        with self._lock:
+            cur = self._kv.get(key)
+            if cur is None or cur[0] != if_gen:
+                return False
+            del self._kv[key]
+            return True
+
+    def keys(self, prefix: str) -> list:
+        with self._lock:
+            return sorted(k for k in self._kv if k.startswith(prefix))
+
+
+def serve_cas_store(authkey: bytes = b"tera-cas"):
+    """Put a MemoryCasStore behind a localhost socket so SEPARATE OS
+    processes share one linearization point — the stand-in for the
+    remote service a cloud deployment would call. Returns
+    ``(manager, address)``; pass the address (host, port) and authkey
+    to ``connect_cas_store`` in each client process. Shut down with
+    ``manager.shutdown()``."""
+    from multiprocessing.managers import BaseManager
+
+    store = MemoryCasStore()
+
+    class _Mgr(BaseManager):
+        pass
+
+    _Mgr.register("store", callable=lambda: store)
+    mgr = _Mgr(address=("127.0.0.1", 0), authkey=authkey)
+    mgr.start()
+    return mgr, mgr.address
+
+
+def connect_cas_store(address, authkey: bytes = b"tera-cas") -> CasStore:
+    """Client side of ``serve_cas_store``: every get/put_if/delete_if
+    is an RPC the server applies atomically — the same trust shape as
+    a DynamoDB conditional write."""
+    from multiprocessing.managers import BaseManager
+
+    class _Mgr(BaseManager):
+        pass
+
+    _Mgr.register("store")
+    mgr = _Mgr(address=tuple(address), authkey=authkey)
+    mgr.connect()
+    return mgr.store()
+
+
+class CasArbiter(SlotArbiter):
+    """Generation-slot claims over any ``CasStore`` — the shipped
+    conditional-put backend (promoted from the round-7 seam test).
+
+    The protocol is optimistic: read the slot, decide, then write with
+    the read generation as the precondition. A lost CAS means a racer
+    moved first — re-read and re-decide; exactly one racer's
+    precondition can hold per generation, which is the single-winner
+    argument (the store's version check replaces PosixLinkArbiter's
+    exclusive os.link). No step ever makes a live slot absent, the
+    invariant the round-6 storm taught (coordination.py history note).
+
+    Slot base paths map to string keys verbatim, one key per slot —
+    the store's generation plays the role the ``.g<k>`` filename
+    suffix plays on POSIX, so there are no per-generation keys to GC.
+    """
+
+    def __init__(self, store: CasStore):
+        self.store = store
+
+    @staticmethod
+    def _parse(raw: str):
+        try:
+            return json.loads(raw)
+        except (ValueError, TypeError):
+            return None  # torn record = dead holder
+
+    def state(self, p: Path):
+        cur = self.store.get(str(p))
+        if cur is None:
+            return None
+        gen, raw = cur
+        return gen, self._parse(raw)
+
+    def try_claim(self, p: Path, holder: str, ttl_s: float, *, renew: bool = False) -> bool:
+        key = str(p)
+        while True:
+            rec = json.dumps({"holder": holder, "expires": time.time() + ttl_s})
+            cur = self.store.get(key)
+            if cur is None:
+                if self.store.put_if(key, rec, None):
+                    return True
+                continue  # lost the empty-slot race: re-read, re-decide
+            gen, raw = cur
+            r = self._parse(raw)
+            if r is not None and r.get("expires", 0) > time.time():
+                if r.get("holder") != holder or not renew:
+                    return False  # live claim (foreign, or ours sans renew)
+            if self.store.put_if(key, rec, gen):
+                return True
+            # takeover CAS lost: someone else claimed this generation
+
+    def release(self, p: Path, holder: str) -> None:
+        cur = self.store.get(str(p))
+        if cur is None:
+            return
+        gen, raw = cur
+        r = self._parse(raw)
+        if r is not None and r.get("holder") == holder:
+            # generation-guarded: if the holder renewed concurrently the
+            # precondition fails and the newer record survives — the
+            # same-holder stale-release corner PosixLinkArbiter documents
+            # is CLOSED here by the version check
+            self.store.delete_if(str(p), gen)
+
+    def clear_dead(self, p: Path) -> None:
+        cur = self.store.get(str(p))
+        if cur is None:
+            return
+        gen, raw = cur
+        r = self._parse(raw)
+        if r is None or r.get("expires", 0) <= time.time():
+            self.store.delete_if(str(p), gen)
+
+    def list_slots(self, d: Path, prefix: str) -> list[Path]:
+        base = str(d)
+        if not base.endswith("/"):
+            base += "/"
+        out = []
+        for k in self.store.keys(base + prefix):
+            kp = Path(k)
+            if kp.parent == Path(str(d)):
+                out.append(kp)
+        return out

@@ -68,3 +68,22 @@ def persist_in_scope(df: DataFrame, scope: CacheScope | None) -> DataFrame:
     if scope is not None:
         return scope.persist(df)
     return df.persist()
+
+
+def materialize(df: DataFrame, storage: str | None, scope: CacheScope | None) -> DataFrame:
+    """Share one derivation across plan branches, by cache or by storage.
+
+    ``storage=None`` is the persist path (single-node friendly:
+    MEMORY_AND_DISK, but the cached partitions live in the executor —
+    in local mode, the DRIVER — heap until evicted). With a path, the
+    intermediate is WRITTEN to Parquet and read back: the deployment
+    shape for corpus-scale intermediates (a 5M-doc MinHash fingerprint
+    table needed a 64 GB driver heap cached; storage-backed it runs at
+    the default 16 GB, SCALE.md §11). Every consumer then scans
+    storage with column pruning instead of a heap-pinned
+    InMemoryRelation; the write itself is the materialization barrier,
+    so the upstream pipeline still runs exactly once."""
+    if storage is None:
+        return persist_in_scope(df, scope)
+    df.write.mode("overwrite").parquet(storage)
+    return df.sparkSession.read.parquet(storage)

@@ -43,7 +43,7 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def _first_collision_candidates(
     keyed: DataFrame, max_bucket_size: int | None = None
-, scope=None) -> DataFrame:
+, scope=None, storage: str | None = None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from bucket-key collisions
     with NO pair-level shuffle.
 
@@ -81,10 +81,10 @@ def _first_collision_candidates(
     prefix = F.transform(
         F.slice("keys", F.lit(1), F.col("pos")), lambda k: F.xxhash64(k)
     )
-    from tera_spark.functions.cache import persist_in_scope
+    from tera_spark.functions.cache import materialize
 
-    sigs = persist_in_scope(
-        ex.select("id", "bucket", prefix.alias("prefix")), scope
+    sigs = materialize(
+        ex.select("id", "bucket", prefix.alias("prefix")), storage, scope
     )  # self-join: one fingerprint materialization, not two
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -183,24 +183,33 @@ def verified_near_duplicates(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     scope=None,
+    storage: str | None = None,
 ) -> DataFrame:
     """The production composition: LSH candidates → exact-Jaccard
     verification (candidates only, never all pairs).
 
     The per-doc fingerprint row (id, shingle set, minhash signature) is
-    derived ONCE and persisted: the candidate join's two band-exploded
+    derived ONCE and shared: the candidate join's two band-exploded
     sides and the verification's two shingle-lookup sides all read the
-    same InMemoryRelation. Without the persist, Catalyst's column
-    pruning specializes each consumer's scan differently, exchange
+    same materialization. Without it, Catalyst's column pruning
+    specializes each consumer's scan differently, exchange
     canonicalization never matches, and the whole text pipeline
     (16 minhash passes + shingling) runs four times from parquet —
-    measured 4x slower at sf0.1. This is the single-node stand-in for
-    the 100 TB deployment shape: a materialized fingerprint TABLE
-    written once and read by both phases (persist spills to disk via
-    MEMORY_AND_DISK; at cluster scale write it to storage instead)."""
-    from tera_spark.functions.cache import persist_in_scope
+    measured 4x slower at sf0.1.
 
-    base = persist_in_scope(
+    ``storage=None`` shares via persist() (MEMORY_AND_DISK — fastest
+    for fixture volumes, but the cached fingerprint table lives in the
+    executor heap; the 5M-doc smoke needed a 64 GB driver heap this
+    way). ``storage=<dir>`` is the 100 TB deployment shape: the
+    fingerprint table and the band-signature table are WRITTEN to
+    Parquet under that directory and every consumer scans storage —
+    heap-independent (the same 5M smoke passes at the default 16 GB),
+    recall identical by construction (same rows, different medium).
+    Reference analog: tera never holds a table in client memory —
+    src/sdk/scan_impl.h streams."""
+    from tera_spark.functions.cache import materialize
+
+    base = materialize(
         with_minhash_signature(ensure_parallelism(docs), text_col)
         .select(
             F.col(id_col).alias("id"),
@@ -208,11 +217,13 @@ def verified_near_duplicates(
             F.col("sig"),
         )
         .repartition("id"),
+        f"{storage}/fingerprints" if storage else None,
         scope,
     )
     cand = _first_collision_candidates(
         base.select("id", band_keys(F.col("sig")).alias("keys")), max_bucket_size,
         scope=scope,
+        storage=f"{storage}/band_sigs" if storage else None,
     )
     sh = base.select("id", "sh")
     j = (

@@ -971,6 +971,47 @@ def dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_storage_mode",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, unnest({X.sql_band_keys(X.sql_minhash_signature('text'))}) AS bucket
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b USING (bucket) WHERE a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id, list_distinct({X.sql_shingles('text')}) AS s FROM documents)
+    SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b,
+           round(len(list_intersect(sa.s, sb.s))::double /
+                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.s, sb.s))::double /
+                (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) >= 0.5
+    """,
+)
+def dedup_lsh_storage(spark: SparkSession, sf: str) -> DataFrame:
+    """verified_near_duplicates in its STORAGE-BACKED fingerprint mode:
+    the MinHash fingerprint and band-signature intermediates are
+    written to Parquet and scanned by both pipeline phases instead of
+    being pinned in the executor heap — the shape that takes the 5M-doc
+    smoke from a 64 GB driver-heap requirement to the default 16 GB
+    (SCALE.md §11). Same oracle as dedup_lsh_verified: the mode changes
+    the medium of the shared intermediate, never the rows."""
+    import tempfile
+
+    from tera_spark.operators.dedup import verified_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    store = tempfile.mkdtemp(prefix="tera_lsh_storage_")
+    return verified_near_duplicates(docs, threshold=0.5, storage=store).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     f"""
     WITH pairs AS (

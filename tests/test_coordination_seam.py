@@ -8,64 +8,23 @@ lease + CAS-commit + reader-heal machinery."""
 
 from __future__ import annotations
 
-import threading
+
 import time
 from pathlib import Path
 
 import pytest
 
-from tera_spark.coordination import PosixLinkArbiter, SlotArbiter
+from tera_spark.coordination import PosixLinkArbiter
 
 
-class DictArbiter(SlotArbiter):
-    """Conditional-put arbiter over an in-process dict — the same
-    compare-and-swap shape a DynamoDB conditional write or a GCS
-    if-generation-match PUT provides (coordination.py module
-    docstring). Generations are per-slot integers; the 'store' is the
-    linearization point."""
+def _cas_arbiter():
+    """The shipped conditional-put backend (promoted from this file's
+    round-7 DictArbiter fixture): CasArbiter over an in-process
+    MemoryCasStore — the same compare-and-swap shape a DynamoDB
+    conditional write or a GCS if-generation-match PUT provides."""
+    from tera_spark.coordination import CasArbiter, MemoryCasStore
 
-    def __init__(self):
-        self._lock = threading.Lock()
-        self._slots: dict[str, tuple[int, dict]] = {}
-
-    def try_claim(self, p: Path, holder: str, ttl_s: float, *, renew: bool = False) -> bool:
-        k = str(p)
-        with self._lock:
-            cur = self._slots.get(k)
-            if cur is not None:
-                gen, rec = cur
-                if rec.get("expires", 0) > time.time():
-                    if rec.get("holder") != holder or not renew:
-                        return False
-                self._slots[k] = (gen + 1, {"holder": holder, "expires": time.time() + ttl_s})
-            else:
-                self._slots[k] = (0, {"holder": holder, "expires": time.time() + ttl_s})
-            return True
-
-    def state(self, p: Path):
-        return self._slots.get(str(p))
-
-    def release(self, p: Path, holder: str) -> None:
-        k = str(p)
-        with self._lock:
-            cur = self._slots.get(k)
-            if cur is not None and cur[1].get("holder") == holder:
-                del self._slots[k]
-
-    def clear_dead(self, p: Path) -> None:
-        k = str(p)
-        with self._lock:
-            cur = self._slots.get(k)
-            if cur is not None and cur[1].get("expires", 0) <= time.time():
-                del self._slots[k]
-
-    def list_slots(self, d: Path, prefix: str) -> list[Path]:
-        out = []
-        for k in sorted(self._slots):
-            kp = Path(k)
-            if kp.parent == d and kp.name.startswith(prefix):
-                out.append(kp)
-        return out
+    return CasArbiter(MemoryCasStore())
 
 
 # -- PosixLinkArbiter contract at the seam ------------------------------
@@ -116,17 +75,17 @@ def test_posix_arbiter_list_slots(tmp_path):
 
 
 @pytest.fixture()
-def dict_cat(spark, tmp_path):
+def cas_cat(spark, tmp_path):
     from tera_spark.catalog import Catalog
 
-    return Catalog(spark, str(tmp_path / "cat"), writer_id="w1", arbiter=DictArbiter())
+    return Catalog(spark, str(tmp_path / "cat"), writer_id="w1", arbiter=_cas_arbiter())
 
 
-def test_dict_arbiter_lease_and_cas_commit(dict_cat, spark, tmp_path):
+def test_cas_arbiter_lease_and_cas_commit(cas_cat, spark, tmp_path):
     from tera_spark.catalog import Catalog, WriterFenced
     from tera_spark.operators.mutation import MutationBatch
 
-    cat = dict_cat
+    cat = cas_cat
     cat.create_table("t { d }")
     cat.acquire_writer_lease("t", "w1")
     cat.acquire_writer_lease("t", "w1")  # renewal through the seam
@@ -142,16 +101,42 @@ def test_dict_arbiter_lease_and_cas_commit(dict_cat, spark, tmp_path):
     other.acquire_writer_lease("t", "w2")  # free after release
 
 
-def test_dict_arbiter_no_claim_files_on_disk(dict_cat):
+def test_cas_arbiter_no_claim_files_on_disk(cas_cat):
     """With a service-backed arbiter, no lock/lease files touch the
     table root — the proof the commit path has no hidden POSIX claim
     dependency outside the seam."""
     from tera_spark.operators.mutation import MutationBatch
 
-    cat = dict_cat
+    cat = cas_cat
     cat.create_table("t { d }")
     cat.acquire_writer_lease("t", "w1")
     cat.append_cas("t", MutationBatch().put("r", "d", "q", "v", ts=1))
     assert cat.view("t").count() == 1
     files = {p.name for p in Path(cat.root).rglob("*") if p.is_file()}
     assert not any(".lock" in n or n == "writer.lease" for n in files), files
+
+
+# -- served store: one linearization point across connections ----------
+
+
+def test_served_cas_store_cross_connection():
+    """serve_cas_store exposes ONE MemoryCasStore over a socket; two
+    independent client connections must see each other's conditional
+    puts (the multi-process storm runs the same thing with OS
+    processes: scale_smoke_cas.py storm --arbiter cas)."""
+    from tera_spark.coordination import CasArbiter, connect_cas_store, serve_cas_store
+
+    mgr, addr = serve_cas_store()
+    try:
+        a = CasArbiter(connect_cas_store(addr))
+        b = CasArbiter(connect_cas_store(addr))
+        p = Path("/svc/claim-0.lock")
+        assert a.try_claim(p, "a", 60.0)
+        assert not b.try_claim(p, "b", 60.0)  # sees a's live claim
+        gen, rec = b.state(p)
+        assert rec["holder"] == "a"
+        a.release(p, "a")
+        assert b.try_claim(p, "b", 60.0)
+        assert [s.name for s in a.list_slots(Path("/svc"), "claim-")] == ["claim-0.lock"]
+    finally:
+        mgr.shutdown()
