@@ -106,7 +106,9 @@ def run_storm(n_procs: int, rounds: int) -> dict:
             ]
             t0 = time.perf_counter()
             for k in range(rounds):
-                deadline = time.time() + 60
+                # round 0 pays n_procs concurrent interpreter+pyspark
+                # imports; scale the deadline with the fleet
+                deadline = time.time() + (60 + 5 * n_procs if k == 0 else 60)
                 while (
                     sum(
                         (Path(root) / "sync" / f"ready-{k}-w{i}").exists()
@@ -114,6 +116,12 @@ def run_storm(n_procs: int, rounds: int) -> dict:
                     )
                     < n_procs
                 ):
+                    for p in procs:
+                        if p.poll() not in (None, 0):
+                            out = p.communicate()[0]
+                            raise RuntimeError(
+                                f"storm child died before ready:\n{out[-2000:]}"
+                            )
                     assert time.time() < deadline, "storm children never ready"
                 (Path(root) / "sync" / f"go-{k}").touch()
             outs = [p.communicate(timeout=300)[0] for p in procs]

@@ -59,8 +59,16 @@ def main() -> None:
         .otherwise(F.concat_ws(" ", tok))
         .alias("text"),
     )
-    docs = docs.repartition(32).cache()
-    n = docs.count()  # materialize corpus outside the timed section
+    import tempfile
+
+    run_dir = tempfile.mkdtemp(prefix="dedup_smoke_")
+    # materialize the corpus to PARQUET, not cache(): at 100 TB the
+    # corpus always arrives from storage, and at 5M docs a cached
+    # corpus competes with the whole pipeline for the 16 GB default
+    # heap — the exact dependence the storage fingerprint mode removes
+    docs.repartition(32).write.parquet(f"{run_dir}/corpus")
+    docs = spark.read.parquet(f"{run_dir}/corpus")
+    n = docs.count()  # materialized outside the timed section
 
     from tera_spark.operators.dedup import lsh_bucket_stats, verified_near_duplicates
 
@@ -78,9 +86,7 @@ def main() -> None:
     over_cap = sum(a["n_over_cap"] for a in audit.values())
     n_buckets = sum(a["n_buckets"] for a in audit.values())
 
-    import tempfile
-
-    store = tempfile.mkdtemp(prefix="dedup_smoke_fp_") if MODE == "storage" else None
+    store = f"{run_dir}/fingerprints" if MODE == "storage" else None
     t0 = time.monotonic()
     pairs = verified_near_duplicates(
         docs, threshold=0.7, max_bucket_size=cap, storage=store

@@ -100,10 +100,15 @@ class ObserverPipeline:
         finally:
             batch.unpersist()
 
-    def start(self, *, trigger_once: bool = True):
+    def start(self, *, trigger_once: bool = True, max_files_per_trigger: int = 64):
+        """``max_files_per_trigger`` sizes the scan round (the
+        reference scanner's per-round notification budget,
+        scanner_impl.cc ScanTable loop) — smaller rounds mean finer
+        ack granularity and less replay after a crash, at more
+        per-epoch overhead."""
         stream = (
             self.spark.readStream.schema(CELL_SCHEMA)
-            .option("maxFilesPerTrigger", 64)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(self.oplog_path)
         )
         dispatch = self._dispatch
