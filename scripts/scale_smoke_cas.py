@@ -105,25 +105,32 @@ def run_storm(n_procs: int, rounds: int) -> dict:
                 for i in range(n_procs)
             ]
             t0 = time.perf_counter()
-            for k in range(rounds):
-                # round 0 pays n_procs concurrent interpreter+pyspark
-                # imports; scale the deadline with the fleet
-                deadline = time.time() + (60 + 5 * n_procs if k == 0 else 60)
-                while (
-                    sum(
-                        (Path(root) / "sync" / f"ready-{k}-w{i}").exists()
-                        for i in range(n_procs)
-                    )
-                    < n_procs
-                ):
-                    for p in procs:
-                        if p.poll() not in (None, 0):
-                            out = p.communicate()[0]
-                            raise RuntimeError(
-                                f"storm child died before ready:\n{out[-2000:]}"
-                            )
-                    assert time.time() < deadline, "storm children never ready"
-                (Path(root) / "sync" / f"go-{k}").touch()
+            try:
+                for k in range(rounds):
+                    # round 0 pays n_procs concurrent interpreter+pyspark
+                    # imports; scale the deadline with the fleet
+                    deadline = time.time() + (60 + 5 * n_procs if k == 0 else 60)
+                    while (
+                        sum(
+                            (Path(root) / "sync" / f"ready-{k}-w{i}").exists()
+                            for i in range(n_procs)
+                        )
+                        < n_procs
+                    ):
+                        for p in procs:
+                            if p.poll() not in (None, 0):
+                                out = p.communicate()[0]
+                                raise RuntimeError(
+                                    f"storm child died before ready:\n{out[-2000:]}"
+                                )
+                        assert time.time() < deadline, "storm children never ready"
+                    (Path(root) / "sync" / f"go-{k}").touch()
+            except BaseException:
+                # the go-file barrier is a busy-wait: children MUST die
+                # with the parent or they spin at 100% CPU forever
+                for p in procs:
+                    p.kill()
+                raise
             outs = [p.communicate(timeout=300)[0] for p in procs]
             wall = time.perf_counter() - t0
             for p, out in zip(procs, outs):
