@@ -52,10 +52,14 @@ def _runner_src(tmp: str) -> str:
         tmp = {tmp!r}
 
         def census(marks, epoch_id):
+            # order-free checksum; pmod keeps the 10M-row sum inside a
+            # long (ANSI mode: a raw xxhash64 sum overflows and throws)
             (
                 marks.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.xxhash64("row_key", "ts")).alias("checksum"),
+                    F.sum(
+                        F.pmod(F.xxhash64("row_key", "ts"), F.lit(1_000_000_007))
+                    ).alias("checksum"),
                 )
                 .write.mode("overwrite")
                 .parquet(f"{{tmp}}/census/epoch={{epoch_id}}")
@@ -91,7 +95,9 @@ def main() -> None:
         )
         cells.repartition(N_FILES).write.parquet(f"{tmp}/oplog")
         oracle = cells.agg(
-            F.sum(F.xxhash64("row_key", "ts")).alias("checksum")
+            F.sum(
+                F.pmod(F.xxhash64("row_key", "ts"), F.lit(1_000_000_007))
+            ).alias("checksum")
         ).collect()[0]["checksum"]
 
         # phase 1: start draining in a CHILD process, SIGKILL it once
