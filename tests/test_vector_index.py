@@ -201,7 +201,8 @@ def test_filtered_above_brute_limit_widens_to_full_probe(spark, tmp_path):
 def test_effective_rerank_scales_inverse_selectivity(spark, tmp_path):
     emb = _emb(spark)
     idx = VectorIndex.build(emb, str(tmp_path / "vir"), k_coarse=4, m=4, k_codes=4, iters=1)
-    assert idx._effective_rerank(100, 500) == 100   # unselective: unchanged
+    assert idx._effective_rerank(100, 500) == 400   # unselective: 4x floor
+    assert idx._effective_rerank(100, 250) == 400   # 50%: floor beats 2x
     assert idx._effective_rerank(100, 50) == 1000   # 10% -> 10x
     assert idx._effective_rerank(100, 5) == 10000   # 1% -> capped at 10k
     assert idx._effective_rerank(20000, 5) == 20000  # cap never shrinks C
