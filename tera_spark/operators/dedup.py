@@ -120,15 +120,18 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     *,
     max_bucket_size: int | None = None,
+    storage: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing ≥1 LSH band
     bucket. Returns (id_a, id_b) with id_a < id_b, distinct — dedup by
     first-collision filter, no pair-level shuffle (see
-    `_first_collision_candidates`)."""
+    `_first_collision_candidates`). ``storage`` materializes the
+    band-signature intermediate to Parquet instead of the executor
+    heap — the corpus-scale shape (see verified_near_duplicates)."""
     keyed = with_minhash_signature(ensure_parallelism(docs), text_col).select(
         F.col(id_col).alias("id"), band_keys(F.col("sig")).alias("keys")
     )
-    return _first_collision_candidates(keyed, max_bucket_size)
+    return _first_collision_candidates(keyed, max_bucket_size, storage=storage)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -248,6 +251,7 @@ def containment_pairs(
     k: int = 5,
     max_bucket_size: int | None = None,
     scope=None,
+    storage: str | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection by Jaccard CONTAINMENT:
     C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Catches a document largely
@@ -271,13 +275,14 @@ def containment_pairs(
     max(C(A→B), C(B→A))."""
     from tera_spark.functions.text import P31, h60
 
-    from tera_spark.functions.cache import persist_in_scope
+    from tera_spark.functions.cache import materialize
 
-    base = persist_in_scope(
+    base = materialize(
         ensure_parallelism(docs).select(
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(F.col(text_col))).alias("sh"),
         ),
+        f"{storage}/shingles" if storage else None,
         scope,
     )  # sketch + both verification sides read one derivation
     bottom = F.slice(
@@ -286,7 +291,8 @@ def containment_pairs(
         k,
     )
     cand = _first_collision_candidates(
-        base.select("id", bottom.alias("keys")), max_bucket_size, scope=scope
+        base.select("id", bottom.alias("keys")), max_bucket_size, scope=scope,
+        storage=f"{storage}/bottomk_sigs" if storage else None,
     )
     j = (
         cand.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -59,3 +59,32 @@ def test_storage_mode_respects_bucket_cap(spark, tmp_path):
         )
     )
     assert capped_store == capped_cache
+
+
+def test_minhash_pairs_storage_mode_matches(spark, tmp_path):
+    from tera_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark)
+    cached = sorted((r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect())
+    stored = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, storage=str(tmp_path / "mp")).collect()
+    )
+    assert stored == cached and stored
+
+
+def test_containment_pairs_storage_mode_matches(spark, tmp_path):
+    from tera_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark)
+    key = lambda r: (r.id_a, r.id_b, r.containment, r.direction)
+    cached = sorted(map(key, containment_pairs(docs, threshold=0.5).collect()))
+    stored = sorted(
+        map(
+            key,
+            containment_pairs(
+                docs, threshold=0.5, storage=str(tmp_path / "cp")
+            ).collect(),
+        )
+    )
+    assert stored == cached and stored
