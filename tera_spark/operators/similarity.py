@@ -223,19 +223,24 @@ def ivf_near_pairs(
     vec_col: str = "embedding",
     cid_col: str = "centroid_id",
     scope=None,
+    storage: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs restricted to IVF
     clusters — the scale-path variant of all-pairs cosine dedup.
 
-    The assignment output is persisted before the self-join: both join
-    sides read the same cached partitions, so the corpus scan + Arrow
+    The assignment output is materialized before the self-join: both
+    join sides read the same partitions, so the corpus scan + Arrow
     assignment kernel run ONCE instead of once per side. (The verify
     itself dominates wall time — see SCALE.md "Semantic dedup"; the
-    persist's value is not re-reading the source at cluster scale.)"""
-    from tera_spark.functions.cache import persist_in_scope
+    materialization's value is not re-reading the source at cluster
+    scale.) ``storage=<dir>`` writes the shared intermediate to
+    Parquet instead of the executor heap — the corpus-scale shape,
+    same contract as verified_near_duplicates."""
+    from tera_spark.functions.cache import materialize
 
-    assigned = persist_in_scope(
+    assigned = materialize(
         ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col, cid_col=cid_col),
+        f"{storage}/assigned" if storage else None,
         scope,
     )
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -263,6 +268,7 @@ def windowed_semantic_pairs(
     vec_col: str = "embedding",
     cid_col: str = "centroid_id",
     scope=None,
+    storage: str | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood semantic near-dup pairs — the linear-work
     scale path for the within-cluster verify that dominates
@@ -307,9 +313,9 @@ def windowed_semantic_pairs(
         )
         .select("cluster", "pos", "id", "vec")
     )
-    from tera_spark.functions.cache import persist_in_scope
+    from tera_spark.functions.cache import materialize
 
-    ranked = persist_in_scope(ranked, scope)
+    ranked = materialize(ranked, f"{storage}/ranked" if storage else None, scope)
     probe = ranked.select(
         "cluster",
         F.explode(
@@ -662,6 +668,7 @@ def hyperplane_lsh_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     scope=None,
+    storage: str | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via random-hyperplane LSH:
     candidates collide on >=1 signature band, then exact cosine
@@ -673,14 +680,15 @@ def hyperplane_lsh_pairs(
     Scale shape mirrors verified_near_duplicates: one persisted
     (id, vec, sig) table feeds the band self-join and both
     verification lookups; the band join is the only wide stage."""
-    from tera_spark.functions.cache import persist_in_scope
+    from tera_spark.functions.cache import materialize
 
     planes = hyperplane_signs(dim=dim)
-    base = persist_in_scope(
+    base = materialize(
         ensure_parallelism(vectors)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .withColumn("sig", hyperplane_signature(F.col("vec"), planes))
         .repartition("id"),
+        f"{storage}/signed" if storage else None,
         scope,
     )
     sigs = base.select("id", F.explode(hyperplane_band_keys(F.col("sig"))).alias("bucket"))

@@ -88,3 +88,38 @@ def test_containment_pairs_storage_mode_matches(spark, tmp_path):
         )
     )
     assert stored == cached and stored
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_semantic_pairs_storage_mode_matches(spark, tmp_path):
+    """The three embedding-side bucket/cluster operators share the same
+    storage contract as the text dedup family: intermediates to
+    Parquet, identical rows."""
+    from tera_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        ivf_near_pairs,
+        train_kmeans,
+        windowed_semantic_pairs,
+    )
+
+    emb = _emb(spark)
+    cents = train_kmeans(emb, k=4, iters=1)
+    key = lambda r: (r.id_a, r.id_b, r.sim)
+
+    for op, kw in (
+        (ivf_near_pairs, {"centroids": cents, "threshold": 0.3}),
+        (windowed_semantic_pairs, {"centroids": cents, "threshold": 0.3}),
+        (hyperplane_lsh_pairs, {"threshold": 0.3}),
+    ):
+        cached = sorted(map(key, op(emb, **kw).collect()))
+        stored = sorted(
+            map(
+                key,
+                op(emb, storage=str(tmp_path / op.__name__), **kw).collect(),
+            )
+        )
+        assert stored == cached, op.__name__
+        assert stored, op.__name__
