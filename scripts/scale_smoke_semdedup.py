@@ -91,6 +91,17 @@ def main() -> None:
     t_pairs = time.time() - t0
     assert n_pairs_recompute == n_pairs
 
+    # storage-backed materialization (round 8): the shared assignment
+    # table written to Parquet instead of the executor heap — the
+    # corpus-scale shape; pair count must be identical
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="semdedup_fp_")
+    t0 = time.time()
+    n_pairs_storage = ivf_near_pairs(v, cents, threshold=EPS, storage=store).count()
+    t_storage = time.time() - t0
+    assert n_pairs_storage == n_pairs
+
     # the sorted-neighborhood scale path: N·window cosines instead of
     # sum(cluster²) — report speedup and recall vs the full verify
     from tera_spark.operators.similarity import windowed_semantic_pairs
@@ -122,6 +133,7 @@ def main() -> None:
                 "k": K,
                 "train_s": round(t_train, 1),
                 "pairs_cached_s": round(t_pairs, 1),
+                "pairs_storage_s": round(t_storage, 1),
                 "pairs_recompute_s": round(t_recompute, 1),
                 "n_pairs": n_pairs,
                 "windowed_s": round(t_windowed, 1),
