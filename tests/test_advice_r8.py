@@ -14,6 +14,14 @@
 4. Filtered ANN self-match contract: the brute fallback and the
    IVF/ADC/rerank path must agree that a query never retrieves
    itself, on BOTH sides of the brute_limit threshold.
+
+   Adjudication note: the advice claimed the IVF path lacked the
+   self-filter. Checked against the source at the round-7 head: BOTH
+   ADC scorers already exclude self (the expression path filters
+   id != q_id at vector_index.py:455 and the Arrow kernel masks
+   ids != q_id at :491; both predate round 7, commit bee31551), so
+   the contract was already consistent — this test pins it across
+   the threshold so a future path change cannot silently diverge.
 """
 
 from __future__ import annotations
