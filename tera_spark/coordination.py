@@ -280,7 +280,17 @@ class CasStore(ABC):
     the only thing preconditions compare. Implementations must make
     each method atomic against the store's linearization point (a
     remote service call, a locked map, one SQL statement) — the arbiter
-    on top never holds a client-side lock."""
+    on top never holds a client-side lock.
+
+    REQUIRED: generations must be monotone for a key ACROSS
+    delete/recreate, never just within one key lifetime. If a
+    recreated key can reuse a prior generation, the arbiter's takeover
+    CAS is ABA-vulnerable: a racer holding a stale (gen, dead-record)
+    snapshot could overwrite a fresh claim that happens to land on the
+    same generation number. GCS object generations satisfy this
+    natively; a DynamoDB version-attribute scheme must persist a
+    tombstone (or derive the version from a monotone source) rather
+    than start recreated items back at 0."""
 
     @abstractmethod
     def get(self, key: str):
@@ -306,13 +316,20 @@ class CasStore(ABC):
 class MemoryCasStore(CasStore):
     """Linearizable conditional-put KV inside one process: the lock is
     the linearization point. Drives the seam tests and is the template
-    a remote store copies — every method is one atomic round-trip."""
+    a remote store copies — every method is one atomic round-trip.
+
+    Generations are monotone across delete/recreate (the ABC's ABA
+    requirement): ``_last_gen`` remembers the highest generation a key
+    ever held, and an absent-create resumes at last+1 instead of 0, so
+    a stale ``put_if(if_gen=old)`` can never succeed against a key
+    that was deleted and re-claimed in between."""
 
     def __init__(self):
         import threading
 
         self._lock = threading.Lock()
         self._kv: dict = {}
+        self._last_gen: dict = {}
 
     def get(self, key: str):
         with self._lock:
@@ -324,11 +341,13 @@ class MemoryCasStore(CasStore):
             if if_gen is None:
                 if cur is not None:
                     return False
-                self._kv[key] = (0, value)
-                return True
-            if cur is None or cur[0] != if_gen:
-                return False
-            self._kv[key] = (if_gen + 1, value)
+                gen = self._last_gen.get(key, -1) + 1
+            else:
+                if cur is None or cur[0] != if_gen:
+                    return False
+                gen = if_gen + 1
+            self._kv[key] = (gen, value)
+            self._last_gen[key] = gen
             return True
 
     def delete_if(self, key: str, if_gen: int) -> bool:
@@ -336,6 +355,8 @@ class MemoryCasStore(CasStore):
             cur = self._kv.get(key)
             if cur is None or cur[0] != if_gen:
                 return False
+            # _last_gen survives the delete — that tombstone is what
+            # keeps generations monotone when the key is re-created
             del self._kv[key]
             return True
 

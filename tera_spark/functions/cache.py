@@ -87,3 +87,29 @@ def materialize(df: DataFrame, storage: str | None, scope: CacheScope | None) ->
         return persist_in_scope(df, scope)
     df.write.mode("overwrite").parquet(storage)
     return df.sparkSession.read.parquet(storage)
+
+
+def app_scratch_dir(spark, tag: str) -> str:
+    """A scratch directory for storage-backed intermediates that does
+    not leak: the path is keyed by the Spark applicationId (so repeated
+    invocations in one driver/bench run reuse — and overwrite — ONE
+    directory instead of accumulating a fresh Parquet copy per call),
+    and an atexit rmtree reaps it when the process exits (a scratch
+    keyed to this app is unreachable by any other process anyway, so
+    at-exit removal loses nothing)."""
+    import atexit
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.gettempdir()) / (
+        "tera_spark_scratch_" + spark.sparkContext.applicationId + "_" + tag
+    )
+    if d not in _REAPED_SCRATCH:
+        _REAPED_SCRATCH.add(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    d.mkdir(parents=True, exist_ok=True)
+    return str(d)
+
+
+_REAPED_SCRATCH: set = set()

@@ -129,16 +129,16 @@ def text_lm_persisted_score(spark: SparkSession, sf: str) -> DataFrame:
     parquet write/read of the vocabulary-sized count tables. The model
     lands in ONE fixed per-Spark-app scratch dir (NgramLM.build
     overwrites it), so repeated invocations reuse the slot instead of
-    leaking a directory per run."""
-    import tempfile
+    leaking a directory per run; the dir itself is atexit-reaped
+    (functions/cache.py::app_scratch_dir) so it doesn't outlive the
+    process either."""
     from pathlib import Path
 
+    from tera_spark.functions.cache import app_scratch_dir
     from tera_spark.operators.lm import NgramLM
 
     docs = load(spark, sf, "documents")
-    scratch = Path(tempfile.gettempdir()) / (
-        "tera_spark_ngram_lm_" + spark.sparkContext.applicationId
-    )
+    scratch = Path(app_scratch_dir(spark, "ngram_lm"))
     lm = NgramLM.build(docs.filter(F.col("lang") == "en"), str(scratch))
     crawl = docs.filter(F.col("lang") != "en")
     nll = lm.score(crawl)

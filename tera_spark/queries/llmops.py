@@ -997,13 +997,17 @@ def dedup_lsh_storage(spark: SparkSession, sf: str) -> DataFrame:
     being pinned in the executor heap — the shape that takes the 5M-doc
     smoke from a 64 GB driver-heap requirement to the default 16 GB
     (SCALE.md §11). Same oracle as dedup_lsh_verified: the mode changes
-    the medium of the shared intermediate, never the rows."""
-    import tempfile
+    the medium of the shared intermediate, never the rows. The scratch
+    is app-keyed and atexit-reaped (functions/cache.py::app_scratch_dir)
+    so repeated driver/bench invocations overwrite one directory
+    instead of leaking a Parquet copy into /tmp per call."""
+    from pathlib import Path
 
+    from tera_spark.functions.cache import app_scratch_dir
     from tera_spark.operators.dedup import verified_near_duplicates
 
     docs = load(spark, sf, "documents")
-    store = tempfile.mkdtemp(prefix="tera_lsh_storage_")
+    store = app_scratch_dir(spark, "lsh_storage_" + Path(sf).name)
     return verified_near_duplicates(docs, threshold=0.5, storage=store).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -4094,18 +4098,15 @@ def ann_filtered_selective(spark: SparkSession, sf: str) -> DataFrame:
     ranking — and the oracle replays the store's exact arithmetic:
     L2-normalize in double, quantize to float32 (the store's format),
     exact L2 in double, round 6, rank by (d2, v_id)."""
-    import tempfile
     from pathlib import Path
 
+    from tera_spark.functions.cache import app_scratch_dir
     from tera_spark.operators.vector_index import VectorIndex
 
     emb = load(spark, sf, "embeddings")
-    scratch = Path(tempfile.gettempdir()) / (
-        "tera_spark_vecidx_"
-        + spark.sparkContext.applicationId
-        + "_"
-        + Path(sf).name
-    )
+    # app-keyed + atexit-reaped: a new process never reuses another
+    # process's appId-named scratch, so at-exit removal loses nothing
+    scratch = Path(app_scratch_dir(spark, "vecidx_" + Path(sf).name))
     if (scratch / "meta.json").exists():
         idx = VectorIndex.load(spark, str(scratch))
     else:

@@ -32,11 +32,15 @@ def test_scope_releases_on_exit(spark):
         [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3)) for i in range(30)],
         "doc_id long, text string",
     )
+    # delta-based: other modules in the shared session may hold their
+    # own (scope-less, LRU-managed) persists — this test owns only the
+    # caches the scope registers
+    before = _live_cached(spark)
     with CacheScope(spark) as scope:
         out = verified_near_duplicates(docs, threshold=0.5, scope=scope)
         assert out.count() > 0
-        assert _live_cached(spark) >= 1  # caches live while consuming
-    assert _live_cached(spark) == 0  # scope exit released them
+        assert _live_cached(spark) >= before + 1  # caches live while consuming
+    assert _live_cached(spark) == before  # scope exit released them
 
 
 def test_scope_release_idempotent(spark):

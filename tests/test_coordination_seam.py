@@ -116,6 +116,70 @@ def test_cas_arbiter_no_claim_files_on_disk(cas_cat):
     assert not any(".lock" in n or n == "writer.lease" for n in files), files
 
 
+# -- generation monotonicity across delete/recreate (ABA guard) --------
+
+
+def test_cas_store_generation_monotone_across_recreate():
+    """A recreated key must NOT resume at generation 0: if it did, a
+    stale precondition captured before a delete/recreate cycle could
+    still hold afterwards (the ABA the CasStore ABC forbids)."""
+    from tera_spark.coordination import MemoryCasStore
+
+    st = MemoryCasStore()
+    assert st.put_if("k", "a", None)
+    gen0 = st.get("k")[0]
+    assert st.delete_if("k", gen0)
+    assert st.put_if("k", "c", None)
+    gen1 = st.get("k")[0]
+    assert gen1 > gen0  # monotone across the delete/recreate boundary
+    assert not st.put_if("k", "stale", gen0)  # the ABA write must lose
+    assert st.get("k")[1] == "c"
+
+
+def test_cas_arbiter_aba_takeover_vs_clear_dead_race():
+    """The exact interleaving the takeover CAS must survive: A snapshots
+    a DEAD record at generation g; between A's read and A's conditional
+    put, another process clear_dead()s the slot and C claims it fresh.
+    A's put_if(if_gen=g) must fail — exactly one winner (C) — which
+    holds only because generations are monotone across recreate."""
+    from tera_spark.coordination import CasArbiter, MemoryCasStore
+
+    inner = MemoryCasStore()
+    p = Path("/aba/claim-0.lock")
+    plain = CasArbiter(inner)
+    assert plain.try_claim(p, "dead", 0.01)
+    time.sleep(0.05)  # the claim is now a dead record
+
+    class _RacedStore(MemoryCasStore):
+        """Delegates to ``inner`` but fires the clear_dead + C-claim
+        race once, right after A's first snapshot of the slot — so A
+        proceeds into its takeover CAS holding a stale (gen, record)."""
+
+        def __init__(self):
+            self._fired = False
+
+        def get(self, key):
+            snap = inner.get(key)
+            if not self._fired and key == str(p):
+                self._fired = True
+                plain.clear_dead(p)
+                assert plain.try_claim(p, "c", 60.0)
+            return snap
+
+        def put_if(self, key, value, if_gen):
+            return inner.put_if(key, value, if_gen)
+
+        def delete_if(self, key, if_gen):
+            return inner.delete_if(key, if_gen)
+
+        def keys(self, prefix):
+            return inner.keys(prefix)
+
+    a = CasArbiter(_RacedStore())
+    assert not a.try_claim(p, "a", 60.0)  # A must lose, not overwrite C
+    assert plain.state(p)[1]["holder"] == "c"
+
+
 # -- served store: one linearization point across connections ----------
 
 
