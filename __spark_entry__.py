@@ -27,57 +27,33 @@ def _registry():
 
 
 # Driver-sample ordering: the correctness driver checks the FIRST 50
-# queries() entries each round. Cumulative state after round 6: all
-# 183 registry entries have been driver-checked at least once, 182
-# fully green (the exception was the rows-only zlib query, which gains
-# a fully-oracled check in round 7). Round-7 rotation policy
-# (freshness, per VERDICT r6 task 1): queries NEW this round lead,
-# then the 36 rows whose last green driver row is round 3 — the entire
-# dedup/text/pipeline family, the engine's marquee use-case — then
-# rounds 4/5/6 by staleness. Computed from CORRECTNESS_r01..r06.json.
-# All entries pass the identical local DuckDB gate at sf0.01
+# queries() entries each round. Cumulative state after round 8: all
+# 187 registry entries driver-checked at least once, every latest row
+# fully green, freshness distribution r5:37 / r6:50 / r7:50 / r8:50.
+# Round-9 rotation policy (per VERDICT r8 task 1): queries NEW this
+# round lead (none at regeneration time — prepend any added
+# mid-round), then the 37 rows whose last green driver row is round 5
+# (the ann index family precursors, KV/TTL, asof/window events, the
+# TPC-H q-family, multimodal features), then rounds 6/7/8 by
+# staleness, alphabetical within a cohort. Computed by folding
+# CORRECTNESS_r01..r08.json (latest round where rows_match and no
+# err). All entries pass the identical local DuckDB gate at sf0.01
 # (tests/test_oracle_parity.py) regardless of position.
 _DRIVER_PRIORITY = [
-    # NEW in round 8 — needs a first driver row
-    "dedup_lsh_storage_mode",
-    # last driver-green in round 4 (oldest)
-    "events_ab_test_lift", "events_anomaly_zscore", "events_bot_regularity",
-    "events_churn_risk", "events_dau_mau_stickiness",
-    "events_dedup_latest_props", "events_equidepth_histogram",
-    "events_hourly_seasonality", "events_json_props",
-    "events_k_anonymity_audit", "events_ohlc_bars",
-    "events_pareto_concentration", "events_salted_distinct_users",
-    "events_session_transcripts", "events_sketch_profile",
-    "events_subseq_topk", "events_trajectory_similarity",
-    "events_transition_matrix", "events_type_correlation",
-    "events_value_histogram", "events_value_trend", "events_window_topk",
-    "graph_triangles_neardup", "pipeline_contamination_report",
-    "pipeline_corpus_curation", "pipeline_dedup_savings_report",
-    "pipeline_filter_audit", "pipeline_mixture_allocation",
-    "pipeline_pseudonymize_users", "pipeline_ref_integrity_audit",
-    "source_profile_stats", "text_bpe_merges", "text_inverted_index",
-    "text_language_id_margin", "text_quality_calibrated",
-    "text_repetition_signals",
-    # last driver-green in round 5
-    "ann_pca_top_component", "cell_batch_get", "cell_changefeed_diff",
-    "cell_check_and_apply", "cell_compact_fold", "cell_counter_add_merge",
-    "cell_multiversion_trim", "cell_snapshot_read", "cell_time_range_scan",
-    "cell_tombstone_mask", "cell_value_filter", "dedup_exact_hash",
-    "dedup_semantic_incremental", "dedup_semantic_trained",
-    "dedup_semantic_windowed", "events_asof_next_purchase",
-    "events_asof_prev_click", "events_cms_heavy_hitters", "events_drift_psi",
-    "events_funnel_3step", "events_m4_downsample",
-    "events_range_join_windows", "events_retention_cohorts",
-    "events_sessionize", "events_sliding_window",
-    "events_theta_purchaser_overlap", "events_tumbling_window",
-    "kv_lww_scan", "kv_ttl_scan", "multimodal_gif_features",
-    "multimodal_jpeg_features", "multimodal_mulaw_audio",
-    "multimodal_phash_dups", "multimodal_video_frames",
-    "pipeline_classifier_calibration", "pipeline_quality_classifier",
-    "q13_cust_order_distribution", "q18_large_volume_customer",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q_grouping_sets", "q_topk_per_group",
-    "q_window_running_total", "text_bigram_surprisal",
+    # last driver-green in round 5 (oldest)
+    "dedup_semantic_trained", "dedup_semantic_windowed",
+    "events_asof_next_purchase", "events_asof_prev_click",
+    "events_cms_heavy_hitters", "events_drift_psi", "events_funnel_3step",
+    "events_m4_downsample", "events_range_join_windows",
+    "events_retention_cohorts", "events_sessionize", "events_sliding_window",
+    "events_theta_purchaser_overlap", "events_tumbling_window", "kv_lww_scan",
+    "kv_ttl_scan", "multimodal_gif_features", "multimodal_jpeg_features",
+    "multimodal_mulaw_audio", "multimodal_phash_dups",
+    "multimodal_video_frames", "pipeline_classifier_calibration",
+    "pipeline_quality_classifier", "q13_cust_order_distribution",
+    "q18_large_volume_customer", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q_grouping_sets",
+    "q_topk_per_group", "q_window_running_total", "text_bigram_surprisal",
     "text_lm_persisted_score", "text_perplexity_buckets",
     "text_redundancy_stats", "text_signal_spearman",
     # last driver-green in round 6
@@ -108,20 +84,42 @@ _DRIVER_PRIORITY = [
     "dedup_edit_distance", "dedup_embedding_cosine",
     "dedup_incremental_batch", "dedup_lsh_verified",
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_repeated_ngram_spans", "dedup_semantic_drop_list",
-    "dedup_simhash", "dedup_span_removal", "doc_bpe_token_stats",
-    "doc_fingerprint_rolling", "doc_token_stats", "graph_pagerank_neardup",
-    "multimodal_audio_features", "multimodal_features",
-    "multimodal_flac_features", "multimodal_frame_plan", "multimodal_resize",
-    "pipeline_decontaminate", "pipeline_dedup_drop_list",
-    "pipeline_doc_chunking", "pipeline_dsir_importance",
-    "pipeline_leakage_safe_split", "pipeline_token_packing",
-    "pipeline_weighted_interleave", "sample_stratified_deterministic",
-    "sample_weighted_reservoir", "text_bpe_pair_counts",
-    "text_compression_ratio", "text_language_id", "text_pii_redaction",
-    "text_pmi_collocations", "text_quality_score", "text_tfidf_bm25",
-    "text_tokenizer_fertility", "text_unigram_surprisal",
+    "dedup_repeated_ngram_spans", "dedup_semantic_drop_list", "dedup_simhash",
+    "dedup_span_removal", "doc_bpe_token_stats", "doc_fingerprint_rolling",
+    "doc_token_stats", "graph_pagerank_neardup", "multimodal_audio_features",
+    "multimodal_features", "multimodal_flac_features",
+    "multimodal_frame_plan", "multimodal_resize", "pipeline_decontaminate",
+    "pipeline_dedup_drop_list", "pipeline_doc_chunking",
+    "pipeline_dsir_importance", "pipeline_leakage_safe_split",
+    "pipeline_token_packing", "pipeline_weighted_interleave",
+    "sample_stratified_deterministic", "sample_weighted_reservoir",
+    "text_bpe_pair_counts", "text_compression_ratio", "text_language_id",
+    "text_pii_redaction", "text_pmi_collocations", "text_quality_score",
+    "text_tfidf_bm25", "text_tokenizer_fertility", "text_unigram_surprisal",
     "text_vocab_profile", "text_zipf_slope",
+    # last driver-green in round 8
+    "ann_pca_top_component", "cell_batch_get", "cell_changefeed_diff",
+    "cell_check_and_apply", "cell_compact_fold", "cell_counter_add_merge",
+    "cell_multiversion_trim", "cell_snapshot_read", "cell_time_range_scan",
+    "cell_tombstone_mask", "cell_value_filter", "dedup_exact_hash",
+    "dedup_lsh_storage_mode", "dedup_semantic_incremental",
+    "events_ab_test_lift", "events_anomaly_zscore", "events_bot_regularity",
+    "events_churn_risk", "events_dau_mau_stickiness",
+    "events_dedup_latest_props", "events_equidepth_histogram",
+    "events_hourly_seasonality", "events_json_props",
+    "events_k_anonymity_audit", "events_ohlc_bars",
+    "events_pareto_concentration", "events_salted_distinct_users",
+    "events_session_transcripts", "events_sketch_profile",
+    "events_subseq_topk", "events_trajectory_similarity",
+    "events_transition_matrix", "events_type_correlation",
+    "events_value_histogram", "events_value_trend", "events_window_topk",
+    "graph_triangles_neardup", "pipeline_contamination_report",
+    "pipeline_corpus_curation", "pipeline_dedup_savings_report",
+    "pipeline_filter_audit", "pipeline_mixture_allocation",
+    "pipeline_pseudonymize_users", "pipeline_ref_integrity_audit",
+    "source_profile_stats", "text_bpe_merges", "text_inverted_index",
+    "text_language_id_margin", "text_quality_calibrated",
+    "text_repetition_signals",
 ]
 
 # Rows-only queries (no DuckDB oracle possible) are ordered dead last
