@@ -61,11 +61,24 @@ machinery through it) and ``serve_cas_store``/``connect_cas_store``,
 which put a MemoryCasStore behind a socket so separate OS processes
 share one linearization point — the storm harness runs the same 16/32
 process takeover storm against it (``scale_smoke_cas.py storm
---arbiter cas``), which is the acceptance gate for any new store.
+--arbiter cas``).
 
-Either backend implements the same four methods; the storm harness
-(scripts/scale_smoke_cas.py) is backend-agnostic and is the
-acceptance gate for any new arbiter.
+**Writing a cloud adapter is three lines of ceremony**::
+
+    class DynamoCasStore(CasStore):
+        ...  # get / put_if / delete_if / keys, one service call each
+    verify_cas_store(DynamoCasStore(table="locks"))   # must pass
+    arbiter = CasArbiter(DynamoCasStore(table="locks"))
+
+``verify_cas_store`` is the executable acceptance gate: basic
+contract, generation monotonicity across delete/recreate (the ABA
+requirement — GCS generations satisfy it natively, a naive DynamoDB
+version attribute does NOT), single-winner-per-generation under
+thread contention, and a takeover storm with ``clear_dead`` racing
+the takeovers. Both shipped stores pass it
+(tests/test_coordination_seam.py); the multi-process storm harness
+(scripts/scale_smoke_cas.py, backend-agnostic) is the volume
+complement.
 
 The claim-record contract all backends share: a record is a JSON dict
 ``{"holder": str, "expires": epoch_seconds}``; a record past
@@ -363,6 +376,157 @@ class MemoryCasStore(CasStore):
     def keys(self, prefix: str) -> list:
         with self._lock:
             return sorted(k for k in self._kv if k.startswith(prefix))
+
+
+def verify_cas_store(store: CasStore, *, racers: int = 8, storm_rounds: int = 20) -> dict:
+    """Conformance battery for a ``CasStore`` implementation — the
+    executable form of the ABC's contract, so "implement 4 methods and
+    reuse the protocol" is checkable by the person writing the adapter.
+    Runs entirely through the public 4-method API under a unique key
+    namespace (safe against a live/shared store) and raises
+    ``AssertionError`` with a named check on the first violation;
+    returns a report dict when everything holds.
+
+    A new adapter is three lines of ceremony::
+
+        class DynamoCasStore(CasStore):
+            ...  # get / put_if / delete_if / keys, each one service call
+        verify_cas_store(DynamoCasStore(table="locks"))   # must pass
+        arbiter = CasArbiter(DynamoCasStore(table="locks"))
+
+    What is checked, in order:
+
+    1. **Basic contract** — absent get is None; ``put_if(if_gen=None)``
+       creates and fails on an existing key; a stale or absent
+       generation precondition fails; a correct one succeeds and BUMPS
+       the generation; ``delete_if`` honors its precondition; ``keys``
+       is sorted and prefix-filtered.
+    2. **Generation monotonicity across delete/recreate** — the ABA
+       requirement: a recreated key must never reuse a prior
+       generation, and a precondition captured before the
+       delete/recreate cycle must fail afterwards.
+    3. **Single winner per generation** — ``racers`` threads race
+       ``put_if`` at one observed generation (and at absent-create):
+       exactly one succeeds. Threads model concurrent clients; a
+       remote-store adapter's proxy must be thread-safe or hand out
+       per-thread connections (multiprocessing.BaseManager proxies do).
+    4. **Arbiter takeover storm** — ``storm_rounds`` expired records,
+       ``racers`` threads per round racing ``CasArbiter.try_claim``:
+       exactly one winner each round, the surviving record live, and a
+       ``clear_dead`` racing each takeover (the ABA interleaving from
+       the round-9 advice) never yields a second winner.
+    """
+    import threading
+    import uuid
+
+    ns = f"/casconf-{uuid.uuid4().hex}/"
+    report: dict = {}
+
+    # -- 1. basic contract ------------------------------------------------
+    k = ns + "basic"
+    assert store.get(k) is None, "absent get must be None"
+    assert store.put_if(k, "v0", None), "absent-create must succeed"
+    cur = store.get(k)
+    assert cur is not None and cur[1] == "v0", "get must return the put value"
+    g0 = cur[0]
+    assert not store.put_if(k, "x", None), "absent-create on existing key must fail"
+    assert not store.put_if(k, "x", g0 + 1), "wrong-generation put must fail"
+    assert store.put_if(k, "v1", g0), "correct-generation put must succeed"
+    g1 = store.get(k)[0]
+    assert g1 > g0, "successful put must bump the generation"
+    assert not store.delete_if(k, g0), "stale-generation delete must fail"
+    assert store.delete_if(k, g1), "correct-generation delete must succeed"
+    assert store.get(k) is None, "deleted key must read absent"
+    for i in (2, 0, 1):
+        assert store.put_if(ns + f"list/{i}", "v", None)
+    listed = store.keys(ns + "list/")
+    assert listed == sorted(listed), "keys must be sorted"
+    assert listed == [ns + f"list/{i}" for i in (0, 1, 2)], "keys must be prefix-exact"
+    assert store.keys(ns + "list/nope") == [], "non-matching prefix must be empty"
+    report["basic_contract"] = True
+
+    # -- 2. generation monotonicity across delete/recreate ----------------
+    k = ns + "aba"
+    assert store.put_if(k, "a", None)
+    g_old = store.get(k)[0]
+    assert store.delete_if(k, g_old)
+    assert store.put_if(k, "c", None)
+    g_new = store.get(k)[0]
+    assert g_new > g_old, (
+        "generation reused across delete/recreate — the arbiter's takeover "
+        "CAS is ABA-vulnerable on this store (see CasStore docstring)"
+    )
+    assert not store.put_if(k, "stale", g_old), "pre-recreate precondition must fail"
+    assert store.get(k)[1] == "c", "the fresh claim must survive the stale CAS"
+    report["generation_monotone_across_recreate"] = True
+
+    # -- 3. single winner per generation under thread contention ----------
+    def _race(fn) -> int:
+        wins = []
+        gate = threading.Barrier(racers)
+
+        def run():
+            gate.wait()
+            if fn():
+                wins.append(1)
+
+        ts = [threading.Thread(target=run) for _ in range(racers)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return len(wins)
+
+    k = ns + "race-create"
+    n = _race(lambda: store.put_if(k, "w", None))
+    assert n == 1, f"absent-create race: {n} winners (exactly 1 required)"
+    gen = store.get(k)[0]
+    n = _race(lambda: store.put_if(k, "w2", gen))
+    assert n == 1, f"same-generation CAS race: {n} winners (exactly 1 required)"
+    report["single_winner_per_generation"] = True
+
+    # -- 4. arbiter takeover storm (+ clear_dead racing the takeover) -----
+    arb = CasArbiter(store)
+    storm_wins = 0
+    for r in range(storm_rounds):
+        p = Path(ns + f"storm/claim-{r}.lock")
+        assert store.put_if(str(p), json.dumps({"holder": "dead", "expires": 0.0}), None)
+        # odd rounds: one extra racer is a clear_dead instead of a
+        # claimer — the delete/recreate interleaving the monotonicity
+        # rule exists for
+        with_clearer = bool(r % 2)
+        gate = threading.Barrier(racers + (1 if with_clearer else 0))
+        wins = []
+
+        def claim(i):
+            gate.wait()
+            if arb.try_claim(p, f"h{i}", 3600.0):
+                wins.append(i)
+
+        def clear():
+            gate.wait()
+            arb.clear_dead(p)
+
+        clearer = threading.Thread(target=clear) if with_clearer else None
+        if clearer is not None:
+            clearer.start()
+        ts = [threading.Thread(target=claim, args=(i,)) for i in range(racers)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if clearer is not None:
+            clearer.join()
+        assert len(wins) == 1, f"storm round {r}: {len(wins)} winners"
+        st = arb.state(p)
+        assert st is not None and st[1]["holder"] == f"h{wins[0]}", (
+            f"storm round {r}: surviving record is not the winner's"
+        )
+        assert st[1]["expires"] > time.time(), f"storm round {r}: surviving claim not live"
+        storm_wins += 1
+    report["takeover_storm_rounds"] = storm_wins
+    report["racers"] = racers
+    return report
 
 
 def serve_cas_store(authkey: bytes = b"tera-cas"):

@@ -180,6 +180,60 @@ def test_cas_arbiter_aba_takeover_vs_clear_dead_race():
     assert plain.state(p)[1]["holder"] == "c"
 
 
+# -- CasStore conformance battery (the adapter-author's gate) ----------
+
+
+def test_conformance_battery_memory_store():
+    """verify_cas_store() green against the in-process reference store
+    — the same battery a DynamoDB/GCS adapter runs unmodified."""
+    from tera_spark.coordination import MemoryCasStore, verify_cas_store
+
+    report = verify_cas_store(MemoryCasStore())
+    assert report["basic_contract"]
+    assert report["generation_monotone_across_recreate"]
+    assert report["single_winner_per_generation"]
+    assert report["takeover_storm_rounds"] == 20
+
+
+def test_conformance_battery_served_store():
+    """The battery also passes over the socket-served store — proving
+    it exercises only the remote-callable surface (no reliance on
+    in-process internals), which is what makes it reusable against a
+    real cloud adapter."""
+    from tera_spark.coordination import connect_cas_store, serve_cas_store, verify_cas_store
+
+    mgr, addr = serve_cas_store()
+    try:
+        report = verify_cas_store(connect_cas_store(addr), racers=4, storm_rounds=6)
+        assert report["takeover_storm_rounds"] == 6
+    finally:
+        mgr.shutdown()
+
+
+def test_conformance_battery_rejects_aba_vulnerable_store():
+    """A store whose recreated keys restart at generation 0 (the naive
+    DynamoDB version-attribute scheme) must FAIL the battery — the
+    check exists to stop exactly this adapter from shipping."""
+    from tera_spark.coordination import MemoryCasStore, verify_cas_store
+
+    class NaiveStore(MemoryCasStore):
+        def put_if(self, key, value, if_gen):
+            with self._lock:
+                cur = self._kv.get(key)
+                if if_gen is None:
+                    if cur is not None:
+                        return False
+                    self._kv[key] = (0, value)  # recreate at 0: the bug
+                    return True
+                if cur is None or cur[0] != if_gen:
+                    return False
+                self._kv[key] = (if_gen + 1, value)
+                return True
+
+    with pytest.raises(AssertionError, match="ABA-vulnerable"):
+        verify_cas_store(NaiveStore())
+
+
 # -- served store: one linearization point across connections ----------
 
 
