@@ -85,8 +85,27 @@ def materialize(df: DataFrame, storage: str | None, scope: CacheScope | None) ->
     so the upstream pipeline still runs exactly once."""
     if storage is None:
         return persist_in_scope(df, scope)
+    if _materialize_observer is not None:
+        _materialize_observer(df)
     df.write.mode("overwrite").parquet(storage)
     return df.sparkSession.read.parquet(storage)
+
+
+# Observation hook for plan reporting: a storage-backed operator's
+# shuffles run in the materialization BUILD jobs, before the returned
+# plan exists — so the returned plan honestly reads Ex=0 while the real
+# exchanges live here. scripts/plan_report.py sets an observer to
+# capture each materialized DataFrame's plan features (the mat-Ex
+# column); None (the default) is zero-overhead.
+_materialize_observer = None
+
+
+def set_materialize_observer(fn) -> None:
+    """Install ``fn(df)`` to be called with every DataFrame that
+    ``materialize()`` is about to write to storage; pass None to
+    remove. Driver-side reporting only — never load-bearing."""
+    global _materialize_observer
+    _materialize_observer = fn
 
 
 def app_scratch_dir(spark, tag: str) -> str:
