@@ -14,6 +14,16 @@ selectivities {50%, 10%, 1%, 0.1%} in three configurations:
 Ground truth per selectivity is exact cosine top-k over the FILTERED
 corpus. Results land in SCALE.md. Run:
 `python scripts/scale_smoke_filtered_ann.py [n_vecs]`.
+
+`python scripts/scale_smoke_filtered_ann.py [n_vecs] codebook` runs
+the round-9 codebook-resolution study instead: the r8 rerank-floor fix
+lifted 1M/50% recall@10 to 0.964 and diagnosed the residual ~0.03 as
+ADC codebook resolution — this mode rebuilds the index with a larger
+codebook (double sub-quantizers m=16->32, then more codes per
+sub-quantizer k=32->256) and measures the 50%-selectivity point with
+the SHIPPED adaptive rerank, recording recall/build-cost/search-cost
+per config so the ceiling either closes or gets pinned as a measured
+cost-benefit decision.
 """
 
 from __future__ import annotations
@@ -33,11 +43,21 @@ from pyspark.sql import functions as F  # noqa: E402
 from tera_spark.session import get_spark  # noqa: E402
 
 N_VECS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+MODE = sys.argv[2] if len(sys.argv) > 2 else "selectivity"
 DIM = 64
 N_CENTERS = 64
 N_QUERIES = 50
 K = 10
 SELECTIVITIES = ((2, "50pct"), (10, "10pct"), (100, "1pct"), (1000, "0.1pct"))
+
+# codebook-resolution study (round 9): baseline = the shipped config;
+# m32 halves the sub-vector width each quantizer must resolve; k256
+# gives each quantizer 8 bits instead of 5. Same coarse layer.
+CODEBOOKS = (
+    ("m16_k32_shipped", {"m": 16, "k_codes": 32}),
+    ("m32_k32_double_subq", {"m": 32, "k_codes": 32}),
+    ("m16_k256_more_bits", {"m": 16, "k_codes": 256}),
+)
 
 
 def main() -> None:
@@ -73,6 +93,45 @@ def main() -> None:
 
     from tera_spark.operators.similarity import cosine_topk
     from tera_spark.operators.vector_index import VectorIndex
+
+    if MODE == "codebook":
+        out = {"n_vecs": n, "n_queries": nq, "k": K, "mode": "codebook", "configs": {}}
+        allow = vectors.select("vec_id").filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+        n_allowed = allow.count()
+        out["n_allowed"] = n_allowed
+        exact = (
+            cosine_topk(vectors.join(allow, "vec_id", "left_semi"), queries, k=K)
+            .select("q_id", "v_id")
+            .cache()
+        )
+        n_exact = exact.count()
+        with tempfile.TemporaryDirectory(prefix="fann_codebook_") as tmp:
+            for label, cfg in CODEBOOKS:
+                t0 = time.perf_counter()
+                idx = VectorIndex.build(
+                    vectors, f"{tmp}/{label}", k_coarse=N_CENTERS, iters=3, **cfg
+                )
+                build_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                got = (
+                    idx.topk(queries, k=K, nprobe=4, rerank=100, allowed=allow)
+                    .select("q_id", "v_id")
+                    .cache()
+                )
+                got.count()
+                search_s = time.perf_counter() - t0
+                hits = got.join(exact, ["q_id", "v_id"], "inner").count()
+                got.unpersist()
+                out["configs"][label] = {
+                    **cfg,
+                    "recall_at_10": round(hits / max(n_exact, 1), 3),
+                    "build_s": round(build_s, 1),
+                    "search_s": round(search_s, 2),
+                    "path": f"ivf:C_eff={idx._effective_rerank(100, n_allowed)}",
+                }
+                print(json.dumps({label: out["configs"][label]}), flush=True)
+        print(json.dumps(out))
+        return
 
     out = {"n_vecs": n, "n_queries": nq, "k": K, "points": {}}
     with tempfile.TemporaryDirectory(prefix="fann_smoke_") as tmp:
