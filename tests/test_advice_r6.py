@@ -81,15 +81,20 @@ def test_power_iteration_zero_covariance_guard():
 
 def test_lm_persisted_query_reuses_one_scratch_dir(spark):
     """text_lm_persisted_score must not leak one model dir per run —
-    the scratch path is keyed by the Spark applicationId and
-    overwritten on rebuild."""
+    the scratch path is keyed by the Spark applicationId (via
+    app_scratch_dir, which also atexit-reaps it) and overwritten on
+    rebuild."""
     import tempfile
     from pathlib import Path
 
     from tera_spark.queries.curation import text_lm_persisted_score
 
     root = Path(tempfile.gettempdir())
-    pat = "tera_spark_ngram_lm_" + spark.sparkContext.applicationId + "*"
+    pat = (
+        "tera_spark_scratch_"
+        + spark.sparkContext.applicationId
+        + "_ngram_lm*"
+    )
     text_lm_persisted_score(spark, SF).count()
     first = {p.name for p in root.glob(pat)}
     text_lm_persisted_score(spark, SF).count()
