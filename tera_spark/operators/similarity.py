@@ -55,24 +55,25 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Brute-force exact top-k neighbours for each query vector.
     The query side broadcasts (it is small by construction); ranking
-    uses (rounded sim DESC, id) so ties are deterministic."""
+    uses (rounded sim DESC, id) so ties are deterministic.
+
+    ``kernel="auto"`` computes the query×corpus similarity matrix in
+    the Arrow-batched numpy kernel (`_brute_sims_np`) — the same
+    sequential-component float64 fold as the expression form, so sims
+    are bit-identical (oracle parity re-proves it); "expr" forces the
+    crossJoin of interpreted higher-order-function folds."""
     from pyspark.sql import Window as W
 
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     v = ensure_parallelism(vectors).select(
         F.col(id_col).alias("v_id"), F.col(vec_col).alias("v_vec")
     )
-    sims = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("v_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "v_id",
-            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6).alias("sim"),
-        )
+    sims = _brute_sims(v, q, kernel).filter(F.col("v_id") != F.col("q_id")).select(
+        "q_id", "v_id", F.round(F.col("_sim_raw"), 6).alias("sim")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "v_id")
     return (
@@ -80,6 +81,97 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "v_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# Above this many query rows the driver-side collect in the numpy
+# brute-force kernel stops being "small by construction" — fall back
+# to the broadcast crossJoin expression form (same results).
+_BRUTE_Q_CAP = 1024
+
+# kernel="auto" crossover: below this estimated corpus size the fixed
+# JVM↔Python boundary cost (Arrow transpose + worker round-trip + the
+# query-side collect job) outweighs the vectorization win, so auto
+# stays with the in-JVM expression fold; above it the O(Q·N·d)
+# interpreted fold dominates and the numpy kernel takes over
+# (measured: expr 0.32 s vs numpy 0.46 s on the 0.8 MB sf0.1
+# embeddings; numpy 2.4× faster at 200k×64 vectors with Q=10, and the
+# gap widens with query count since the boundary cost is Q-independent
+# — see OPTIMIZATION_r09.md). Scale-adaptive, not core-count-dependent.
+_BRUTE_NP_BYTES_FLOOR = 32 << 20
+
+
+def _plan_bytes(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j hiccup: keep plans Python-free
+        return 0
+
+
+def _brute_sims(v: DataFrame, q: DataFrame, kernel: str) -> DataFrame:
+    """(q_id, v_id, _sim_raw) for every query×vector pair — unrounded
+    cosine, self-pairs included (callers filter/round). Kernel choice
+    per module docstring: the numpy path vectorizes the O(Q·N·d) fold;
+    the expr path is the zero-Python fallback. ``auto`` picks by the
+    corpus-side size estimate (`_BRUTE_NP_BYTES_FLOOR`)."""
+    use_np = kernel == "numpy" or (
+        kernel == "auto" and _np is not None and _plan_bytes(v) >= _BRUTE_NP_BYTES_FLOOR
+    )
+    if use_np:
+        rows = q.collect()
+        if 0 < len(rows) <= _BRUTE_Q_CAP:
+            return _brute_sims_np(v, rows, q.schema["q_id"].dataType)
+    return v.crossJoin(F.broadcast(q)).select(
+        "q_id", "v_id", cosine(F.col("q_vec"), F.col("v_vec")).alias("_sim_raw")
+    )
+
+
+def _brute_sims_np(v: DataFrame, q_rows: list, q_id_type) -> DataFrame:
+    """Arrow-batched query×corpus cosine kernel. Dot products and
+    norms accumulate sequentially over vector components in float64 —
+    the exact fold order of `_dot`'s aggregate() and the DuckDB
+    oracle's list_reduce — then sim = dot / (||v|| · ||q||) with the
+    same multiply/divide shape, so every sim is bit-identical to the
+    expression form."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qs = sorted((r["q_id"], [float(x) for x in r["q_vec"]]) for r in q_rows)
+    q_ids = _np.asarray([i for i, _ in qs])
+    Q = _np.asarray([qv for _, qv in qs], dtype=_np.float64)  # m × dim
+    m, dim = Q.shape
+    qn_acc = _np.zeros(m)
+    for l in range(dim):
+        qn_acc += Q[:, l] * Q[:, l]
+    qn = _np.sqrt(qn_acc)
+
+    out_schema = StructType(
+        [
+            StructField("q_id", q_id_type),
+            StructField("v_id", v.schema["v_id"].dataType),
+            StructField("_sim_raw", DoubleType()),
+        ]
+    )
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf["v_vec"].to_numpy()).astype(_np.float64)  # B × dim
+            dot = _np.zeros((len(pdf), m))
+            vn_acc = _np.zeros(len(pdf))
+            for l in range(dim):
+                dot += X[:, l : l + 1] * Q[None, :, l]
+                vn_acc += X[:, l] * X[:, l]
+            sim = dot / (_np.sqrt(vn_acc)[:, None] * qn[None, :])
+            yield pd.DataFrame(
+                {
+                    "q_id": _np.tile(q_ids, len(pdf)),
+                    "v_id": _np.repeat(pdf["v_id"].to_numpy(), m),
+                    "_sim_raw": sim.ravel(),
+                }
+            )
+
+    return v.mapInPandas(op, out_schema)
 
 
 def ivf_assign(
@@ -1156,28 +1248,25 @@ def int8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Brute-force cosine top-k over int8-quantized codes. Cosine is
     invariant to the per-vector scale (cos(αx, βy) = cos(x, y)), so
     the codes feed the similarity directly — no dequantization pass,
     and the integer dot products are exact. Same plan shape as
-    cosine_topk: broadcast query codes, one window ranking."""
+    cosine_topk: one similarity matrix (numpy kernel by default —
+    quantization itself stays a Catalyst projection, whose HALF_UP
+    round has no cheap bit-exact numpy analog), one window ranking."""
     from pyspark.sql import Window as W
 
     qc = quantize_int8(queries, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("q_id"), F.col("codes").alias("q_codes")
+        F.col(id_col).alias("q_id"), F.col("codes").alias("q_vec")
     )
     vc = quantize_int8(vectors, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("v_id"), F.col("codes").alias("v_codes")
+        F.col(id_col).alias("v_id"), F.col("codes").alias("v_vec")
     )
-    sims = (
-        vc.crossJoin(F.broadcast(qc))
-        .filter(F.col("v_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "v_id",
-            F.round(cosine(F.col("q_codes"), F.col("v_codes")), 6).alias("sim_q"),
-        )
+    sims = _brute_sims(vc, qc, kernel).filter(F.col("v_id") != F.col("q_id")).select(
+        "q_id", "v_id", F.round(F.col("_sim_raw"), 6).alias("sim_q")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim_q"), "v_id")
     return (

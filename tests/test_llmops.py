@@ -684,6 +684,27 @@ def test_int8_quantization_roundtrip(spark):
     assert [r.v_id for r in sorted(top, key=lambda r: r.rank)] == [1, 2]
 
 
+def test_brute_topk_numpy_kernel_bit_parity(spark):
+    """The r9 Arrow/numpy brute-force similarity kernel must be
+    bit-identical to the interpreted expression fold it replaces —
+    same sims, same ranks, for floats AND int8 codes (contract the
+    oracle gate re-proves end-to-end at sf0.01)."""
+    import math
+
+    from tera_spark.operators.similarity import cosine_topk, int8_topk
+
+    rows = [
+        (i, [math.sin(i * 13.7 + j * 0.31) * (1 + 0.01 * j) for j in range(16)])
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.filter("vec_id < 4")
+    for op in (cosine_topk, int8_topk):
+        expr = sorted(map(tuple, op(vecs, q, k=7, kernel="expr").collect()))
+        np_k = sorted(map(tuple, op(vecs, q, k=7, kernel="numpy").collect()))
+        assert expr == np_k
+
+
 def test_pagerank_hub_and_symmetry(spark):
     from tera_spark.operators.graph import UNIT, pagerank
 
