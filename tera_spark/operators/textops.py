@@ -543,10 +543,14 @@ def dsir_importance(
     text_unigram_surprisal).
 
     Scale shape: both LMs are bucket-count tables of fixed size B —
-    trivially broadcast; candidates stream through one explode +
-    broadcast join + per-doc aggregation. Two corpus passes total
-    (train target LM on the target slice, raw LM on the candidate
-    stream itself); the 100 TB version materializes the two count
+    trivially broadcast. The candidate corpus is tokenized ONCE: the
+    token stream folds to per-(doc, bucket) counts first (map-side
+    partial aggregation collapses it before the only candidate-side
+    shuffle), and BOTH consumers — the raw LM's bucket totals and the
+    final per-doc scoring — read that shared aggregation, so Spark
+    plans a ReusedExchange instead of a second tokenize pass (the
+    pre-r9 form tokenized candidates twice). One more pass tokenizes
+    the target slice; the 100 TB version materializes the count
     tables between passes.
     """
     from tera_spark.functions.text import h60
@@ -557,9 +561,13 @@ def dsir_importance(
         ).select("doc_id", F.pmod(h60(F.col("_tok")), F.lit(buckets)).alias("b"))
 
     spark = candidates.sparkSession
-    cand_toks = bucketed(ensure_parallelism(candidates))
+    cand_doc_b = (
+        bucketed(ensure_parallelism(candidates))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("_n"))
+    )
     tgt_cnt = bucketed(target).groupBy("b").agg(F.count("*").alias("t_cnt"))
-    raw_cnt = cand_toks.groupBy("b").agg(F.count("*").alias("r_cnt"))
+    raw_cnt = cand_doc_b.groupBy("b").agg(F.sum("_n").alias("r_cnt"))
 
     spine = spark.range(buckets).select(F.col("id").alias("b"))
     lm = (
@@ -585,12 +593,14 @@ def dsir_importance(
         .crossJoin(F.broadcast(r_tot))
         .select("b", score.alias("tok_score"))
     )
+    # per-token scores are integers, so summing count·score per bucket
+    # is exactly the per-token sum — associative, engine-stable
     return (
-        cand_toks.join(F.broadcast(scored), "b")
+        cand_doc_b.join(F.broadcast(scored), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum("tok_score").cast("long").alias("logw_micro"),
+            F.sum("_n").cast("long").alias("n_tokens"),
+            F.sum(F.col("_n") * F.col("tok_score")).cast("long").alias("logw_micro"),
         )
     )
 
