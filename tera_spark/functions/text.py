@@ -58,9 +58,22 @@ def minhash_signature(text: Column) -> Column:
     return F.array(*sigs)
 
 
-def band_keys(sig: Column) -> Column:
+def band_keys(sig: Column | str) -> Column:
     """LSH band buckets: md5 of ':'-joined slice per band, prefixed by
-    the band index so buckets from different bands never collide."""
+    the band index so buckets from different bands never collide.
+
+    Pass the COLUMN NAME (str) on hot paths: the whole expression then
+    builds as one parsed SQL string — a single py4j round-trip instead
+    of ~30 (driver construction latency is a measured chunk of
+    sub-second query latency; see the SQL-text twins note below). The
+    Column form stays for composed expressions."""
+    if isinstance(sig, str):
+        keys = []
+        for b in range(N_BANDS):
+            part = f"slice(`{sig}`, {b * ROWS_PER_BAND + 1}, {ROWS_PER_BAND})"
+            joined = ", ".join(f"get({part}, {i})" for i in range(ROWS_PER_BAND))
+            keys.append(f"md5(concat_ws(':', '{b}', {joined}))")
+        return F.expr("array(" + ", ".join(keys) + ")")
     keys = []
     for b in range(N_BANDS):
         part = F.slice(sig, b * ROWS_PER_BAND + 1, ROWS_PER_BAND)
@@ -107,15 +120,43 @@ def fingerprint(text: Column) -> Column:
 # their own stage, so each hash is computed exactly once per row.
 
 
+# --- Spark SQL-text twins of the hot Column builders ----------------------
+#
+# A Column composed from pyspark functions costs one py4j round-trip
+# per expression node; the MinHash signature alone is several hundred
+# (measured ~0.5 s of DRIVER construction latency per query at steady
+# state — more than its sf0.1 execution). The twins below emit the
+# same expression as one SQL string for F.expr: one round-trip, one
+# JVM parse, identical analyzed operators (the dedup oracle family
+# re-proves value-level equality bit-for-bit).
+
+def sx_tokens(expr: str) -> str:
+    return f"split(trim({expr}), '\\\\s+')"
+
+
+def sx_h60(expr: str) -> str:
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def sx_shingles(expr: str, n: int = 3) -> str:
+    toks = sx_tokens(expr)
+    parts = ", ".join(f"get({toks}, i + {k})" for k in range(n))
+    return (
+        f"(case when size({toks}) >= {n} then "
+        f"transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"else array(trim({expr})) end)"
+    )
+
+
 def with_minhash_signature(df, text_col: str = "text", out: str = "sig"):
     """Add an N_MINHASH-wide signature column, hashing each shingle once."""
-    hs = F.transform(shingles(F.col(text_col)), lambda s: h60(s) % P31)
-    staged = df.withColumn("__mh_hs", hs)
-    sigs = [
-        F.array_min(F.transform(F.col("__mh_hs"), lambda x: (F.lit(a) * x + F.lit(b)) % P31))
+    hs = f"transform({sx_shingles(f'`{text_col}`')}, s -> {sx_h60('s')} % {P31})"
+    staged = df.withColumn("__mh_hs", F.expr(hs))
+    sigs = ", ".join(
+        f"array_min(transform(__mh_hs, x -> ({a}L * x + {b}L) % {P31}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return staged.withColumn(out, F.array(*sigs)).drop("__mh_hs")
+    )
+    return staged.withColumn(out, F.expr(f"array({sigs})")).drop("__mh_hs")
 
 
 def with_simhash(df, text_col: str = "text", out: str = "simhash"):

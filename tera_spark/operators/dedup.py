@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from tera_spark.functions.text import (
     band_keys,
     shingles,
+    sx_shingles,
     with_minhash_signature,
     with_simhash,
 )
@@ -129,7 +130,7 @@ def minhash_lsh_pairs(
     band-signature intermediate to Parquet instead of the executor
     heap — the corpus-scale shape (see verified_near_duplicates)."""
     keyed = with_minhash_signature(ensure_parallelism(docs), text_col).select(
-        F.col(id_col).alias("id"), band_keys(F.col("sig")).alias("keys")
+        F.col(id_col).alias("id"), band_keys("sig").alias("keys")
     )
     return _first_collision_candidates(keyed, max_bucket_size, storage=storage)
 
@@ -158,7 +159,7 @@ def jaccard_pairs(
         ensure_parallelism(docs).select(
             F.col(id_col).alias("id"),
             (bucket_expr if bucket_expr is not None else F.col(id_col) % 100).alias("bkt"),
-            F.array_distinct(shingles(F.col(text_col))).alias("sh"),
+            F.expr(f"array_distinct({sx_shingles(f'`{text_col}`')})").alias("sh"),
         ),
         scope,
     )  # self-join: shingle once, not twice
@@ -216,7 +217,7 @@ def verified_near_duplicates(
         with_minhash_signature(ensure_parallelism(docs), text_col)
         .select(
             F.col(id_col).alias("id"),
-            F.array_distinct(shingles(F.col(text_col))).alias("sh"),
+            F.expr(f"array_distinct({sx_shingles(f'`{text_col}`')})").alias("sh"),
             F.col("sig"),
         )
         .repartition("id"),
@@ -224,7 +225,7 @@ def verified_near_duplicates(
         scope,
     )
     cand = _first_collision_candidates(
-        base.select("id", band_keys(F.col("sig")).alias("keys")), max_bucket_size,
+        base.select("id", band_keys("sig").alias("keys")), max_bucket_size,
         scope=scope,
         storage=f"{storage}/band_sigs" if storage else None,
     )
@@ -280,7 +281,7 @@ def containment_pairs(
     base = materialize(
         ensure_parallelism(docs).select(
             F.col(id_col).alias("id"),
-            F.array_distinct(shingles(F.col(text_col))).alias("sh"),
+            F.expr(f"array_distinct({sx_shingles(f'`{text_col}`')})").alias("sh"),
         ),
         f"{storage}/shingles" if storage else None,
         scope,
@@ -396,7 +397,7 @@ def edit_distance_near_duplicates(
     )
     cand = _first_collision_candidates(
         with_minhash_signature(docs, text_col).select(
-            F.col(id_col).alias("id"), band_keys(F.col("sig")).alias("keys")
+            F.col(id_col).alias("id"), band_keys("sig").alias("keys")
         ),
         max_bucket_size,
     )
@@ -556,10 +557,10 @@ def incremental_dedup(
 
     inc_bands = with_minhash_signature(
         inc.select("id", F.col("_t").alias(text_col)), text_col
-    ).select("id", F.explode(band_keys(F.col("sig"))).alias("bucket"))
+    ).select("id", F.explode(band_keys("sig")).alias("bucket"))
     corp_bands = _cap_buckets(
         with_minhash_signature(ensure_parallelism(corpus), text_col).select(
-            F.col(id_col).alias("cid"), F.explode(band_keys(F.col("sig"))).alias("bucket")
+            F.col(id_col).alias("cid"), F.explode(band_keys("sig")).alias("bucket")
         ),
         max_bucket_size,
     ).select("bucket").distinct()
@@ -602,7 +603,7 @@ def lsh_bucket_stats(
     """
     keyed = with_minhash_signature(ensure_parallelism(docs), text_col).select(
         F.col(id_col).alias("id"),
-        F.posexplode(band_keys(F.col("sig"))).alias("band", "bucket"),
+        F.posexplode(band_keys("sig")).alias("band", "bucket"),
     )
     sizes = keyed.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
     return (

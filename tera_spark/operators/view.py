@@ -178,23 +178,24 @@ def current_view(
     # of magnitude smaller than the cell count, and clustered by the
     # same hash partitioning, so no extra exchange and no cell-level
     # sort). Masking happens on the collected arrays.
+    # hot builders below are SQL-text expressions (F.expr): a Column
+    # composed node-by-node costs one py4j round-trip per node, and this
+    # fold is rebuilt per query invocation — measured ~0.5 s of driver
+    # construction latency at steady state, more than the fold's sf0.1
+    # execution. Same analyzed operators either way (oracle-pinned).
     grouped = (
         df.groupBy("row_key", "cf", "qualifier")
         .agg(
-            F.sort_array(
-                F.collect_list(
-                    # slim 4-field entry: ts/op ride inside the negated
-                    # sort keys (ts = -nts, op = sop) — 25% less agg
-                    # buffer + shuffle width than duplicating them
-                    F.struct(
-                        (-ts).alias("nts"),
-                        op.alias("sop"),
-                        (-F.col("seq")).alias("nseq"),
-                        F.col("value").alias("value"),
-                    )
-                )
+            # slim 4-field entry: ts/op ride inside the negated
+            # sort keys (ts = -nts, op = sop) — 25% less agg
+            # buffer + shuffle width than duplicating them
+            F.expr(
+                "sort_array(collect_list(named_struct("
+                "'nts', -ts, 'sop', op, 'nseq', -seq, 'value', value)))"
             ).alias("entries_raw"),
-            F.max(F.when(op == CellOp.DEL_QUALIFIERS, ts)).alias("_del_qu"),
+            F.expr(
+                f"max(case when op = {CellOp.DEL_QUALIFIERS} then ts end)"
+            ).alias("_del_qu"),
         )
         .withColumn("maxv", F.coalesce(maxv_map[F.col("cf")], F.lit(default_max_versions)))
     )
@@ -226,54 +227,48 @@ def current_view(
     grouped = grouped.join(row_marks, "row_key", "left").join(
         cf_marks, ["row_key", "cf"], "left"
     )
-    mask = F.greatest(
-        F.coalesce(F.col("_del_row"), F.lit(-(1 << 62))),
-        F.coalesce(F.col("_del_cf"), F.lit(-(1 << 62))),
-        F.coalesce(F.col("_del_qu"), F.lit(-(1 << 62))),
+    neg = -(1 << 62)
+    dels = f"{CellOp.DEL_ROW}, {CellOp.DEL_FAMILY}, {CellOp.DEL_QUALIFIERS}"
+    mask = (
+        f"greatest(coalesce(_del_row, {neg}L), coalesce(_del_cf, {neg}L), "
+        f"coalesce(_del_qu, {neg}L))"
     )
     grouped = grouped.withColumn(
         "entries",
-        F.filter(
-            "entries_raw",
-            lambda x: ~x["sop"].isin(
-                CellOp.DEL_ROW, CellOp.DEL_FAMILY, CellOp.DEL_QUALIFIERS
-            )
-            & (-x["nts"] > mask),
+        F.expr(
+            f"filter(entries_raw, x -> (not (x.sop in ({dels}))) and (-x.nts > {mask}))"
         ),
     ).drop("entries_raw", "_del_qu", "_del_row", "_del_cf")
 
     e = F.col("entries")
     maxv_c = F.col("maxv")
 
-    def _seq_pass(arr, init_vnum):
-        # sequential per-group pass: DEL_QUALIFIER arming + version cap
-        acc0 = F.struct(
-            F.expr(f"cast(array() as {_ENTRY_T})").alias("out"),
-            init_vnum.alias("vnum"),
-            F.lit(0).alias("prev"),
+    def _seq_pass(arr_sql: str, init_vnum_sql: str) -> Column:
+        # sequential per-group pass: DEL_QUALIFIER arming + version cap.
+        # arr_sql / init_vnum_sql are SQL fragments over the grouped
+        # columns (entries/rest/run_len/maxv).
+        put, dq = CellOp.PUT, CellOp.DEL_QUALIFIER
+        vnum2 = f"(acc.vnum + (case when x.sop = {put} then 1 else 0 end))"
+        emit = f"((x.sop = {put}) and (not (acc.prev = {dq})) and ({vnum2} <= maxv))"
+        return F.expr(
+            "aggregate("
+            f"{arr_sql}, "
+            f"named_struct('out', cast(array() as {_ENTRY_T}), "
+            f"'vnum', {init_vnum_sql}, 'prev', 0), "
+            "(acc, x) -> named_struct("
+            f"'out', case when {emit} then "
+            "concat(acc.out, array(named_struct('ts', -x.nts, 'value', x.value))) "
+            "else acc.out end, "
+            f"'vnum', {vnum2}, "
+            "'prev', x.sop)"
+            ").out"
         )
-
-        def _step(acc, x):
-            consumed = acc["prev"] == CellOp.DEL_QUALIFIER
-            is_put = x["sop"] == CellOp.PUT
-            vnum2 = acc["vnum"] + F.when(is_put, 1).otherwise(0)
-            emit = is_put & ~consumed & (vnum2 <= maxv_c)
-            out2 = F.when(
-                emit,
-                F.concat(
-                    acc["out"],
-                    F.array(F.struct((-x["nts"]).alias("ts"), x["value"].alias("value"))),
-                ),
-            ).otherwise(acc["out"])
-            return F.struct(out2.alias("out"), vnum2.alias("vnum"), x["sop"].alias("prev"))
-
-        return F.aggregate(arr, acc0, _step)["out"]
 
     if no_atomics:
         # PUTs + deletes only: every merge run would be empty, so the
         # whole group is one sequential pass — no run detection, no
         # dedup/merge folds (the expression tree the hot loop skips)
-        versions = _seq_pass(e, F.lit(0))
+        versions = _seq_pass("entries", "0")
         return (
             grouped.select("row_key", "cf", "qualifier", F.explode(versions).alias("v"))
             .select(
@@ -352,7 +347,7 @@ def current_view(
     ).otherwise(F.expr(f"cast(array() as {_ENTRY_T})"))
 
     # sequential pass over the remainder: DEL_QUALIFIER arming + version cap
-    rest_out = _seq_pass(rest, F.when(run_len > 0, F.lit(1)).otherwise(F.lit(0)))
+    rest_out = _seq_pass("rest", "(case when run_len > 0 then 1 else 0 end)")
 
     versions = F.concat(merged_cell, rest_out)
     return (

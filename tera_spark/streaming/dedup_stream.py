@@ -87,7 +87,7 @@ class DedupAdmission:
 
         bands = with_minhash_signature(
             b.select("id", F.col("_t").alias(self.text_col)), self.text_col
-        ).select("id", F.explode(band_keys(F.col("sig"))).alias("bucket")).persist()
+        ).select("id", F.explode(band_keys("sig")).alias("bucket")).persist()
 
         survivors = bands.join(exact_ids, "id", "left_anti")
         near_corpus = survivors.join(corp_b, "bucket", "left_semi").select("id")
