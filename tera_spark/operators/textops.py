@@ -579,8 +579,13 @@ def dsir_importance(
             F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
         )
     )
-    t_tot = lm.agg(F.sum("t_cnt").cast("double").alias("t_tot"))
-    r_tot = lm.agg(F.sum("r_cnt").cast("double").alias("r_tot"))
+    # totals straight off the count tables (absent buckets contribute
+    # zero, so the spine join adds nothing) — the lm re-derivation per
+    # scalar cost two extra Range+join stage waves at runtime
+    # (coalesce: an EMPTY corpus sums to NULL here, where the spine
+    # summed literal zeros — pin the identical total)
+    t_tot = tgt_cnt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("double").alias("t_tot"))
+    r_tot = raw_cnt.agg(F.coalesce(F.sum("r_cnt"), F.lit(0)).cast("double").alias("r_tot"))
     score = F.floor(
         (
             F.log((F.col("t_cnt") + 1) / (F.col("t_tot") + buckets))
