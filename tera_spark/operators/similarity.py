@@ -107,21 +107,70 @@ def _plan_bytes(df: DataFrame) -> int:
         return 0
 
 
+# Memoized bounded collect of the numpy kernel's query side, keyed on
+# (applicationId, semantic plan hash): the kernel needs the query rows
+# driver-side to close over (the same ≤_BRUTE_Q_CAP rows a broadcast
+# would ship), but collecting on every DataFrame *construction* ran a
+# Spark job per construction — four per benched query (warm + 3 timed)
+# and one per .explain(). One bounded collect per distinct query plan
+# per application; dies with the process (nothing keyed on input
+# paths survives a run). None = the query side exceeded _BRUTE_Q_CAP.
+_Q_ROWS_MEMO: dict[tuple[str, int], list | None] = {}
+
+
+def _q_rows_bounded(q: DataFrame) -> list | None:
+    try:
+        key = (q.sparkSession.sparkContext.applicationId, q.semanticHash())
+    except Exception:  # pragma: no cover - py4j hiccup: skip the memo
+        key = None
+    if key is not None:
+        for k in [k for k in _Q_ROWS_MEMO if k[0] != key[0]]:
+            del _Q_ROWS_MEMO[k]  # dead-application entries
+        if key in _Q_ROWS_MEMO:
+            return _Q_ROWS_MEMO[key]
+    # bounded: an oversized query side stops collecting at cap+1 rows
+    # instead of pulling everything onto the driver and discarding it
+    rows = q.limit(_BRUTE_Q_CAP + 1).collect()
+    rows = rows if 0 < len(rows) <= _BRUTE_Q_CAP else None
+    if key is not None:
+        _Q_ROWS_MEMO[key] = rows
+    return rows
+
+
 def _brute_sims(v: DataFrame, q: DataFrame, kernel: str) -> DataFrame:
     """(q_id, v_id, _sim_raw) for every query×vector pair — unrounded
     cosine, self-pairs included (callers filter/round). Kernel choice
     per module docstring: the numpy path vectorizes the O(Q·N·d) fold;
     the expr path is the zero-Python fallback. ``auto`` picks by the
-    corpus-side size estimate (`_BRUTE_NP_BYTES_FLOOR`)."""
+    corpus-side size estimate (`_BRUTE_NP_BYTES_FLOOR`).
+
+    Constructing the kernel form runs one bounded Spark job (the
+    memoized query-side collect above) — the one construction-time
+    action in the module, paid once per distinct query plan per
+    application."""
+    if kernel == "numpy" and _np is None:
+        raise RuntimeError('numpy is required for kernel="numpy" (pip install numpy)')
     use_np = kernel == "numpy" or (
         kernel == "auto" and _np is not None and _plan_bytes(v) >= _BRUTE_NP_BYTES_FLOOR
     )
     if use_np:
-        rows = q.collect()
-        if 0 < len(rows) <= _BRUTE_Q_CAP:
+        rows = _q_rows_bounded(q)
+        if rows is not None:
             return _brute_sims_np(v, rows, q.schema["q_id"].dataType)
-    return v.crossJoin(F.broadcast(q)).select(
-        "q_id", "v_id", cosine(F.col("q_vec"), F.col("v_vec")).alias("_sim_raw")
+    # norms are per-vector, not per-pair: compute each side's norm in a
+    # projection BELOW the crossJoin (once per corpus row / once per
+    # broadcast query row) instead of re-folding both inside every
+    # pair's cosine — 3 interpreted array folds per pair become 1.
+    # Bit-identical: the same _norm expression over the same values,
+    # and sim keeps the exact dot/(q_norm · v_norm) operand order.
+    vn = v.withColumn("_vn", _norm(F.col("v_vec")))
+    qn = q.withColumn("_qn", _norm(F.col("q_vec")))
+    return vn.crossJoin(F.broadcast(qn)).select(
+        "q_id",
+        "v_id",
+        (_dot(F.col("q_vec"), F.col("v_vec")) / (F.col("_qn") * F.col("_vn"))).alias(
+            "_sim_raw"
+        ),
     )
 
 
@@ -156,20 +205,37 @@ def _brute_sims_np(v: DataFrame, q_rows: list, q_id_type) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = _np.stack(pdf["v_vec"].to_numpy()).astype(_np.float64)  # B × dim
-            dot = _np.zeros((len(pdf), m))
-            vn_acc = _np.zeros(len(pdf))
-            for l in range(dim):
-                dot += X[:, l : l + 1] * Q[None, :, l]
-                vn_acc += X[:, l] * X[:, l]
-            sim = dot / (_np.sqrt(vn_acc)[:, None] * qn[None, :])
-            yield pd.DataFrame(
-                {
-                    "q_id": _np.tile(q_ids, len(pdf)),
-                    "v_id": _np.repeat(pdf["v_id"].to_numpy(), m),
-                    "_sim_raw": sim.ravel(),
-                }
+            # null / wrong-dim corpus vectors degrade per-row exactly
+            # like the expression fold (zip_with pads with NULLs →
+            # NULL sim) instead of np.stack failing the whole task
+            ok = (
+                pdf["v_vec"].map(lambda a: a is not None and len(a) == dim).to_numpy(dtype=bool)
             )
+            good = pdf[ok]
+            if len(good):
+                X = _np.stack(good["v_vec"].to_numpy()).astype(_np.float64)  # B × dim
+                dot = _np.zeros((len(good), m))
+                vn_acc = _np.zeros(len(good))
+                for l in range(dim):
+                    dot += X[:, l : l + 1] * Q[None, :, l]
+                    vn_acc += X[:, l] * X[:, l]
+                sim = dot / (_np.sqrt(vn_acc)[:, None] * qn[None, :])
+                yield pd.DataFrame(
+                    {
+                        "q_id": _np.tile(q_ids, len(good)),
+                        "v_id": _np.repeat(good["v_id"].to_numpy(), m),
+                        "_sim_raw": sim.ravel(),
+                    }
+                )
+            bad = pdf[~ok]
+            if len(bad):
+                yield pd.DataFrame(
+                    {
+                        "q_id": _np.tile(q_ids, len(bad)),
+                        "v_id": _np.repeat(bad["v_id"].to_numpy(), m),
+                        "_sim_raw": pd.array([None] * (len(bad) * m), dtype="Float64"),
+                    }
+                )
 
     return v.mapInPandas(op, out_schema)
 
@@ -203,6 +269,8 @@ def ivf_assign(
     cid_type = centroids.schema[cid_col].dataType
     rows = centroids.select(F.col(cid_col).alias("cid"), F.col(vec_col).alias("c_vec")).collect()
     cents = sorted((r["cid"], [float(x) for x in r["c_vec"]]) for r in rows)
+    if kernel == "numpy" and _np is None:
+        raise RuntimeError('numpy is required for kernel="numpy" (pip install numpy)')
     use_np = kernel == "numpy" or (kernel == "auto" and _np is not None)
     if use_np:
         return _ivf_assign_np(vectors, cents, id_col=id_col, vec_col=vec_col, cid_type=cid_type)
@@ -999,6 +1067,8 @@ def pq_encode(
     m = len(codebook)
     k = len(codebook[0])
     d_sub = len(codebook[0][0])
+    if kernel == "numpy" and _np is None:
+        raise RuntimeError('numpy is required for kernel="numpy" (pip install numpy)')
     if kernel == "numpy" or (kernel == "auto" and _np is not None):
         return _pq_encode_np(
             vectors, codebook, id_col=id_col, vec_col=vec_col, keep=keep,

@@ -523,6 +523,19 @@ def chunk_documents(
     )
 
 
+# Shared-fold crossover for dsir_importance: below this estimated
+# candidate-corpus size the per-(doc_id, bucket) count fold's exchange
+# (up to `buckets`× more rows than the per-doc aggregation the two-pass
+# shape shuffles) costs more than simply tokenizing the corpus twice,
+# so the small-corpus path keeps the pre-fold two-pass shape; above it
+# a second full tokenize scan dominates and the one-pass shared fold
+# wins. Same scale-adaptive stance (bytes, not cores) as the ann
+# kernel's _BRUTE_NP_BYTES_FLOOR; both shapes are value-identical
+# (integer per-token scores ⇒ sum(count·score) is exactly the
+# per-token sum), pinned by the oracle either way.
+_DSIR_FOLD_BYTES_FLOOR = 32 << 20
+
+
 def dsir_importance(
     candidates: DataFrame,
     target: DataFrame,
@@ -543,17 +556,21 @@ def dsir_importance(
     text_unigram_surprisal).
 
     Scale shape: both LMs are bucket-count tables of fixed size B —
-    trivially broadcast. The candidate corpus is tokenized ONCE: the
-    token stream folds to per-(doc, bucket) counts first (map-side
-    partial aggregation collapses it before the only candidate-side
-    shuffle), and BOTH consumers — the raw LM's bucket totals and the
-    final per-doc scoring — read that shared aggregation, so Spark
-    plans a ReusedExchange instead of a second tokenize pass (the
-    pre-r9 form tokenized candidates twice). One more pass tokenizes
-    the target slice; the 100 TB version materializes the count
-    tables between passes.
+    trivially broadcast. Above ``_DSIR_FOLD_BYTES_FLOOR`` the candidate
+    corpus is tokenized ONCE: the token stream folds to per-(doc,
+    bucket) counts first (map-side partial aggregation collapses it
+    before the only candidate-side shuffle), and BOTH consumers — the
+    raw LM's bucket totals and the final per-doc scoring — read that
+    shared aggregation, so Spark plans a ReusedExchange instead of a
+    second tokenize pass. Below the floor a small corpus keeps the
+    two-pass shape: tokenize-twice is cheap there, and the scoring
+    branch partial-aggregates straight down to one row per doc, so its
+    exchange never carries the (doc, bucket)-wide fold. One more pass
+    tokenizes the target slice; the 100 TB version materializes the
+    count tables between passes.
     """
     from tera_spark.functions.text import h60
+    from tera_spark.operators.similarity import _plan_bytes
 
     def bucketed(df: DataFrame) -> DataFrame:
         return df.select(
@@ -561,13 +578,15 @@ def dsir_importance(
         ).select("doc_id", F.pmod(h60(F.col("_tok")), F.lit(buckets)).alias("b"))
 
     spark = candidates.sparkSession
-    cand_doc_b = (
-        bucketed(ensure_parallelism(candidates))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("_n"))
-    )
+    cand = ensure_parallelism(candidates)
+    shared_fold = _plan_bytes(cand) >= _DSIR_FOLD_BYTES_FLOOR
+    cand_toks = bucketed(cand)
+    if shared_fold:
+        cand_doc_b = cand_toks.groupBy("doc_id", "b").agg(F.count("*").alias("_n"))
+        raw_cnt = cand_doc_b.groupBy("b").agg(F.sum("_n").alias("r_cnt"))
+    else:
+        raw_cnt = cand_toks.groupBy("b").agg(F.count("*").alias("r_cnt"))
     tgt_cnt = bucketed(target).groupBy("b").agg(F.count("*").alias("t_cnt"))
-    raw_cnt = cand_doc_b.groupBy("b").agg(F.sum("_n").alias("r_cnt"))
 
     spine = spark.range(buckets).select(F.col("id").alias("b"))
     lm = (
@@ -600,12 +619,21 @@ def dsir_importance(
     )
     # per-token scores are integers, so summing count·score per bucket
     # is exactly the per-token sum — associative, engine-stable
+    if shared_fold:
+        return (
+            cand_doc_b.join(F.broadcast(scored), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("_n").cast("long").alias("n_tokens"),
+                F.sum(F.col("_n") * F.col("tok_score")).cast("long").alias("logw_micro"),
+            )
+        )
     return (
-        cand_doc_b.join(F.broadcast(scored), "b")
+        cand_toks.join(F.broadcast(scored), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum("_n").cast("long").alias("n_tokens"),
-            F.sum(F.col("_n") * F.col("tok_score")).cast("long").alias("logw_micro"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("tok_score").cast("long").alias("logw_micro"),
         )
     )
 

@@ -94,29 +94,39 @@ def cell_scan_range(spark: SparkSession, sf: str) -> DataFrame:
 )
 def cell_multiversion(spark: SparkSession, sf: str) -> DataFrame:
     # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
-    # version timestamps come from a deterministic row_number ordering
-    li = load(spark, sf, "lineitem").withColumn(
-        "row_key", F.lpad(F.col("l_orderkey").cast("string"), 10, "0")
+    # version timestamps come from a deterministic row_number ordering.
+    # The numeric l_orderkey rides through window + fold as the row_key
+    # (lpad is a bijection, so grouping/windowing by either key is the
+    # same partition set, and neither the window's ORDER BY nor the
+    # put-only fold ever orders BY row_key) — the exchange hashes and
+    # the sort compares 8-byte longs instead of 10-char strings, and
+    # lpad runs once per *output* row instead of per op-log cell. One
+    # selectExpr = one py4j round-trip for the whole fixture (the
+    # construction-latency fix OPTIMIZATION_r09 applied to the fold).
+    li = load(spark, sf, "lineitem").selectExpr(
+        "l_orderkey as row_key", "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
     )
-    # window on the derived row_key (bijective with the raw key): the
-    # fixture's exchange then satisfies the view's row_key distribution,
-    # so current_view adds no second shuffle
-    wv = W.partitionBy("row_key").orderBy(
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+    over = (
+        "over (partition by row_key order by "
+        "l_linenumber, l_quantity, l_extendedprice, l_partkey)"
     )
-    cells = li.select(
+    cells = li.selectExpr(
         "row_key",
-        F.lit("li").alias("cf"),
-        F.lit("qty").alias("qualifier"),
-        F.row_number().over(wv).cast("long").alias("ts"),
-        F.lit(CellOp.PUT).alias("op"),
-        F.floor("l_quantity").cast("long").cast("string").cast("binary").alias("value"),
-        F.row_number().over(wv).cast("long").alias("seq"),
+        "'li' as cf",
+        "'qty' as qualifier",
+        f"cast(row_number() {over} as bigint) as ts",
+        f"{int(CellOp.PUT)} as op",
+        "cast(cast(cast(floor(l_quantity) as bigint) as string) as binary) as value",
+        f"cast(row_number() {over} as bigint) as seq",
     )
     # the op-log is pure PUTs by construction → declare it and take
     # the fast fold (what the catalog derives from commit records)
     v = current_view(cells, _schema("li", maxv=2), now_us=NOW, put_only=True)
-    return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
+    return v.selectExpr(
+        "lpad(cast(row_key as string), 10, '0') as row_key",
+        "ts",
+        "cast(value as string) as val",
+    )
 
 
 @query(
@@ -138,40 +148,40 @@ def cell_multiversion(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def cell_tombstone(spark: SparkSession, sf: str) -> DataFrame:
+    # numeric o_orderkey rides through the fold as the row_key (the
+    # lpad form is a bijection of it; the fold only groups/joins by
+    # row_key, never orders by it), so the full-size exchange and the
+    # mark joins hash longs, and lpad runs once per output row. Each
+    # branch is one selectExpr — one py4j round-trip per branch
+    # instead of ~10 (the construction-latency fix OPTIMIZATION_r09
+    # applied to the fold's own builders).
     orders = load(spark, sf, "orders")
-    rk = F.lpad(F.col("o_orderkey").cast("string"), 10, "0")
-    puts = orders.select(
-        rk.alias("row_key"),
-        F.lit("st").alias("cf"),
-        F.lit("prio").alias("qualifier"),
-        F.lit(10).cast("long").alias("ts"),
-        F.lit(CellOp.PUT).alias("op"),
-        F.col("o_orderpriority").cast("binary").alias("value"),
-        F.col("o_orderkey").alias("seq"),
+    puts = orders.selectExpr(
+        "o_orderkey as row_key",
+        "'st' as cf",
+        "'prio' as qualifier",
+        "cast(10 as bigint) as ts",
+        f"{int(CellOp.PUT)} as op",
+        "cast(o_orderpriority as binary) as value",
+        "o_orderkey as seq",
     )
-    dels = (
-        orders.filter(F.col("o_orderstatus") == "F")
-        .select(
-            rk.alias("row_key"),
-            F.lit("").alias("cf"),
-            F.lit("").alias("qualifier"),
-            F.lit(20).cast("long").alias("ts"),
-            F.lit(CellOp.DEL_ROW).alias("op"),
-            F.lit(None).cast("binary").alias("value"),
-            (F.col("o_orderkey") + 10_000_000).alias("seq"),
-        )
+    dels = orders.where("o_orderstatus = 'F'").selectExpr(
+        "o_orderkey as row_key",
+        "'' as cf",
+        "'' as qualifier",
+        "cast(20 as bigint) as ts",
+        f"{int(CellOp.DEL_ROW)} as op",
+        "cast(null as binary) as value",
+        "o_orderkey + 10000000 as seq",
     )
-    vip = (
-        orders.filter(F.col("o_totalprice") > 200000)
-        .select(
-            rk.alias("row_key"),
-            F.lit("st").alias("cf"),
-            F.lit("vip_q").alias("qualifier"),
-            F.lit(30).cast("long").alias("ts"),
-            F.lit(CellOp.PUT).alias("op"),
-            F.lit("vip").cast("binary").alias("value"),
-            (F.col("o_orderkey") + 20_000_000).alias("seq"),
-        )
+    vip = orders.where("o_totalprice > 200000").selectExpr(
+        "o_orderkey as row_key",
+        "'st' as cf",
+        "'vip_q' as qualifier",
+        "cast(30 as bigint) as ts",
+        f"{int(CellOp.PUT)} as op",
+        "cast('vip' as binary) as value",
+        "o_orderkey + 20000000 as seq",
     )
     # vip qualifier named differently so the ts=10 put isn't a second version
     schema = TableSchema("q").add_column_family("st", max_versions=1)
@@ -180,7 +190,11 @@ def cell_tombstone(spark: SparkSession, sf: str) -> DataFrame:
     v = current_view(
         puts.unionByName(dels).unionByName(vip), schema, now_us=NOW, no_atomics=True
     )
-    return v.select("row_key", "ts", F.col("value").cast("string").alias("val"))
+    return v.selectExpr(
+        "lpad(cast(row_key as string), 10, '0') as row_key",
+        "ts",
+        "cast(value as string) as val",
+    )
 
 
 @query(
@@ -194,27 +208,32 @@ def cell_tombstone(spark: SparkSession, sf: str) -> DataFrame:
 )
 def cell_counter(spark: SparkSession, sf: str) -> DataFrame:
     # unique per-group ts via row_number: the engine's same-ts dedup is
-    # reference behavior, so colliding timestamps would drop deltas
-    li = load(spark, sf, "lineitem").withColumn(
-        "row_key", F.lpad(F.col("l_suppkey").cast("string"), 10, "0")
+    # reference behavior, so colliding timestamps would drop deltas.
+    # Numeric l_suppkey rides through window + fold as the row_key
+    # (bijective with the lpad form; nothing orders by row_key), so the
+    # exchange/sort work on longs and lpad runs once per output row —
+    # see cell_multiversion. One selectExpr = one py4j round-trip.
+    li = load(spark, sf, "lineitem").selectExpr(
+        "l_suppkey as row_key", "l_orderkey", "l_linenumber", "l_quantity"
     )
-    # window on the derived row_key (bijective with the raw key): the
-    # fixture's exchange then satisfies the view's row_key distribution,
-    # so current_view adds no second shuffle
-    wv = W.partitionBy("row_key").orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    over = "over (partition by row_key order by l_orderkey, l_linenumber, l_quantity)"
     cells = li.select(
-        "row_key",
-        F.lit("c").alias("cf"),
-        F.lit("qty").alias("qualifier"),
-        F.row_number().over(wv).cast("long").alias("ts"),
-        F.lit(CellOp.ADD).alias("op"),
+        F.expr("row_key"),
+        F.expr("'c'").alias("cf"),
+        F.expr("'qty'").alias("qualifier"),
+        F.expr(f"cast(row_number() {over} as bigint)").alias("ts"),
+        F.expr(f"{int(CellOp.ADD)}").alias("op"),
         be_i64_encode(F.floor("l_quantity").cast("long")).alias("value"),
-        F.row_number().over(wv).cast("long").alias("seq"),
+        F.expr(f"cast(row_number() {over} as bigint)").alias("seq"),
     )
     # pure-ADD op-log → the stacked-agg counter fold (what the catalog
     # derives from commit records on an Add-only table)
     v = current_view(cells, _schema("c"), now_us=NOW, counter_only=CellOp.ADD)
-    return v.select("row_key", be_i64_decode(F.col("value")).alias("total_qty"), "ts")
+    return v.select(
+        F.lpad(F.col("row_key").cast("string"), 10, "0").alias("row_key"),
+        be_i64_decode(F.col("value")).alias("total_qty"),
+        "ts",
+    )
 
 
 @query(

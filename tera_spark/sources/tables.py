@@ -39,8 +39,30 @@ TPCH_TABLES = (
 _LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def invalidate(sf_dir: str | None = None, name: str | None = None) -> None:
+    """Drop memoized relations — all of them, a directory's, or one
+    table's. The memo pins the file listing (InMemoryFileIndex) at
+    first load(), which is correct for the driver's static testdata
+    but would read deleted/stale files if a table directory were
+    overwritten or appended within one application — any future
+    write-then-read of a *table dir* must call this first (today every
+    ingest/scratch path writes elsewhere)."""
+    for key in [
+        k
+        for k in _LOAD_MEMO
+        if (sf_dir is None or k[1] == sf_dir) and (name is None or k[2] == name)
+    ]:
+        del _LOAD_MEMO[key]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    # dead-application entries (restarted sessions) would otherwise
+    # accumulate for the life of the module; the dict stays table-count
+    # sized so the sweep is trivially cheap
+    for k in [k for k in _LOAD_MEMO if k[0] != app]:
+        del _LOAD_MEMO[k]
+    key = (app, sf_dir, name)
     memo = _LOAD_MEMO.get(key)
     if memo is not None:
         return memo
