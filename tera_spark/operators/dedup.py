@@ -98,6 +98,43 @@ def _first_collision_candidates(
     )
 
 
+# Degenerate-bucket cap default (guide §2.5 skew — a single enormous
+# key). A template/boilerplate bucket with m members emits ~m²/2
+# candidate rows from its first shared band; AQE skew-join can split
+# that partition but never shrink it, so one hot bucket holding 0.1%
+# of a 100 TB corpus would own the entire candidate join. Measured on
+# a 28k-doc synthetic corpus with one 8 000-member template bucket
+# (scripts/skew_cap_experiment.py): uncapped 31 997 926 candidate
+# pairs / 114 s; capped 1 926 pairs / 21 s with IDENTICAL seeded
+# near-dup recall (0.963) — the dropped pairs collide on the template,
+# not on near-duplication. 4096 is far above any legitimate near-dup
+# cluster in the fixtures (max observed bucket at sf0.001/0.01/0.1 is
+# 4) and bounds any one bucket's emission at ~8.4M pairs.
+_LSH_CAP_AUTO = 4096
+
+# The cap path costs two extra exchanges (the count window + the
+# per-doc key-sequence rebuild), which a small corpus never amortizes
+# — and can never need: below this plan-size estimate even a fully
+# degenerate corpus stays joinable. Same scale-adaptive stance (bytes,
+# not cores) as similarity._BRUTE_NP_BYTES_FLOOR and
+# textops._DSIR_FOLD_BYTES_FLOOR. Results are identical on either side
+# of the floor whenever every bucket is under the cap (the oracle
+# fixtures are, by the measured margin above).
+_LSH_CAP_BYTES_FLOOR = 32 << 20
+
+
+def _resolve_bucket_cap(docs: DataFrame, cap: int | None | str) -> int | None:
+    """Resolve the ``max_bucket_size="auto"`` default: cap degenerate
+    buckets at `_LSH_CAP_AUTO` once the corpus estimate crosses
+    `_LSH_CAP_BYTES_FLOOR`, stay cap-free (and exchange-free) below it.
+    Explicit int / None callers are passed through untouched."""
+    if cap != "auto":
+        return cap  # type: ignore[return-value]
+    from tera_spark.operators.similarity import _plan_bytes
+
+    return _LSH_CAP_AUTO if _plan_bytes(docs) >= _LSH_CAP_BYTES_FLOOR else None
+
+
 def _cap_buckets(sigs: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """Drop degenerate LSH buckets before the self-join. A bucket with
     m members emits m² candidate rows — one boilerplate-heavy bucket
@@ -120,19 +157,23 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None | str = "auto",
     storage: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing ≥1 LSH band
     bucket. Returns (id_a, id_b) with id_a < id_b, distinct — dedup by
     first-collision filter, no pair-level shuffle (see
-    `_first_collision_candidates`). ``storage`` materializes the
+    `_first_collision_candidates`). ``max_bucket_size="auto"`` caps
+    degenerate boilerplate buckets at corpus scale (`_LSH_CAP_AUTO`,
+    size-gated by `_LSH_CAP_BYTES_FLOOR`). ``storage`` materializes the
     band-signature intermediate to Parquet instead of the executor
     heap — the corpus-scale shape (see verified_near_duplicates)."""
     keyed = with_minhash_signature(ensure_parallelism(docs), text_col).select(
         F.col(id_col).alias("id"), band_keys("sig").alias("keys")
     )
-    return _first_collision_candidates(keyed, max_bucket_size, storage=storage)
+    return _first_collision_candidates(
+        keyed, _resolve_bucket_cap(docs, max_bucket_size), storage=storage
+    )
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -185,7 +226,7 @@ def verified_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None | str = "auto",
     scope=None,
     storage: str | None = None,
 ) -> DataFrame:
@@ -225,7 +266,8 @@ def verified_near_duplicates(
         scope,
     )
     cand = _first_collision_candidates(
-        base.select("id", band_keys("sig").alias("keys")), max_bucket_size,
+        base.select("id", band_keys("sig").alias("keys")),
+        _resolve_bucket_cap(docs, max_bucket_size),
         scope=scope,
         storage=f"{storage}/band_sigs" if storage else None,
     )
@@ -250,7 +292,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None | str = "auto",
     scope=None,
     storage: str | None = None,
 ) -> DataFrame:
@@ -292,7 +334,9 @@ def containment_pairs(
         k,
     )
     cand = _first_collision_candidates(
-        base.select("id", bottom.alias("keys")), max_bucket_size, scope=scope,
+        base.select("id", bottom.alias("keys")),
+        _resolve_bucket_cap(docs, max_bucket_size),
+        scope=scope,
         storage=f"{storage}/bottomk_sigs" if storage else None,
     )
     j = (
@@ -379,7 +423,7 @@ def edit_distance_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dist: int = 40,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None | str = "auto",
 ) -> DataFrame:
     """Edit-distance-verified dedup: LSH candidates -> Levenshtein
     filter. Complements Jaccard verification — edit distance catches
@@ -399,7 +443,7 @@ def edit_distance_near_duplicates(
         with_minhash_signature(docs, text_col).select(
             F.col(id_col).alias("id"), band_keys("sig").alias("keys")
         ),
-        max_bucket_size,
+        _resolve_bucket_cap(docs, max_bucket_size),
     )
     return (
         cand.join(base.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), "id_a")
@@ -533,7 +577,7 @@ def incremental_dedup(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None | str = "auto",
 ) -> DataFrame:
     """Admission check for a new ingestion batch against an existing
     corpus: each incoming document is classified 'exact' (byte-identical
@@ -562,7 +606,7 @@ def incremental_dedup(
         with_minhash_signature(ensure_parallelism(corpus), text_col).select(
             F.col(id_col).alias("cid"), F.explode(band_keys("sig")).alias("bucket")
         ),
-        max_bucket_size,
+        _resolve_bucket_cap(corpus, max_bucket_size),
     ).select("bucket").distinct()
     near_ids = inc_bands.join(corp_bands, "bucket", "left_semi").select("id").distinct()
 
