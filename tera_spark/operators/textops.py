@@ -538,10 +538,11 @@ _DSIR_FOLD_BYTES_FLOOR = 32 << 20
 
 def dsir_importance(
     candidates: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
     buckets: int = 256,
     text_col: str = "text",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al.
     2023): score each candidate document by how target-like its
@@ -568,38 +569,85 @@ def dsir_importance(
     exchange never carries the (doc, bucket)-wide fold. One more pass
     tokenizes the target slice; the 100 TB version materializes the
     count tables between passes.
+
+    ``target_pred`` is a caller PROMISE that the target corpus is
+    exactly ``candidates.filter(target_pred)`` (the common DSIR setup:
+    the target is a labelled slice of the pool being scored — same
+    stance as ``stupid_backoff_nll``'s ``train_pred``). The target LM
+    then counts conditionally inside the candidate token stream, so
+    the separate target tokenize+scan pass disappears: one pass builds
+    BOTH LMs (and above the fold floor, the one shared fold feeds the
+    LMs and the scoring). Exactly equal by pushdown algebra —
+    explode∘filter = filter∘explode, and a NULL predicate row counts
+    as non-target just as the filter would drop it.
     """
     from tera_spark.functions.text import h60
     from tera_spark.operators.similarity import _plan_bytes
 
-    def bucketed(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id", F.explode(tokens(F.col(text_col))).alias("_tok")
-        ).select("doc_id", F.pmod(h60(F.col("_tok")), F.lit(buckets)).alias("b"))
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+
+    def bucketed(df: DataFrame, flag: Column | None = None) -> DataFrame:
+        head = ["doc_id"] if flag is None else ["doc_id", flag.alias("_tgt")]
+        tail = [] if flag is None else [F.col("_tgt")]
+        tok = df.select(*head, F.explode(tokens(F.col(text_col))).alias("_tok"))
+        return tok.select(
+            "doc_id", F.pmod(h60(F.col("_tok")), F.lit(buckets)).alias("b"), *tail
+        )
 
     from pyspark.sql import Window as W
 
     spark = candidates.sparkSession
     cand = ensure_parallelism(candidates)
     shared_fold = _plan_bytes(cand) >= _DSIR_FOLD_BYTES_FLOOR
-    cand_toks = bucketed(cand)
+    tgt_flag = (
+        None if target_pred is None else F.when(target_pred, F.lit(1)).otherwise(F.lit(0))
+    )
+    cand_toks = bucketed(cand, tgt_flag)
     if shared_fold:
-        cand_doc_b = cand_toks.groupBy("doc_id", "b").agg(F.count("*").alias("_n"))
-        raw_cnt = cand_doc_b.groupBy("b").agg(F.sum("_n").alias("r_cnt"))
-    else:
-        raw_cnt = cand_toks.groupBy("b").agg(F.count("*").alias("r_cnt"))
-    tgt_cnt = bucketed(target).groupBy("b").agg(F.count("*").alias("t_cnt"))
-
+        aggs = [F.count("*").alias("_n")] + (
+            [] if tgt_flag is None else [F.sum("_tgt").alias("_nt")]
+        )
+        cand_doc_b = cand_toks.groupBy("doc_id", "b").agg(*aggs)
     spine = spark.range(buckets).select(F.col("id").alias("b"))
-    lm = (
-        spine.join(tgt_cnt, "b", "left")
-        .join(raw_cnt, "b", "left")
-        .select(
+    if tgt_flag is not None:
+        # ONE aggregation (one exchange of ≤B partial rows per task)
+        # counts BOTH distributions from the single candidate token
+        # stream — the separate target tokenize pass is gone. The
+        # spine join stays: hanging the totals window off the tiny
+        # Range side (the counts arrive by broadcast) measured 1.6×
+        # faster than windowing the aggregation output directly
+        # (0.93 s vs 1.56 s same-session min at sf0.1 — the
+        # SinglePartition exchange then sits on the Range, not on the
+        # full aggregation lineage).
+        if shared_fold:
+            both = cand_doc_b.groupBy("b").agg(
+                F.sum("_nt").alias("t_cnt"), F.sum("_n").alias("r_cnt")
+            )
+        else:
+            both = cand_toks.groupBy("b").agg(
+                F.sum("_tgt").alias("t_cnt"), F.count("*").alias("r_cnt")
+            )
+        lm = spine.join(both, "b", "left").select(
             "b",
             F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
             F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
         )
-    )
+    else:
+        if shared_fold:
+            raw_cnt = cand_doc_b.groupBy("b").agg(F.sum("_n").alias("r_cnt"))
+        else:
+            raw_cnt = cand_toks.groupBy("b").agg(F.count("*").alias("r_cnt"))
+        tgt_cnt = bucketed(target).groupBy("b").agg(F.count("*").alias("t_cnt"))
+        lm = (
+            spine.join(tgt_cnt, "b", "left")
+            .join(raw_cnt, "b", "left")
+            .select(
+                "b",
+                F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+                F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+            )
+        )
     # LM totals via ONE empty-frame window over the 256-row lm instead
     # of scalar-aggregation branches: the crossJoin(broadcast(total))
     # wiring re-derived the aggregation subtrees as separate stage

@@ -2932,8 +2932,11 @@ def pipeline_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     256 buckets). See operators/textops.dsir_importance."""
     from tera_spark.operators.textops import dsir_importance
 
+    # the target corpus is a labelled slice of the candidate pool, so
+    # the predicate form builds both LMs from ONE tokenize pass (the
+    # separate target tokenize+scan disappears; oracle-identical)
     docs = load(spark, sf, "documents")
-    return dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_importance(docs, target_pred=F.col("lang") == "en")
 
 
 _SQL_INT8 = (

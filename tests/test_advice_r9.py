@@ -149,3 +149,36 @@ def test_dsir_fold_gate_shapes_identical(spark, monkeypatch):
     shared = rows(textops.dsir_importance(docs, tgt))
     assert two_pass == shared
     assert len(shared) == 5
+
+
+def test_dsir_target_pred_identical_both_gate_sides(spark, monkeypatch):
+    # target_pred promises target == candidates.filter(pred); all four
+    # (gate side × target form) combinations must agree, including the
+    # NULL-pred row (counts as non-target, exactly like the filter)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "el zorro marron salta sobre el perro", "es"),
+            (3, "the dog sleeps and the fox runs", "en"),
+            (4, "lorem ipsum dolor sit amet the", None),
+            (5, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pred = F.col("lang") == "en"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    monkeypatch.setattr(textops, "_DSIR_FOLD_BYTES_FLOOR", 1 << 60)  # two-pass
+    explicit = rows(textops.dsir_importance(docs, docs.filter(pred)))
+    via_pred = rows(textops.dsir_importance(docs, target_pred=pred))
+    monkeypatch.setattr(textops, "_DSIR_FOLD_BYTES_FLOOR", 0)  # shared fold
+    explicit_f = rows(textops.dsir_importance(docs, docs.filter(pred)))
+    via_pred_f = rows(textops.dsir_importance(docs, target_pred=pred))
+    assert explicit == via_pred == explicit_f == via_pred_f
+    assert len(explicit) == 5
+    with pytest.raises(ValueError):
+        textops.dsir_importance(docs)
+    with pytest.raises(ValueError):
+        textops.dsir_importance(docs, docs.filter(pred), target_pred=pred)
