@@ -183,8 +183,18 @@ def current_view(
     # fold is rebuilt per query invocation — measured ~0.5 s of driver
     # construction latency at steady state, more than the fold's sf0.1
     # execution. Same analyzed operators either way (oracle-pinned).
+    # Row/cf-granularity delete marks never appear in `entries` (the
+    # mask filter below drops them wholesale — their ts maxima reach
+    # the mask via the mark joins), so keep them out of the collect
+    # stream entirely: the big aggregation and its full-size exchange
+    # then carry only ops that can survive. On a union-built op-log a
+    # constant-op delete branch constant-folds to nothing (one fewer
+    # scan); on a parquet op-log the `op` predicate pushes to the
+    # reader. DEL_QUALIFIERS stays in-stream (it feeds _del_qu), as
+    # does DEL_QUALIFIER (it arms the sequential pass).
+    data = df.filter(~op.isin(CellOp.DEL_ROW, CellOp.DEL_FAMILY))
     grouped = (
-        df.groupBy("row_key", "cf", "qualifier")
+        data.groupBy("row_key", "cf", "qualifier")
         .agg(
             # slim 4-field entry: ts/op ride inside the negated
             # sort keys (ts = -nts, op = sop) — 25% less agg

@@ -360,3 +360,29 @@ def test_changes_between_reconstructs_new_view(spark, seed):
         else:
             patched[k] = bytes(d.new_value)
     assert patched == new
+
+
+def test_collect_stream_excludes_row_family_delete_marks(spark):
+    """Row/cf delete marks must not ride the collect aggregation: they
+    are dropped from `entries` wholesale (their ts maxima reach the
+    mask via the mark joins), so the fold prefilters them before the
+    collect_list — the big exchange carries only survivable ops. Pin
+    both the plan property (a NOT-IN(DEL_ROW, DEL_FAMILY) filter below
+    the collect aggregate) and the semantics (masking unchanged, and a
+    group holding only delete marks emits nothing)."""
+    from tera_spark.plans import plan_str
+
+    cells = make_cells(
+        spark,
+        [
+            ("r1", "cf0", "q", 10, "PUT", "keep"),
+            ("r1", "cf0", "q", 3, "PUT", "masked"),
+            ("r1", "", "", 5, "DEL_ROW", None),      # masks ts<=5
+            ("r2", "cf0", "", 7, "DEL_FAMILY", None),  # its group emits nothing
+            ("r2", "cf0", "q2", 6, "PUT", "gone"),
+        ],
+    )
+    v = current_view(cells, schema1(maxv=2), now_us=NOW)
+    plan = plan_str(v, "formatted").replace(" ", "")
+    assert "NOTop" in plan and ("IN(1,2)" in plan or "INSET1,2" in plan), plan
+    assert got(v) == [("r1", "cf0", "q", 10, b"keep")]
