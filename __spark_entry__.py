@@ -43,9 +43,12 @@ def _registry():
 _DRIVER_PRIORITY = [
     # operator code changed in round 9/10 (DSIR fold + size gate,
     # brute-sims kernel/expr-norm path, cell fixture numeric keys,
-    # minhash/LSH SQL-text builders) — re-oracle first
+    # minhash/LSH SQL-text builders, collect-stream delete prefilter
+    # in the general/no_atomics fold) — re-oracle first
     "pipeline_dsir_importance", "ann_cosine_topk", "ann_int8_topk",
     "cell_multiversion_trim", "cell_counter_add_merge", "cell_tombstone_mask",
+    "cell_append_merge", "cell_put_ifabsent", "cell_addint64_merge",
+    "cell_changefeed_diff",
     "dedup_lsh_verified", "dedup_minhash_lsh_pairs",
     "dedup_containment_pairs", "dedup_incremental_batch",
     "dedup_edit_distance", "dedup_lsh_storage_mode",
@@ -155,7 +158,11 @@ _DRIVER_GREEN_R2 = frozenset({
 
 
 def _driver_order(names):
-    pri = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    # first occurrence wins: a touched query listed again in a later
+    # staleness cohort must keep its front-of-queue slot
+    pri: dict = {}
+    for i, n in enumerate(_DRIVER_PRIORITY):
+        pri.setdefault(n, i)
 
     def key(n):
         if n in _DRIVER_ROWS_ONLY:
