@@ -198,10 +198,17 @@ def current_view(
         .agg(
             # slim 4-field entry: ts/op ride inside the negated
             # sort keys (ts = -nts, op = sop) — 25% less agg
-            # buffer + shuffle width than duplicating them
+            # buffer + shuffle width than duplicating them.
+            # DEL_QUALIFIERS rows stay in the stream only for the
+            # _del_qu max below: collect_list skips the NULL the CASE
+            # yields for them, so their structs never enter the agg
+            # buffer or the exchange (like DEL_ROW/DEL_FAMILY above,
+            # they could never survive the mask filter; the kept
+            # subset of a sorted array is the same either way).
             F.expr(
-                "sort_array(collect_list(named_struct("
-                "'nts', -ts, 'sop', op, 'nseq', -seq, 'value', value)))"
+                f"sort_array(collect_list(case when op <> {CellOp.DEL_QUALIFIERS} "
+                "then named_struct("
+                "'nts', -ts, 'sop', op, 'nseq', -seq, 'value', value) end))"
             ).alias("entries_raw"),
             F.expr(
                 f"max(case when op = {CellOp.DEL_QUALIFIERS} then ts end)"

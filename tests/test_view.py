@@ -380,9 +380,17 @@ def test_collect_stream_excludes_row_family_delete_marks(spark):
             ("r1", "", "", 5, "DEL_ROW", None),      # masks ts<=5
             ("r2", "cf0", "", 7, "DEL_FAMILY", None),  # its group emits nothing
             ("r2", "cf0", "q2", 6, "PUT", "gone"),
+            ("r3", "cf0", "q", 9, "DEL_QUALIFIERS", None),  # masks ts<=9
+            ("r3", "cf0", "q", 12, "PUT", "kept2"),
+            ("r3", "cf0", "q", 8, "PUT", "gone2"),
         ],
     )
     v = current_view(cells, schema1(maxv=2), now_us=NOW)
     plan = plan_str(v, "formatted").replace(" ", "")
     assert "NOTop" in plan and ("IN(1,2)" in plan or "INSET1,2" in plan), plan
-    assert got(v) == [("r1", "cf0", "q", 10, b"keep")]
+    # DEL_QUALIFIERS structs ride only the _del_qu max, not the array
+    assert "CASEWHENNOT(op" in plan or "casewhen" in plan.lower(), plan
+    assert got(v) == [
+        ("r1", "cf0", "q", 10, b"keep"),
+        ("r3", "cf0", "q", 12, b"kept2"),
+    ]
